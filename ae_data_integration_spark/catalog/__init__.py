@@ -1,0 +1,67 @@
+"""Query catalog: every engine capability as a named, oracle-checked query.
+
+Each entry pairs a PySpark DataFrame plan with (where SQL-expressible)
+an equivalent ANSI-SQL string that DuckDB runs on the same parquet
+tables. The driver hash-compares values, so every query here is
+written for *exact* cross-engine reproducibility:
+
+* sums/averages go through ``decimal`` casts (exact, order-independent)
+  instead of raw double sums (partition-order dependent);
+* array math uses sequential left folds on both sides (IEEE ops on
+  identical operands in identical order are bit-equal);
+* pseudo-randomness is ``md5(salt || key)`` (SURVEY §4.2a) — DuckDB
+  computes the identical hex;
+* nonlinear functions that are not correctly-rounded by IEEE (log,
+  exp, pow) are rounded to 6 decimals on both sides; sqrt and
+  arithmetic are exact and left unrounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc, tags=tags)
+        return fn
+
+    return deco
+
+
+_LOADED = False
+
+
+def load_all() -> dict[str, Query]:
+    """Import every catalog module (each registers its queries)."""
+    global _LOADED
+    if not _LOADED:
+        from ae_data_integration_spark.catalog import (  # noqa: F401
+            arrays_q,
+            dedup_q,
+            events_q,
+            metrics_q,
+            nb_q,
+            prep_q,
+            relational_q,
+            similarity_q,
+            text_q,
+        )
+
+        _LOADED = True
+    return REGISTRY

@@ -1,0 +1,356 @@
+"""Relational core queries (SURVEY §2.1-§2.2, §2.5, §2.10).
+
+TPC-H-shaped plans over the driver's star schema exercising scans,
+predicate pushdown, broadcast joins, semi/anti joins, string ops,
+sort/limit top-k, and window functions — the ◆ operator surface.
+
+Scale notes: dimension joins (region/nation/customer segments) are
+explicitly `F.broadcast`; fact-fact joins shuffle on their keys and
+rely on AQE for skew. All money aggregates go through decimal casts
+so results are independent of partition order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ae_data_integration_spark.catalog import register
+from ae_data_integration_spark.tables import table
+
+
+def _dec(c, scale: int = 6):
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal(30,{scale})")
+
+
+# --- q1: pricing summary (TPC-H Q1 shape; SURVEY A1/A10 agg layer) ----------
+
+_Q1_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", oracle=_Q1_SQL,
+          doc="TPC-H Q1-shaped scan+filter+groupBy agg; decimal-exact sums.",
+          tags=("relational", "agg", "bench"))
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    cnt = F.count(F.lit(1))
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec(disc_price)).cast("double").alias("sum_disc_price"),
+            F.sum(_dec(charge)).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / cnt.cast("double")).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / cnt.cast("double")).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / cnt.cast("double")).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- q3: shipping priority (join + top-k) -----------------------------------
+
+_Q3_SQL = """
+SELECT
+  l.l_orderkey,
+  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+  strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", oracle=_Q3_SQL,
+          doc="3-way join, selective filters, decimal agg, deterministic top-10.",
+          tags=("relational", "join", "bench"))
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_dec(revenue)).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey", "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- q5: region volume (snowflake join through dims) ------------------------
+
+_Q5_SQL = """
+SELECT
+  n.n_name,
+  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN supplier s ON s.s_nationkey = n.n_nationkey
+JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register("q5_region_volume", oracle=_Q5_SQL,
+          doc="Snowflake join region→nation→supplier→lineitem; dims broadcast.",
+          tags=("relational", "join", "bench"))
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation")
+    s = table(spark, sf_dir, "supplier")
+    l = table(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "n_name")
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        l.join(dims, l.l_suppkey == dims.s_suppkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec(revenue)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# --- P2: derive label from delimited id -------------------------------------
+# Reference: labels = sample_id.split('.')[0] (CNC_AE_model_selection.py:514).
+# Here: priority class = o_orderpriority.split('-')[0].
+
+_P2_SQL = """
+SELECT
+  string_split(o_orderpriority, '-')[1] AS priority_code,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY priority_code
+ORDER BY priority_code
+"""
+
+
+@register("p2_derive_label", oracle=_P2_SQL,
+          doc="Split-on-delimiter label derivation (ref CNC_AE_model_selection.py:514).",
+          tags=("string", "prep"))
+def p2_derive_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("priority_code", F.split(F.col("o_orderpriority"), "-")[0])
+        .groupBy("priority_code")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .orderBy("priority_code")
+    )
+
+
+# --- P8: regexp_replace + dict-map-as-broadcast-join ------------------------
+
+_P8_SQL = """
+SELECT
+  regexp_replace(o_orderpriority, '^[0-9]-', '') AS priority_name,
+  m.code AS priority_rank,
+  COUNT(*) AS n
+FROM orders o
+JOIN (VALUES ('URGENT', 0), ('HIGH', 1), ('MEDIUM', 2), ('NOT SPECIFIED', 3), ('LOW', 4))
+  AS m(name, code)
+  ON regexp_replace(o.o_orderpriority, '^[0-9]-', '') = m.name
+GROUP BY priority_name, priority_rank
+ORDER BY priority_rank
+"""
+
+
+@register("p8_regex_dict_map", oracle=_P8_SQL,
+          doc="regexp_replace + broadcast dim lookup (ref Data_prep.py:86-89 label dict).",
+          tags=("string", "prep"))
+def p8_regex_dict_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    mapping = spark.createDataFrame(
+        [("URGENT", 0), ("HIGH", 1), ("MEDIUM", 2), ("NOT SPECIFIED", 3), ("LOW", 4)],
+        "name string, code int",
+    )
+    stripped = F.regexp_replace(F.col("o_orderpriority"), "^[0-9]-", "")
+    return (
+        o.withColumn("priority_name", stripped)
+        .join(F.broadcast(mapping), F.col("priority_name") == F.col("name"))
+        .groupBy("priority_name", F.col("code").alias("priority_rank"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("priority_rank")
+    )
+
+
+# --- P4/P5: semi/anti joins (split complement; SURVEY R1/P4/P5) -------------
+
+_P4_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers_with_orders
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("p4_semi_join", oracle=_P4_SQL,
+          doc="Left-semi join: key-membership filter (ref Data_prep.py:65-68).",
+          tags=("join",))
+def p4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers_with_orders"))
+        .orderBy("c_mktsegment")
+    )
+
+
+_P5_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers_without_early_orders
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("p5_anti_join", oracle=_P5_SQL,
+          doc="Left-anti join: set-difference of keys (ref Data_prep.py:56).",
+          tags=("join",))
+def p5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers_without_early_orders"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- P9: sort + head(1)-per-group / top-k -----------------------------------
+
+_P9_SQL = """
+SELECT p_brand, p_partkey, p_retailprice
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
+  FROM part
+) WHERE rk = 1
+ORDER BY p_brand
+"""
+
+
+@register("p9_top1_per_group", oracle=_P9_SQL,
+          doc="sort_values().head(1) per group (ref AE_results.ipynb cell 50).",
+          tags=("window", "topk"))
+def p9_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    return (
+        p.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("p_brand", "p_partkey", "p_retailprice")
+        .orderBy("p_brand")
+    )
+
+
+# --- W1: running total window (engine window surface, SURVEY §2.10) ---------
+
+_W1_SQL = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+WHERE o_custkey < 100
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register("w1_running_total", oracle=_W1_SQL,
+          doc="Per-customer running spend; decimal window sum (order-exact).",
+          tags=("window",))
+def w1_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.withColumn("running_spend", F.sum(_dec("o_totalprice")).over(w).cast("double"))
+        .select("o_custkey", "o_orderkey", "running_spend")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# --- SET1: union + distinct count (set-op surface) --------------------------
+
+_SET1_SQL = """
+SELECT COUNT(*) AS n_keys FROM (
+  SELECT c_nationkey AS k FROM customer
+  UNION
+  SELECT s_nationkey AS k FROM supplier
+)
+"""
+
+
+@register("set1_union_distinct", oracle=_SET1_SQL,
+          doc="UNION + distinct (ref AE_results.ipynb cell 52 index union).",
+          tags=("setop",))
+def set1_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.union(s).distinct().agg(F.count(F.lit(1)).alias("n_keys"))

@@ -1,0 +1,86 @@
+"""Portable, partition-independent pseudo-randomness and sketching.
+
+The reference anchors reproducibility on fixed RNG seeds
+(np.random.seed(42) in Evaluation_Auxiliary/Data_prep.py:17,
+setup_seed(21) per trial). A seeded RNG stream is meaningless on a
+1000-executor cluster — row order and partition count change the
+stream. This engine instead derives per-row pseudo-randomness from
+md5 of the row's key: deterministic, uniform, identical on any
+cluster layout, and reproducible by any other engine (the DuckDB
+oracle computes the same md5), which is what makes the splits
+◆-verifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5_rank(key: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform 'random' sort key for a row.
+
+    md5 hex is uniformly distributed; ordering by it is a seeded
+    shuffle. `salt` plays the role of the seed.
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    return F.md5(F.concat(F.lit(salt), key.cast("string")))
+
+
+def md5_unit(key: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform double in [0,1) derived from md5.
+
+    Uses the first 12 hex digits (48 bits) so the conv() stays exact
+    in a double. Portable: DuckDB computes the identical value.
+    """
+    h = md5_rank(key, salt)
+    return F.conv(F.substring(h, 1, 12), 16, 10).cast("double") / F.lit(
+        float(16 ** 12)
+    )
+
+
+def md5_bucket(key: Column | str, n: int, salt: str = "") -> Column:
+    """Deterministic bucket in [0, n) — the k-fold assignment (R2)."""
+    h = md5_rank(key, salt)
+    return F.pmod(F.conv(F.substring(h, 1, 12), 16, 10).cast("long"), F.lit(n))
+
+
+def shingles(text: Column | str, k: int = 5) -> Column:
+    """Distinct character k-shingles of a string (dedup primitive)."""
+    t = F.col(text) if isinstance(text, str) else text
+    n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k)))
+    )
+
+
+def minhash_signature(shingle_arr: Column, num_perm: int = 16) -> Column:
+    """MinHash signature: per permutation s, min over shingles of
+    md5(s || ':' || shingle). Hex-string min is a valid uniform
+    min-hash and is engine-portable (DuckDB reproduces it exactly).
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                shingle_arr,
+                lambda sh: F.md5(F.concat(s.cast("string"), F.lit(":"), sh)),
+            )
+        ),
+    )
+
+
+def lsh_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:
+    """Split a signature into band keys: array of (band_idx, band_hash).
+
+    Equal band_hash within the same band_idx => LSH candidate pair.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.md5(
+                F.array_join(F.slice(signature, b * rows_per_band + 1, rows_per_band), "|")
+            ).alias("bucket"),
+        ),
+    )

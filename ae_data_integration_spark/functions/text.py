@@ -1,0 +1,95 @@
+"""Text-analysis functions for training-data pipelines.
+
+All JVM-side (regex / array HOFs) — no Python UDFs. These extend the
+reference's string surface (SURVEY §2.2 P2/P8: split, regexp_replace,
+dict-map-as-broadcast-join) into the operators an LLM-data pipeline
+needs: tokenization, token counting, quality scoring, language ID,
+fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lists (public common stopwords). Used by
+# the broadcast-join language-ID heuristic — the same pattern as the
+# reference's 6-row label dict (Data_prep.py:86-89 → broadcast dim).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "des", "que", "dans"],
+    "es": ["el", "la", "los", "que", "es", "una", "por", "con", "para", "del"],
+    "zh": ["的", "是", "了", "在", "和", "有", "不", "人", "这", "中"],
+}
+
+
+def tokens(text: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace tokenization; empty strings filtered."""
+    t = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        t = F.lower(t)
+    return F.filter(F.split(t, r"\s+"), lambda x: x != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Cheap BPE-like token estimate: word-chunks + digits + punct,
+    long words counted as ceil(len/4) subword units."""
+    t = F.col(text) if isinstance(text, str) else text
+    words = F.filter(F.split(F.lower(t), r"[^\p{L}\p{N}]+"), lambda x: x != "")
+    sub = F.aggregate(
+        words,
+        F.lit(0.0),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("double"),
+    )
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[\p{P}]", ""))
+    return (sub + punct.cast("double")).cast("long")
+
+
+def punct_ratio(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    n = F.greatest(F.length(t), F.lit(1))
+    return (F.length(t) - F.length(F.regexp_replace(t, r"[\p{P}]", ""))) / n
+
+
+def mean_word_len(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0.0), lambda a, w: a + F.length(w).cast("double"))
+    return total / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    toks = tokens(text)
+    sw = F.array([F.lit(w) for w in LANG_MARKERS[lang]])
+    hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    return hits / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite heuristic quality score in [0,1]: rewards moderate
+    length, words of plausible length, low punctuation density."""
+    t = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(t).cast("double")
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    wl = mean_word_len(t)
+    wl_score = F.when((wl >= 2.0) & (wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    p_score = F.lit(1.0) - F.least(punct_ratio(t) * F.lit(4.0), F.lit(1.0))
+    return (len_score + wl_score + p_score) / F.lit(3.0)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 over whitespace/case-normalized text
+    (exact-dup key; the rolling-hash winnowing variant is in
+    dedup.simhash)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.trim(F.regexp_replace(F.lower(t), r"\s+", " ")))
+
+
+def lang_marker_table(spark: SparkSession) -> DataFrame:
+    """(lang, word) dimension for the broadcast-join language ID."""
+    rows = [(lang, w) for lang, ws in LANG_MARKERS.items() for w in ws]
+    return spark.createDataFrame(rows, "lang_pred string, marker string")

@@ -1,0 +1,106 @@
+"""Normalization / feature transforms (SURVEY §2.4 N1-N5).
+
+Reference semantics:
+- N1 MinMaxScaler().fit_transform per feature, fit separately on the
+  split being transformed (Evaluation_Auxiliary/Data_prep.py:72-76 —
+  the refit-per-call quirk is preserved by fitting on whatever
+  DataFrame is passed).
+- N3 mean-centering (Simulation_Auxiliary/mocss.py:40-41).
+- N4 label encoding via explicit dict (Data_prep.py:86-91).
+
+Scale-first design: statistics come from ``groupBy().agg`` and are
+attached with a broadcast join (or literal fold for array features) —
+never an unpartitioned Window, which would funnel the table through
+one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ae_data_integration_spark.functions.arrays import to_double
+
+
+def minmax_scale_scalar(
+    df: DataFrame, value_col: str, by: list[str] | None = None, out_col: str | None = None
+) -> DataFrame:
+    """Min-max scale a scalar column, optionally per group (N1).
+
+    (x - min) / (max - min); constant groups map to 0.0 (sklearn maps
+    them to 0 as well since data_range is clamped to 1).
+    """
+    out_col = out_col or f"{value_col}_scaled"
+    keys = by or []
+    aggs = [
+        F.min(value_col).alias("_lo"),
+        F.max(value_col).alias("_hi"),
+    ]
+    stats = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    joined = df.join(F.broadcast(stats), on=keys) if keys else df.crossJoin(F.broadcast(stats))
+    rng = F.col("_hi") - F.col("_lo")
+    scaled = F.when(rng == 0, F.lit(0.0)).otherwise((F.col(value_col) - F.col("_lo")) / rng)
+    return joined.withColumn(out_col, scaled).drop("_lo", "_hi")
+
+
+def minmax_scale_features(df: DataFrame, features_col: str = "features") -> DataFrame:
+    """Per-feature min-max over an array<double> column.
+
+    Element-wise min/max via explode + groupBy(feature index) — the
+    shuffle output is only d rows, then folded back as a broadcast
+    join + zip_with. Scales to arbitrarily many rows; d (feature
+    count) bounded by array width.
+    """
+    stats = (
+        df.select(F.posexplode(to_double(features_col)).alias("idx", "v"))
+        .groupBy("idx")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .groupBy()
+        .agg(
+            F.array_sort(F.collect_list(F.struct("idx", "lo", "hi"))).alias("stats")
+        )
+    )
+    rescaled = F.zip_with(
+        to_double(features_col),
+        F.col("_s.stats"),
+        lambda x, s: F.when(s["hi"] == s["lo"], F.lit(0.0)).otherwise(
+            (x - s["lo"]) / (s["hi"] - s["lo"])
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(stats).alias("_s"))
+        .withColumn(features_col, rescaled)
+        .drop("stats")
+    )
+
+
+def mean_center(df: DataFrame, value_col: str, out_col: str | None = None) -> DataFrame:
+    """N3: x - mean(x), with the mean computed as an exact decimal
+    sum / count so the result is independent of partition order."""
+    out_col = out_col or f"{value_col}_centered"
+    # sum as decimal (exact, partition-order independent), then divide as
+    # double/double — decimal/int division has engine-specific result
+    # scales, so the division is done after the cast for portability.
+    stats = df.agg(
+        (
+            F.sum(F.col(value_col).cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_mu")
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(out_col, F.col(value_col) - F.col("_mu"))
+        .drop("_mu")
+    )
+
+
+def label_encode(df: DataFrame, label_col: str, out_col: str = "label_id") -> DataFrame:
+    """N4: dense integer codes via a broadcast dimension built from
+    distinct labels ordered lexicographically (the reference's dicts
+    are insertion-ordered over a fixed class list; lexicographic is
+    the deterministic engine-portable equivalent)."""
+    dim = (
+        df.select(label_col).distinct()
+        .withColumn(out_col, F.row_number().over(Window.orderBy(label_col)) - 1)
+    )
+    return df.join(F.broadcast(dim), on=label_col)

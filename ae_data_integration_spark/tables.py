@@ -1,0 +1,34 @@
+"""Loaders for the driver's deterministic synthetic star schema.
+
+``/root/testdata/sf*/`` holds TPC-H-ish parquet plus ``events``
+(stream-shaped), ``documents`` (text corpus) and ``embeddings``
+(vector corpus). Parquet scans get predicate pushdown + column
+pruning from Catalyst for free — callers should ``select`` early.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {t: table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register all tables as temp views for spark.sql plans."""
+    for t in TABLES:
+        table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,105 @@
+"""Unit tests for the operator library against pandas/numpy goldens."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ae_data_integration_spark.functions.arrays import l2_normalize, to_double
+from ae_data_integration_spark.operators.scale import minmax_scale_scalar
+from ae_data_integration_spark.operators.splits import kfold, stratified_split
+from ae_data_integration_spark.tables import table
+from tests.conftest import SF_CORRECT
+
+
+def _py_md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_stratified_split_exact_counts(spark):
+    c = table(spark, SF_CORRECT, "customer")
+    pdf = c.select("c_custkey", "c_mktsegment").toPandas()
+    got = (
+        stratified_split(c, "c_mktsegment", "c_custkey", 0.8, salt="42")
+        .groupBy("c_mktsegment")
+        .agg(F.sum(F.col("is_train").cast("int")).alias("n_train"))
+        .toPandas()
+        .set_index("c_mktsegment")["n_train"]
+        .to_dict()
+    )
+    want = {
+        seg: int(round(n * 0.8))
+        for seg, n in pdf.groupby("c_mktsegment")["c_custkey"].count().items()
+    }
+    assert got == want
+
+
+def test_stratified_split_matches_python_md5_order(spark):
+    """The exact train membership equals a pandas recomputation of the
+    same md5('42'||key) ordering — partition-count independence."""
+    c = table(spark, SF_CORRECT, "customer").repartition(13)  # deliberately odd
+    got = set(
+        stratified_split(c, "c_mktsegment", "c_custkey", 0.8, salt="42")
+        .filter("is_train")
+        .select("c_custkey")
+        .toPandas()["c_custkey"]
+    )
+    pdf = c.select("c_custkey", "c_mktsegment").toPandas()
+    pdf["h"] = pdf["c_custkey"].map(lambda k: _py_md5("42" + str(k)))
+    want = set()
+    for _, g in pdf.groupby("c_mktsegment"):
+        k = int(round(len(g) * 0.8))
+        want |= set(g.sort_values(["h", "c_custkey"]).head(k)["c_custkey"])
+    assert got == want
+
+
+def test_kfold_balanced(spark):
+    c = table(spark, SF_CORRECT, "customer")
+    sizes = (
+        kfold(c, "c_custkey", n_splits=5)
+        .groupBy("fold")
+        .count()
+        .toPandas()["count"]
+        .tolist()
+    )
+    assert len(sizes) == 5
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_minmax_matches_pandas(spark):
+    c = table(spark, SF_CORRECT, "customer")
+    got = (
+        minmax_scale_scalar(c, "c_acctbal", by=["c_nationkey"])
+        .select("c_custkey", "c_acctbal_scaled")
+        .toPandas()
+        .set_index("c_custkey")["c_acctbal_scaled"]
+    )
+    pdf = c.select("c_custkey", "c_nationkey", "c_acctbal").toPandas()
+    grp = pdf.groupby("c_nationkey")["c_acctbal"]
+    lo, hi = grp.transform("min"), grp.transform("max")
+    want = ((pdf["c_acctbal"] - lo) / (hi - lo)).fillna(0.0)
+    want.index = pdf["c_custkey"]
+    pd.testing.assert_series_equal(
+        got.sort_index(), want.sort_index(), check_names=False, rtol=0, atol=0
+    )
+
+
+def test_l2_normalize_unit_norm(spark):
+    e = table(spark, SF_CORRECT, "embeddings").limit(50)
+    norms = (
+        e.select(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(l2_normalize(to_double("embedding")), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ).alias("n")
+        )
+        .toPandas()["n"]
+        .tolist()
+    )
+    assert all(math.isclose(n, 1.0, rel_tol=1e-12) for n in norms)
