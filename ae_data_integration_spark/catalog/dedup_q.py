@@ -1,1 +1,148 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Deduplication queries: exact, MinHash-LSH + Jaccard, SimHash.
+
+Exercises operators/dedup.py. Every stage (shingling, minhash,
+banding, bucket join, Jaccard, simhash bit-packing) is reproduced by
+the DuckDB oracle from the same md5 primitives — candidate pair sets
+and scores are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ae_data_integration_spark.catalog import register
+from ae_data_integration_spark.operators.dedup import (
+    doc_shingles,
+    exact_dup_stats,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    simhash,
+)
+from ae_data_integration_spark.tables import table
+
+# --- D1: exact duplicate stats ----------------------------------------------
+
+_D1_SQL = r"""
+SELECT SUM(n) AS n_docs,
+       COUNT(*) AS n_distinct,
+       SUM(n) - COUNT(*) AS n_redundant
+FROM (
+  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp, COUNT(*) AS n
+  FROM documents GROUP BY fp
+)
+"""
+
+
+@register("d1_exact_dup", oracle=_D1_SQL,
+          doc="Exact dedup via normalized-text md5 fingerprint groupBy.",
+          tags=("dedup",))
+def d1_exact_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dup_stats(table(spark, sf_dir, "documents"))
+
+
+# --- D2: MinHash-LSH candidates + exact Jaccard -----------------------------
+# 8 perms, 2 bands × 4 rows → candidate knee around j ≈ 0.84, with a
+# long random tail — non-trivial candidate sets on this corpus.
+
+_SHS = (
+    "list_distinct(list_transform(range(1, greatest(length(text)-4, 1) + 1),"
+    " i -> text[i : i+4]))"
+)
+
+
+def _perm_mins_sql(num_perm: int) -> str:
+    """(A[s]*h + B[s]) mod P minima — mirrors minhash_from_base."""
+    from ae_data_integration_spark.functions.hashing import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+    )
+
+    mins = ", ".join(
+        f"list_aggregate(list_transform(hs, h -> ({MINHASH_A[s]} * h + {MINHASH_B[s]}) % {MINHASH_P}), 'min')"
+        for s in range(num_perm)
+    )
+    return f"[{mins}]"
+
+
+_D2_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHS} AS shs FROM documents
+),
+hashed AS (
+  SELECT doc_id, shs,
+         list_transform(shs, x -> CAST(('0x' || substr(md5(x), 1, 12)) AS BIGINT)) AS hs
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, shs, {_perm_mins_sql(8)} AS sig FROM hashed
+),
+bands AS (
+  SELECT doc_id, b.b AS band,
+         md5(array_to_string(sig[b.b*4 + 1 : b.b*4 + 4], '|')) AS bucket
+  FROM sig, (SELECT unnest(range(0, 2)) AS b) b
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x
+  JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+         / (CAST(len(a.shs) + len(b.shs) AS DOUBLE) - CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE))
+         AS jaccard
+FROM pairs p
+JOIN sh a ON p.doc_a = a.doc_id
+JOIN sh b ON p.doc_b = b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("d2_minhash_lsh", oracle=_D2_SQL,
+          doc="MinHash(8) + LSH(2 bands × 4 rows) candidates, exact shingle Jaccard.",
+          tags=("dedup", "bench"))
+def d2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(d, "doc_id", "text", k=5, num_perm=8, num_bands=2)
+    # Persist: the verify join reads the shingle sets twice (a/b side).
+    shs = doc_shingles(d, "doc_id", "text", k=5).persist()
+    return jaccard_verify(pairs, shs).orderBy("doc_a", "doc_b")
+
+
+# --- D3: SimHash fingerprints -----------------------------------------------
+
+_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')"
+
+_D3_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_transform({_TOKS},
+                        t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(hs) = 0 THEN 0 ELSE
+         list_reduce(
+           list_transform(range(0, 60),
+             j -> CASE WHEN list_reduce(
+                          list_transform(hs, h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END),
+                          (a, b) -> a + b) > 0
+                       THEN (CAST(1 AS BIGINT) << j) ELSE 0 END),
+           (a, b) -> a + b)
+       END AS simhash
+FROM tok
+ORDER BY doc_id
+"""
+
+
+@register("d3_simhash", oracle=_D3_SQL,
+          doc="60-bit SimHash fingerprint; shuffle-free per-row array folds.",
+          tags=("dedup",))
+def d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        simhash(d, "doc_id", "text", bits=60)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
+    )

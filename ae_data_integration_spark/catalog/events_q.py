@@ -1,1 +1,140 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Event-stream queries (batch twins of the streaming layer).
+
+The reference has no streaming surface (SURVEY §2.10); these are the
+engine's forward-looking operators over the driver's `events` table.
+Each query here is the *batch-mode twin* of a Structured Streaming
+plan in streaming/events.py — identical transformations, so the
+batch result is the streaming result after watermark close.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ae_data_integration_spark.catalog import register
+from ae_data_integration_spark.tables import table
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+# --- E1: hourly tumbling-window rollup --------------------------------------
+
+_E1_SQL = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY hour_epoch, event_type
+ORDER BY hour_epoch, event_type
+"""
+
+
+@register("e1_hourly_rollup", oracle=_E1_SQL,
+          doc="Tumbling 1h window agg — batch twin of the streaming rollup.",
+          tags=("events", "bench"))
+def e1_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("hour_epoch", "event_type")
+    )
+
+
+# --- E2: sessionization (30-min inactivity gap) -----------------------------
+
+_E2_SQL = """
+WITH x AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM x
+),
+sess AS (
+  SELECT user_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM flagged
+),
+per_sess AS (SELECT user_id, sess_id, COUNT(*) AS n FROM sess GROUP BY user_id, sess_id)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       SUM(n) AS n_events,
+       MAX(n) AS max_session_events
+FROM per_sess
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("e2_sessionize", oracle=_E2_SQL,
+          doc="Gap-based sessionization via lag + running sum windows; exact "
+              "microsecond arithmetic.",
+          tags=("events", "window", "bench"))
+def e2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    w_order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts_us").over(w_order).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w_order)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("sess_id", F.sum("new_s").over(w_run))
+    per_sess = sess.groupBy("user_id", "sess_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n").alias("n_events"),
+            F.max("n").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- E3: per-cohort event-type pivot ----------------------------------------
+
+_E3_SQL = """
+SELECT user_id % 10 AS cohort,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events
+GROUP BY cohort
+ORDER BY cohort
+"""
+
+
+@register("e3_type_pivot", oracle=_E3_SQL,
+          doc="groupBy().pivot() with explicit value list (deterministic schema).",
+          tags=("events", "pivot"))
+def e3_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+        .orderBy("cohort")
+    )

@@ -1,1 +1,103 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Gaussian Naive Bayes 5-fold CV — the flagship relational-ML query.
+
+Exercises operators/nb.py (SURVEY §2.8 C6: the reference's
+nb_classification.py re-expressed as one-pass DataFrame aggregates).
+The DuckDB oracle replicates the entire model: hashed fold
+assignment, total-minus-fold train statistics, Gaussian
+log-likelihood scoring, argmax, per-fold accuracy.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ae_data_integration_spark.catalog import register
+from ae_data_integration_spark.operators.nb import gaussian_nb_cv_accuracy
+from ae_data_integration_spark.tables import table
+
+_LN_2PI = repr(float(math.log(2 * math.pi)))
+
+_C6_SQL = f"""
+WITH base AS (
+  SELECT vec_id AS id, label AS y,
+         CAST(CAST(('0x' || substr(md5('nb' || CAST(vec_id AS VARCHAR)), 1, 12)) AS BIGINT) % 5 AS INT) AS fold,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+long AS (
+  SELECT id, y, fold, generate_subscripts(vec, 1) - 1 AS dim, unnest(vec) AS x FROM base
+),
+part AS (
+  SELECT fold, y, dim,
+         SUM(CAST(x AS DECIMAL(38,12))) AS s1,
+         SUM(CAST(x * x AS DECIMAL(38,12))) AS s2,
+         COUNT(*) AS cnt
+  FROM long GROUP BY fold, y, dim
+),
+tot AS (SELECT y, dim, SUM(s1) AS t1, SUM(s2) AS t2, SUM(cnt) AS tc FROM part GROUP BY y, dim),
+folds AS (SELECT CAST(unnest(range(0, 5)) AS INT) AS fold),
+stats AS (
+  SELECT f.fold, t.y, t.dim,
+         CAST(t.t1 - COALESCE(p.s1, 0) AS DOUBLE) AS sum1,
+         CAST(t.t2 - COALESCE(p.s2, 0) AS DOUBLE) AS sum2,
+         t.tc - COALESCE(p.cnt, 0) AS n_tr
+  FROM folds f
+  CROSS JOIN tot t
+  LEFT JOIN part p ON p.fold = f.fold AND p.y = t.y AND p.dim = t.dim
+),
+model AS (
+  SELECT fold, y, dim,
+         sum1 / n_tr AS mu,
+         sum2 / n_tr - (sum1 / n_tr) * (sum1 / n_tr) + 1e-9 AS var
+  FROM stats
+),
+cls_fold AS (SELECT fold, y, COUNT(*) AS cn FROM base GROUP BY fold, y),
+cls_tot AS (SELECT y, SUM(cn) AS ct FROM cls_fold GROUP BY y),
+n_fold AS (SELECT fold, COUNT(*) AS nf FROM base GROUP BY fold),
+n_tot AS (SELECT COUNT(*) AS nt FROM base),
+priors AS (
+  SELECT f.fold, c.y,
+         ln(CAST(c.ct - COALESCE(cf.cn, 0) AS DOUBLE) / CAST(nt - nf AS DOUBLE)) AS log_prior
+  FROM folds f
+  CROSS JOIN cls_tot c
+  LEFT JOIN cls_fold cf ON cf.fold = f.fold AND cf.y = c.y
+  JOIN n_fold ON n_fold.fold = f.fold
+  CROSS JOIN n_tot
+),
+scored AS (
+  SELECT l.id, l.y, l.fold, m.y AS cls,
+         CAST(SUM(CAST(-0.5 * ({_LN_2PI} + ln(m.var))
+                       - (l.x - m.mu) * (l.x - m.mu) / (2.0 * m.var)
+                  AS DECIMAL(38,15))) AS DOUBLE) AS ll
+  FROM long l
+  JOIN model m ON m.fold = l.fold AND m.dim = l.dim
+  GROUP BY l.id, l.y, l.fold, m.y
+),
+with_prior AS (
+  SELECT s.id, s.y, s.fold, s.cls, s.ll + p.log_prior AS score
+  FROM scored s JOIN priors p ON p.fold = s.fold AND p.y = s.cls
+),
+pred AS (
+  SELECT id, y, fold, cls AS pred FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY score DESC, cls) AS rk
+    FROM with_prior
+  ) WHERE rk = 1
+)
+SELECT fold, COUNT(*) AS n_test,
+       CAST(SUM(CASE WHEN pred = y THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS accuracy
+FROM pred
+GROUP BY fold
+ORDER BY fold
+"""
+
+
+@register("c6_gaussian_nb_cv", oracle=_C6_SQL,
+          doc="GaussianNB 5-fold CV accuracy as one-pass DataFrame aggs "
+              "(ref nb_classification.py:1-38); total-minus-fold train stats.",
+          tags=("metrics", "ml", "flagship", "bench"))
+def c6_gaussian_nb_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return gaussian_nb_cv_accuracy(e, "vec_id", "label", "embedding", n_folds=5, salt="nb")

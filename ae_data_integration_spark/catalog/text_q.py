@@ -1,1 +1,133 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Text-analysis queries over the documents table.
+
+Training-data-pipeline operators (language ID, quality scoring,
+token counting) — all JVM-side regex/array HOFs; the DuckDB oracles
+replicate the identical token pipeline, so values are bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ae_data_integration_spark.catalog import register
+from ae_data_integration_spark.functions.text import (
+    LANG_MARKERS,
+    bpe_ish_token_count,
+    lang_marker_table,
+    mean_word_len,
+    punct_ratio,
+    quality_score,
+    token_count,
+    tokens,
+)
+from ae_data_integration_spark.tables import table
+
+# DuckDB token pipeline identical to functions.text.tokens()
+_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')"
+_PUNCT_CLASS = r"[!-/:-@\[-`{-~]"
+
+
+# --- T1: token statistics ----------------------------------------------------
+
+_T1_SQL = f"""
+SELECT doc_id,
+       len({_TOKS}) AS n_tokens,
+       list_reduce(list_transform({_TOKS}, w -> CAST(length(w) AS DOUBLE)), (a,b) -> a+b)
+         / CAST(greatest(len({_TOKS}), 1) AS DOUBLE) AS mean_word_len,
+       CAST(length(text) - length(regexp_replace(text, '{_PUNCT_CLASS}', '', 'g')) AS DOUBLE)
+         / greatest(length(text), 1) AS punct_ratio,
+       list_reduce(list_transform(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != ''),
+                                  w -> CAST(ceil(length(w) / 4.0) AS DOUBLE)), (a,b) -> a+b)
+         + CAST(length(text) - length(regexp_replace(text, '{_PUNCT_CLASS}', '', 'g')) AS DOUBLE)
+         AS bpe_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("t1_token_stats", oracle=_T1_SQL,
+          doc="Tokenization, mean word length, punctuation ratio, BPE-ish count.",
+          tags=("text",))
+def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        mean_word_len("text").alias("mean_word_len"),
+        punct_ratio("text").alias("punct_ratio"),
+        bpe_ish_token_count("text").alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+# --- T2: composite quality score ---------------------------------------------
+
+_T2_SQL = f"""
+SELECT doc_id,
+  (least(CAST(len({_TOKS}) AS DOUBLE) / 64.0, 1.0)
+   + CASE WHEN (list_reduce(list_transform({_TOKS}, w -> CAST(length(w) AS DOUBLE)), (a,b) -> a+b)
+                / CAST(greatest(len({_TOKS}), 1) AS DOUBLE)) >= 2.0
+           AND (list_reduce(list_transform({_TOKS}, w -> CAST(length(w) AS DOUBLE)), (a,b) -> a+b)
+                / CAST(greatest(len({_TOKS}), 1) AS DOUBLE)) <= 12.0
+          THEN 1.0 ELSE 0.0 END
+   + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '{_PUNCT_CLASS}', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1)) * 4.0, 1.0))
+  ) / 3.0 AS quality
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("t2_quality_score", oracle=_T2_SQL,
+          doc="Heuristic doc-quality score (length/word-shape/punct density).",
+          tags=("text",))
+def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality")).orderBy("doc_id")
+
+
+# --- T3: language ID by marker-word vote -------------------------------------
+
+def _markers_values_sql() -> str:
+    rows = ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in LANG_MARKERS.items() for w in ws
+    )
+    return f"(VALUES {rows}) AS m(lang_pred, marker)"
+
+
+_T3_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+hits AS (
+  SELECT t.doc_id, m.lang_pred, COUNT(*) AS n_hits
+  FROM tok t JOIN {_markers_values_sql()} ON t.tok = m.marker
+  GROUP BY t.doc_id, m.lang_pred
+)
+SELECT doc_id, lang_pred, n_hits FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, lang_pred) AS rk
+  FROM hits
+) WHERE rk = 1
+ORDER BY doc_id
+"""
+
+
+@register("t3_lang_id", oracle=_T3_SQL,
+          doc="Language ID: broadcast marker-dim join + majority vote "
+              "(same pattern as ref Data_prep.py:86-89 label dict).",
+          tags=("text",))
+def t3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    hits = (
+        tok.join(F.broadcast(lang_marker_table(spark)), tok.tok == F.col("marker"))
+        .groupBy("doc_id", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), "lang_pred")
+    return (
+        hits.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "lang_pred", "n_hits")
+        .orderBy("doc_id")
+    )

@@ -54,20 +54,52 @@ def shingles(text: Column | str, k: int = 5) -> Column:
     )
 
 
-def minhash_signature(shingle_arr: Column, num_perm: int = 16) -> Column:
-    """MinHash signature: per permutation s, min over shingles of
-    md5(s || ':' || shingle). Hex-string min is a valid uniform
-    min-hash and is engine-portable (DuckDB reproduces it exactly).
+# Linear-permutation constants for MinHash: h_s = (A[s]*h + B[s]) mod P.
+# P is the largest prime below 2^48; A[s] < 2^15 keeps A*h < 2^63 (no
+# 64-bit overflow in either engine, which would error under ANSI mode).
+# Fixed constants => reproducible signatures everywhere.
+MINHASH_P = 281474976710597  # largest prime < 2^48
+MINHASH_A = [24593, 12289, 6151, 3079, 1543, 769, 389, 196_61, 98_39, 49_19,
+             24_59, 12_27, 613, 307, 153_1, 767_3]
+MINHASH_B = [(s + 1) * 1099511628211 % MINHASH_P for s in range(16)]
+
+
+def minhash_base_hashes(shingle_arr: Column) -> Column:
+    """48-bit base hash per shingle (one md5 each — the expensive pass).
+
+    Callers should land this in its own projection so the permutation
+    layer reads a materialized column instead of recomputing md5
+    per permutation (CollapseProject keeps non-cheap expressions
+    single-evaluated, but an explicit column boundary is clearer).
     """
     return F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda s: F.array_min(
-            F.transform(
-                shingle_arr,
-                lambda sh: F.md5(F.concat(s.cast("string"), F.lit(":"), sh)),
-            )
-        ),
+        shingle_arr,
+        lambda sh: F.conv(F.substring(F.md5(sh), 1, 12), 16, 10).cast("long"),
     )
+
+
+def minhash_from_base(base: Column | str, num_perm: int = 16) -> Column:
+    """MinHash signature as array<long>: per permutation s, min over
+    base hashes of (A[s]*h + B[s]) mod P. Cheap integer arithmetic,
+    bit-portable — DuckDB computes the identical integers."""
+    base = F.col(base) if isinstance(base, str) else base
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    base,
+                    lambda h: (F.lit(MINHASH_A[s]) * h + F.lit(MINHASH_B[s]))
+                    % F.lit(MINHASH_P),
+                )
+            )
+            for s in range(num_perm)
+        ]
+    )
+
+
+def minhash_signature(shingle_arr: Column, num_perm: int = 16) -> Column:
+    """One-shot MinHash signature (compose base + permutations)."""
+    return minhash_from_base(minhash_base_hashes(shingle_arr), num_perm)
 
 
 def lsh_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:
@@ -80,7 +112,13 @@ def lsh_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:
         lambda b: F.struct(
             b.alias("band"),
             F.md5(
-                F.array_join(F.slice(signature, b * rows_per_band + 1, rows_per_band), "|")
+                F.array_join(
+                    F.transform(
+                        F.slice(signature, b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    "|",
+                )
             ).alias("bucket"),
         ),
     )

@@ -36,9 +36,16 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+# ASCII punctuation as an explicit character class — Java regex and
+# RE2 (DuckDB) agree on it byte-for-byte, unlike \p{P} whose Unicode
+# table version can drift between engines.
+ASCII_PUNCT = r"[!-/:-@\[-`{-~]"
+
+
 def bpe_ish_token_count(text: Column | str) -> Column:
     """Cheap BPE-like token estimate: word-chunks + digits + punct,
-    long words counted as ceil(len/4) subword units."""
+    long words counted as ceil(len/4) subword units. Returns double
+    (engines disagree on double→int cast rounding; callers keep it)."""
     t = F.col(text) if isinstance(text, str) else text
     words = F.filter(F.split(F.lower(t), r"[^\p{L}\p{N}]+"), lambda x: x != "")
     sub = F.aggregate(
@@ -46,14 +53,14 @@ def bpe_ish_token_count(text: Column | str) -> Column:
         F.lit(0.0),
         lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("double"),
     )
-    punct = F.length(t) - F.length(F.regexp_replace(t, r"[\p{P}]", ""))
-    return (sub + punct.cast("double")).cast("long")
+    punct = F.length(t) - F.length(F.regexp_replace(t, ASCII_PUNCT, ""))
+    return sub + punct.cast("double")
 
 
 def punct_ratio(text: Column | str) -> Column:
     t = F.col(text) if isinstance(text, str) else text
     n = F.greatest(F.length(t), F.lit(1))
-    return (F.length(t) - F.length(F.regexp_replace(t, r"[\p{P}]", ""))) / n
+    return (F.length(t) - F.length(F.regexp_replace(t, ASCII_PUNCT, ""))) / n
 
 
 def mean_word_len(text: Column | str) -> Column:

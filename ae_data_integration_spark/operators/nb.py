@@ -1,0 +1,132 @@
+"""Gaussian Naive Bayes with k-fold CV, purely as DataFrame aggs.
+
+The reference's flagship evaluation classifier
+(Evaluation_Auxiliary/nb_classification.py:1-38: sklearn
+cross_validate(GaussianNB(), cv=5)). MLlib's NaiveBayes is
+multinomial-only, so the engine implements the Gaussian variant
+natively (SURVEY §2.8 C6) — it is *trivially relational*: per
+(class, dim) mean/variance aggregates + a log-likelihood scoring
+projection + an argmax window.
+
+Scale design: the data is exploded to long form ONCE; per-fold
+training statistics are derived as (total − fold) on decimal partial
+sums, so 5-fold CV costs one pass over the data instead of five.
+All sums are decimal (partition-order independent); only log/ln in
+the scoring layer is sub-ulp engine-variant, which can flip an
+argmax only on near-exact score ties.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ae_data_integration_spark.functions.arrays import to_double
+from ae_data_integration_spark.functions.hashing import md5_bucket
+
+_LN_2PI = float(math.log(2 * math.pi))
+
+
+def gaussian_nb_cv_accuracy(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    n_folds: int = 5,
+    salt: str = "nb",
+    var_smoothing: float = 1e-9,
+) -> DataFrame:
+    """Per-fold CV accuracy of Gaussian NB. Returns (fold, n_test, accuracy)."""
+    base = df.select(
+        F.col(key_col).alias("id"),
+        F.col(label_col).alias("y"),
+        md5_bucket(key_col, n_folds, salt).alias("fold"),
+        to_double(vec_col).alias("vec"),
+    )
+    long = base.select(
+        "id", "y", "fold", F.posexplode("vec").alias("dim", "x")
+    )
+
+    # One-pass partial sums per (fold, class, dim), decimal-exact.
+    part = long.groupBy("fold", "y", "dim").agg(
+        F.sum(F.col("x").cast("decimal(38,12)")).alias("s1"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).alias("s2"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    tot = part.groupBy("y", "dim").agg(
+        F.sum("s1").alias("t1"), F.sum("s2").alias("t2"), F.sum("cnt").alias("tc")
+    )
+    folds = df.sparkSession.range(n_folds).select(F.col("id").cast("int").alias("fold"))
+
+    # Train stats for test-fold f = totals − fold-f partials.
+    stats = (
+        folds.crossJoin(tot)
+        .join(part, ["fold", "y", "dim"], "left")
+        .select(
+            "fold", "y", "dim",
+            (F.col("t1") - F.coalesce(F.col("s1"), F.lit(0))).cast("double").alias("sum1"),
+            (F.col("t2") - F.coalesce(F.col("s2"), F.lit(0))).cast("double").alias("sum2"),
+            (F.col("tc") - F.coalesce(F.col("cnt"), F.lit(0))).alias("n_tr"),
+        )
+        .withColumn("mu", F.col("sum1") / F.col("n_tr"))
+        .withColumn(
+            "var",
+            F.col("sum2") / F.col("n_tr") - F.col("mu") * F.col("mu") + F.lit(var_smoothing),
+        )
+    )
+
+    # Class priors per test fold, same total-minus-fold trick.
+    cls_fold = base.groupBy("fold", "y").agg(F.count(F.lit(1)).alias("cn"))
+    cls_tot = cls_fold.groupBy("y").agg(F.sum("cn").alias("ct"))
+    n_tot = base.agg(F.count(F.lit(1)).alias("nt"))
+    n_fold = base.groupBy("fold").agg(F.count(F.lit(1)).alias("nf"))
+    priors = (
+        folds.crossJoin(cls_tot)
+        .join(cls_fold, ["fold", "y"], "left")
+        .join(F.broadcast(n_fold), "fold")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "fold", "y",
+            F.log(
+                (F.col("ct") - F.coalesce(F.col("cn"), F.lit(0))).cast("double")
+                / (F.col("nt") - F.col("nf")).cast("double")
+            ).alias("log_prior"),
+        )
+    )
+
+    # Score every test row against every class of its fold's model.
+    cand = stats.select("fold", F.col("y").alias("cls"), "dim", "mu", "var")
+    ll_dim = (
+        F.lit(-0.5) * (F.lit(_LN_2PI) + F.log(F.col("var")))
+        - (F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu"))
+        / (F.lit(2.0) * F.col("var"))
+    )
+    scored = (
+        long.join(F.broadcast(cand), ["fold", "dim"])
+        .groupBy("id", "y", "fold", "cls")
+        .agg(F.sum(ll_dim.cast("decimal(38,15)")).cast("double").alias("ll"))
+        .join(
+            F.broadcast(priors.select("fold", F.col("y").alias("cls"), "log_prior")),
+            ["fold", "cls"],
+        )
+        .withColumn("score", F.col("ll") + F.col("log_prior"))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), "cls")
+    pred = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("id", "y", "fold", F.col("cls").alias("pred"))
+    )
+    return (
+        pred.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            (
+                F.sum(F.when(F.col("pred") == F.col("y"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("accuracy"),
+        )
+        .orderBy("fold")
+    )

@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline; random-
+hyperplane LSH bucketing as the scale path (candidates only meet
+inside a bucket, so the quadratic term shrinks by the bucket count).
+
+Everything is JVM-side array HOF math with sequential left folds, so
+the DuckDB oracle reproduces scores bit-for-bit. Hyperplanes are
+pseudo-random but *portable*: component (j,d) is derived from
+md5('hp' || j ':' d) — any engine regenerates the same planes
+(same discipline as the split seeds, SURVEY §4.2a).
+
+Scale notes: brute-force is O(Q·N) — fine for Q small (a probe set)
+even at large N because it is a broadcast of Q against a scan of N
+with no shuffle; full N×N similarity must go through LSH (or IVF)
+bucketing, never a crossJoin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ae_data_integration_spark.functions.arrays import cosine, to_double
+from ae_data_integration_spark.functions.hashing import md5_unit
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    `queries` is broadcast (small probe set); the corpus is scanned
+    once, no shuffle until the per-query top-k window.
+    """
+    q = queries.select(
+        F.col(key_col).alias("q_id"), to_double(vec_col).alias("q_vec")
+    )
+    c = emb.select(F.col(key_col).alias("n_id"), to_double(vec_col).alias("n_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn("cos", cosine("q_vec", "n_vec"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "n_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "cos", "rk")
+    )
+
+
+def hyperplane_signature(vec_col, bits: int = 8, salt: str = "hp"):
+    """LSH bucket id in [0, 2^bits): sign pattern of `bits` pseudo-
+    random hyperplane projections.
+
+    Plane component (j, d) = md5_unit('hp' || j ':' d) - 0.5 — fully
+    determined by (salt, j, d), so any engine regenerates it. The
+    projection is a sequential left fold over dimensions: bit-exact.
+    """
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    def proj(j):
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, d: x
+                * (md5_unit(F.concat(j.cast("string"), F.lit(":"), d.cast("string")), salt)
+                   - F.lit(0.5)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    # shiftleft takes only literal shift amounts — look masks up in a
+    # literal power-of-two array instead (index is the lambda var).
+    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda j: F.when(proj(j) > 0, F.element_at(pow2, (j + 1).cast("int")))
+            .otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def lsh_near_dup_pairs(
+    emb: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: same LSH bucket AND cosine ≥ t.
+
+    The bucket self-join replaces the N² crossJoin with Σ_b |b|² work.
+    """
+    sig = emb.select(
+        F.col(key_col).alias("id"),
+        to_double(vec_col).alias("vec"),
+        hyperplane_signature(to_double(vec_col), bits).alias("bucket"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine("a.vec", "b.vec").alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

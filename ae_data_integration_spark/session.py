@@ -37,6 +37,9 @@ def get_spark(app_name: str = "ae_data_integration_spark",
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # Stable session timezone so timestamp formatting is portable.
         .config("spark.sql.session.timeZone", "UTC")
+        # The events table stores TIMESTAMP(NANOS) parquet, which Spark
+        # has no native type for — read as long and convert (tables.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Headline benchmark: runs the catalog's bench-tagged queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Timing covers plan construction + execution + collect (the driver-
+visible latency of each query)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ae_data_integration_spark.catalog import load_all
+from ae_data_integration_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry = load_all()
+    bench_queries = {n: q for n, q in sorted(registry.items()) if "bench" in q.tags}
+
+    spark = get_spark("bench")
+    # Warmup pass at the smallest SF: JIT + whole-stage-codegen
+    # compilation dominates first execution of each plan shape; the
+    # measured numbers below are steady-state engine throughput.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for q in bench_queries.values():
+            q.fn(spark, warm_dir).collect()
+        spark.catalog.clearCache()
+
+    timings: dict[str, float] = {}
+    for name, q in bench_queries.items():
+        t0 = time.time()
+        q.fn(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()  # drop per-query persists
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
