@@ -55,10 +55,13 @@ def load_all() -> dict[str, Query]:
             arrays_q,
             dedup_q,
             events_q,
+            linalg_q,
             metrics_q,
+            multimodal_q,
             nb_q,
             prep_q,
             relational_q,
+            report_q,
             similarity_q,
             text_q,
         )

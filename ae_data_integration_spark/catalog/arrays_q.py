@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ae_data_integration_spark.catalog import register
+from ae_data_integration_spark.functions.portable import Q30, Q40, fpavg, fpsum
 from ae_data_integration_spark.functions.arrays import (
     cosine,
     dot,
@@ -134,10 +135,10 @@ def a2_recon_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A3: orthogonality loss v1 — global mean of per-row dot -----------------
 
 _A3_SQL = f"""
-SELECT CAST(SUM(CAST(
+SELECT (SUM(CAST(round((
          {_dot("list_transform(embedding[1:32], x -> CAST(x AS DOUBLE))",
                "list_transform(embedding[33:64], x -> CAST(x AS DOUBLE))")}
-       AS DECIMAL(30,12))) AS DOUBLE)
+       ) * 1073741824) AS BIGINT)) / 1073741824.0)
        / CAST(COUNT(*) AS DOUBLE) AS ortho_v1v2
 FROM embeddings
 """
@@ -145,18 +146,13 @@ FROM embeddings
 
 @register("a3_ortho_mean", oracle=_A3_SQL,
           doc="mean(z12 ⊙ z1) orthogonality (ref JISAE-O1_selection.py:281-293); "
-              "decimal-exact global mean.",
+              "fixed-point-exact global mean.",
           tags=("arrays", "loss"))
 def a3_ortho_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     arr = to_double("embedding")
     row_dot = dot(slice_features(arr, 1, 32), slice_features(arr, 33, 32))
-    return e.agg(
-        (
-            F.sum(row_dot.cast("decimal(30,12)")).cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("ortho_v1v2")
-    )
+    return e.agg(fpavg(row_dot, Q30).alias("ortho_v1v2"))
 
 
 # --- J4: mean-of-shared fusion + L2 of fused vector -------------------------
@@ -192,7 +188,7 @@ def j4_mean_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _A5_SQL = """
 SELECT dim,
-       CAST(SUM(CAST(v1 * v2 AS DECIMAL(30,12))) AS DOUBLE) AS col_dot
+       (SUM(CAST(round((v1 * v2) * 1099511627776) AS BIGINT)) / 1099511627776.0) AS col_dot
 FROM (
   SELECT generate_subscripts(embedding[1:32], 1) AS dim,
          unnest(list_transform(embedding[1:32], x -> CAST(x AS DOUBLE))) AS v1,
@@ -217,6 +213,6 @@ def a5_ortho_coldot(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.posexplode(pairs).alias("i", "p"))
         .select((F.col("i") + 1).alias("dim"), (F.col("p.v1") * F.col("p.v2")).alias("prod"))
         .groupBy("dim")
-        .agg(F.sum(F.col("prod").cast("decimal(30,12)")).cast("double").alias("col_dot"))
+        .agg(fpsum("prod", Q40).alias("col_dot"))
         .orderBy("dim")
     )

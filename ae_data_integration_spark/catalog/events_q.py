@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ae_data_integration_spark.catalog import register
+from ae_data_integration_spark.functions.portable import Q20, fpsum
 from ae_data_integration_spark.tables import table
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -23,7 +24,7 @@ _E1_SQL = """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+       (SUM(CAST(round(value * 1048576) AS BIGINT)) / 1048576.0) AS total_value,
        COUNT(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY hour_epoch, event_type
@@ -43,7 +44,7 @@ def e1_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
+            fpsum("value", Q20).alias("total_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .orderBy("hour_epoch", "event_type")

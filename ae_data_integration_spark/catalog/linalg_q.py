@@ -1,0 +1,177 @@
+"""Linear-algebra / model-layer queries (SURVEY §2.6, §2.7 A1, §2.8 C8).
+
+l1_affine proves the relational decomposition of a Linear layer
+(SURVEY L1: explode + weight join + sum-groupBy == xW+b) with
+md5-derived weights both engines regenerate. a1_frobenius is the
+reference's training objective as a global aggregate. The c8_*
+queries run the real batched-inference bridge (numpy mapInPandas)
+for every architecture — not SQL-expressible, so they are rows-only
+checks here and golden-tested against a local numpy forward in
+tests/test_inference.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ae_data_integration_spark.catalog import register
+from ae_data_integration_spark.functions.arrays import l2_normalize, slice_features, to_double
+from ae_data_integration_spark.functions.hashing import md5_unit
+from ae_data_integration_spark.functions.portable import Q40, fpsum
+from ae_data_integration_spark.models.specs import ARCHITECTURES
+from ae_data_integration_spark.operators.inference import embed_and_recon
+from ae_data_integration_spark.tables import table
+
+_MD5U = "(CAST(('0x' || substr(md5({key}), 1, 12)) AS BIGINT) / 281474976710656.0)"
+
+# Fixed-point quantum for the matmul partial sums. Double→decimal
+# casts are NOT portable at high scales (Spark casts via shortest
+# repr, DuckDB via the binary expansion — they disagree in the tail),
+# so order-independent exact summation uses integers instead:
+# round(p * 2^30) is computed on an EXACT power-of-two-scaled double,
+# both engines round halves away from zero, and bigint sums commute.
+_Q = 1 << 30
+
+# --- L1: affine map, relationally -------------------------------------------
+
+_L1_SQL = f"""
+WITH w AS (
+  SELECT i.i, j.j,
+         {_MD5U.format(key="'w:' || i.i || ':' || j.j")} - 0.5 AS w
+  FROM (SELECT unnest(range(0, 64)) AS i) i, (SELECT unnest(range(0, 8)) AS j) j
+),
+x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         unnest(list_transform(embedding, e -> CAST(e AS DOUBLE))) AS x
+  FROM embeddings
+),
+s AS (
+  SELECT x.vec_id, w.j,
+         SUM(CAST(round(x.x * w.w * {_Q}) AS BIGINT)) / {_Q}.0 AS acc
+  FROM x JOIN w ON x.i = w.i
+  GROUP BY x.vec_id, w.j
+)
+SELECT vec_id, j AS out_dim,
+       acc + ({_MD5U.format(key="'b:' || j")} - 0.5) AS y
+FROM s
+ORDER BY vec_id, out_dim
+"""
+
+
+@register("l1_affine_relational", oracle=_L1_SQL,
+          doc="nn.Linear as explode + weight join + decimal sum-groupBy "
+              "(SURVEY L1 relational fallback; weights md5-derived).",
+          tags=("linalg",))
+def l1_affine_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    d_in, d_out = 64, 8
+    w = spark.range(d_in * d_out).select(
+        (F.col("id") / d_out).cast("long").alias("i"),
+        (F.col("id") % d_out).alias("j"),
+    ).select(
+        "i", "j",
+        (
+            md5_unit(
+                F.concat(F.lit("w:"), F.col("i").cast("string"), F.lit(":"),
+                         F.col("j").cast("string"))
+            )
+            - F.lit(0.5)
+        ).alias("w"),
+    )
+    x = e.select("vec_id", F.posexplode(to_double("embedding")).alias("i", "x"))
+    quantized = F.round(F.col("x") * F.col("w") * F.lit(_Q)).cast("long")
+    s = (
+        x.join(F.broadcast(w), "i")
+        .groupBy("vec_id", "j")
+        .agg((F.sum(quantized) / F.lit(float(_Q))).alias("acc"))
+    )
+    bias = (
+        md5_unit(F.concat(F.lit("b:"), F.col("j").cast("string"))) - F.lit(0.5)
+    )
+    return (
+        s.select("vec_id", F.col("j").alias("out_dim"), (F.col("acc") + bias).alias("y"))
+        .orderBy("vec_id", "out_dim")
+    )
+
+
+# --- A1: Frobenius reconstruction objective ---------------------------------
+# ‖norm(v2_of_next) − norm(v1)‖_F over the consecutive-vector pairing —
+# the training-loss shape of CNC_AE_model_selection.py:209-229 as one
+# global decimal-exact aggregate.
+
+_A1_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding[1:32], x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+normed AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / greatest(sqrt(list_reduce(list_transform(v, y -> y*y), (a,b) -> a+b)), 1e-12)) AS nv
+  FROM e
+),
+diffs AS (
+  SELECT a.vec_id,
+         unnest(list_transform(list_zip(a.nv, b.nv), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+  FROM normed a JOIN normed b ON b.vec_id = a.vec_id + 1
+)
+SELECT sqrt(SUM(CAST(round(d2 * 1099511627776) AS BIGINT)) / 1099511627776.0) AS frobenius_loss
+FROM diffs
+"""
+
+
+@register("a1_frobenius_recon", oracle=_A1_SQL,
+          doc="Frobenius recon objective over L2-normalized views "
+              "(ref CNC_AE_model_selection.py:209-229).",
+          tags=("linalg", "loss"))
+def a1_frobenius_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    normed = e.select(
+        "vec_id", l2_normalize(slice_features(to_double("embedding"), 1, 32)).alias("nv")
+    )
+    a = normed
+    b = normed.select((F.col("vec_id") - 1).alias("vec_id"), F.col("nv").alias("nv_b"))
+    diffs = (
+        a.join(b, "vec_id")
+        .select(
+            F.explode(
+                F.zip_with("nv", "nv_b", lambda x, y: (x - y) * (x - y))
+            ).alias("d2")
+        )
+    )
+    return diffs.agg(
+        F.sqrt(fpsum("d2", Q40)).alias("frobenius_loss")
+    )
+
+
+# --- C8: batched inference for all 8 architectures (rows-only) --------------
+
+
+def _make_c8(arch: str):
+    def c8(spark: SparkSession, sf_dir: str) -> DataFrame:
+        e = table(spark, sf_dir, "embeddings")
+        views = e.select(
+            F.col("vec_id").alias("sample_id"),
+            slice_features(to_double("embedding"), 1, 32).alias("features_v1"),
+            slice_features(to_double("embedding"), 33, 32).alias("features_v2"),
+        )
+        out = embed_and_recon(views, arch)
+        return out.select(
+            "sample_id",
+            F.size("embedding").alias("embedding_dim"),
+            "recon_loss",
+        ).orderBy("sample_id")
+
+    c8.__name__ = f"c8_infer_{arch.lower().replace('-', '_')}"
+    return c8
+
+
+for _arch in ARCHITECTURES:
+    register(
+        f"c8_infer_{_arch.lower().replace('-', '_')}",
+        oracle=None,
+        doc=f"Batched {_arch} AE inference via numpy mapInPandas "
+            "(ref embedding_from_retrained_models.py:7-92); golden-tested "
+            "against local numpy in tests/test_inference.py.",
+        tags=("linalg", "inference"),
+    )(_make_c8(_arch))

@@ -54,19 +54,19 @@ tot AS (SELECT CAST(SUM(n_ij) AS DOUBLE) AS N FROM ct),
 a AS (SELECT label, SUM(n_ij) AS a_i FROM ct GROUP BY label),
 b AS (SELECT pred, SUM(n_ij) AS b_j FROM ct GROUP BY pred),
 stats AS (
-  SELECT CAST(SUM(CAST((n_ij / N) * ln(N * n_ij / (a_i * b_j)) AS DECIMAL(38,18))) AS DOUBLE) AS mi,
+  SELECT (SUM(CAST(round(((n_ij / N) * ln(N * n_ij / (a_i * b_j))) * 1099511627776) AS BIGINT)) / 1099511627776.0) AS mi,
          CAST(SUM(CAST(n_ij * (n_ij - 1) / 2 AS DECIMAL(38,6))) AS DOUBLE) AS sum_nij_pairs
   FROM ct JOIN a USING (label) JOIN b USING (pred) CROSS JOIN tot
   GROUP BY N
 ),
 hu AS (
-  SELECT CAST(SUM(CAST(-(a_i / N) * ln(a_i / N) AS DECIMAL(38,18))) AS DOUBLE) AS h_u,
+  SELECT (SUM(CAST(round((-(a_i / N) * ln(a_i / N)) * 1099511627776) AS BIGINT)) / 1099511627776.0) AS h_u,
          CAST(SUM(CAST(a_i * (a_i - 1) / 2 AS DECIMAL(38,6))) AS DOUBLE) AS sum_ai_pairs,
          any_value(N) AS N
   FROM a CROSS JOIN tot
 ),
 hv AS (
-  SELECT CAST(SUM(CAST(-(b_j / N) * ln(b_j / N) AS DECIMAL(38,18))) AS DOUBLE) AS h_v,
+  SELECT (SUM(CAST(round((-(b_j / N) * ln(b_j / N)) * 1099511627776) AS BIGINT)) / 1099511627776.0) AS h_v,
          CAST(SUM(CAST(b_j * (b_j - 1) / 2 AS DECIMAL(38,6))) AS DOUBLE) AS sum_bj_pairs
   FROM b CROSS JOIN tot
 )

@@ -31,8 +31,8 @@ long AS (
 ),
 part AS (
   SELECT fold, y, dim,
-         SUM(CAST(x AS DECIMAL(38,12))) AS s1,
-         SUM(CAST(x * x AS DECIMAL(38,12))) AS s2,
+         SUM(CAST(round(x * 1099511627776) AS BIGINT)) AS s1,
+         SUM(CAST(round(x * x * 1099511627776) AS BIGINT)) AS s2,
          COUNT(*) AS cnt
   FROM long GROUP BY fold, y, dim
 ),
@@ -40,8 +40,8 @@ tot AS (SELECT y, dim, SUM(s1) AS t1, SUM(s2) AS t2, SUM(cnt) AS tc FROM part GR
 folds AS (SELECT CAST(unnest(range(0, 5)) AS INT) AS fold),
 stats AS (
   SELECT f.fold, t.y, t.dim,
-         CAST(t.t1 - COALESCE(p.s1, 0) AS DOUBLE) AS sum1,
-         CAST(t.t2 - COALESCE(p.s2, 0) AS DOUBLE) AS sum2,
+         CAST(t.t1 - COALESCE(p.s1, 0) AS DOUBLE) / 1099511627776.0 AS sum1,
+         CAST(t.t2 - COALESCE(p.s2, 0) AS DOUBLE) / 1099511627776.0 AS sum2,
          t.tc - COALESCE(p.cnt, 0) AS n_tr
   FROM folds f
   CROSS JOIN tot t
@@ -68,9 +68,9 @@ priors AS (
 ),
 scored AS (
   SELECT l.id, l.y, l.fold, m.y AS cls,
-         CAST(SUM(CAST(-0.5 * ({_LN_2PI} + ln(m.var))
-                       - (l.x - m.mu) * (l.x - m.mu) / (2.0 * m.var)
-                  AS DECIMAL(38,15))) AS DOUBLE) AS ll
+         (SUM(CAST(round(greatest(-0.5 * ({_LN_2PI} + ln(m.var))
+                       - (l.x - m.mu) * (l.x - m.mu) / (2.0 * m.var), -1e4)
+                  * 1073741824) AS BIGINT)) / 1073741824.0) AS ll
   FROM long l
   JOIN model m ON m.fold = l.fold AND m.dim = l.dim
   GROUP BY l.id, l.y, l.fold, m.y

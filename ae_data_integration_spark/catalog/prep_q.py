@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ae_data_integration_spark.catalog import register
+from ae_data_integration_spark.functions.portable import Q40, fpavg
 from ae_data_integration_spark.operators.scale import (
     label_encode,
     mean_center,
@@ -134,7 +135,7 @@ def n1_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N3_SQL = """
 SELECT o_orderkey,
        o_totalprice - (
-         SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         SELECT (SUM(CAST(round(o_totalprice * 1048576) AS BIGINT)) / 1048576.0)
                 / CAST(COUNT(*) AS DOUBLE)
          FROM orders
        ) AS o_totalprice_centered
@@ -217,7 +218,7 @@ encoded AS (
 )
 SELECT sc.c_mktsegment, e.label_id, sc.is_train,
        COUNT(*) AS n,
-       CAST(SUM(CAST(sc.acctbal_scaled AS DECIMAL(30,12))) AS DOUBLE)
+       (SUM(CAST(round(sc.acctbal_scaled * 1099511627776) AS BIGINT)) / 1099511627776.0)
          / CAST(COUNT(*) AS DOUBLE) AS avg_scaled
 FROM scaled sc JOIN encoded e USING (c_mktsegment)
 GROUP BY sc.c_mktsegment, e.label_id, sc.is_train
@@ -241,10 +242,7 @@ def prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         encoded.groupBy("c_mktsegment", "label_id", "is_train")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            (
-                F.sum(F.col("acctbal_scaled").cast("decimal(30,12)")).cast("double")
-                / F.count(F.lit(1)).cast("double")
-            ).alias("avg_scaled"),
+            fpavg("acctbal_scaled", Q40).alias("avg_scaled"),
         )
         .orderBy("label_id", "is_train")
     )

@@ -6,8 +6,9 @@ sort/limit top-k, and window functions — the ◆ operator surface.
 
 Scale notes: dimension joins (region/nation/customer segments) are
 explicitly `F.broadcast`; fact-fact joins shuffle on their keys and
-rely on AQE for skew. All money aggregates go through decimal casts
-so results are independent of partition order.
+rely on AQE for skew. All money aggregates are fixed-point (2^20
+quantum) bigint sums — partition-order independent AND engine-
+portable (functions/portable.py).
 """
 
 from __future__ import annotations
@@ -16,12 +17,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ae_data_integration_spark.catalog import register
+from ae_data_integration_spark.functions.portable import Q20, fp, fpavg, fpsum, fpsum_sql
 from ae_data_integration_spark.tables import table
-
-
-def _dec(c, scale: int = 6):
-    col = F.col(c) if isinstance(c, str) else c
-    return col.cast(f"decimal(30,{scale})")
 
 
 # --- q1: pricing summary (TPC-H Q1 shape; SURVEY A1/A10 agg layer) ----------
@@ -30,13 +27,13 @@ _Q1_SQL = """
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
-  CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+  (SUM(CAST(round((l_quantity) * 1048576) AS BIGINT)) / 1048576.0) AS sum_qty,
+  (SUM(CAST(round((l_extendedprice) * 1048576) AS BIGINT)) / 1048576.0) AS sum_base_price,
+  (SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 1048576) AS BIGINT)) / 1048576.0) AS sum_disc_price,
+  (SUM(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1048576) AS BIGINT)) / 1048576.0) AS sum_charge,
+  (SUM(CAST(round((l_quantity) * 1048576) AS BIGINT)) / 1048576.0) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+  (SUM(CAST(round((l_extendedprice) * 1048576) AS BIGINT)) / 1048576.0) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+  (SUM(CAST(round((l_discount) * 1048576) AS BIGINT)) / 1048576.0) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -46,7 +43,7 @@ ORDER BY l_returnflag, l_linestatus
 
 
 @register("q1_pricing_summary", oracle=_Q1_SQL,
-          doc="TPC-H Q1-shaped scan+filter+groupBy agg; decimal-exact sums.",
+          doc="TPC-H Q1-shaped scan+filter+groupBy agg; fixed-point-exact sums.",
           tags=("relational", "agg", "bench"))
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
@@ -57,13 +54,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(_dec(disc_price)).cast("double").alias("sum_disc_price"),
-            F.sum(_dec(charge)).cast("double").alias("sum_charge"),
-            (F.sum(_dec("l_quantity")).cast("double") / cnt.cast("double")).alias("avg_qty"),
-            (F.sum(_dec("l_extendedprice")).cast("double") / cnt.cast("double")).alias("avg_price"),
-            (F.sum(_dec("l_discount")).cast("double") / cnt.cast("double")).alias("avg_disc"),
+            fpsum("l_quantity", Q20).alias("sum_qty"),
+            fpsum("l_extendedprice", Q20).alias("sum_base_price"),
+            fpsum(disc_price, Q20).alias("sum_disc_price"),
+            fpsum(charge, Q20).alias("sum_charge"),
+            fpavg("l_quantity", Q20).alias("avg_qty"),
+            fpavg("l_extendedprice", Q20).alias("avg_price"),
+            fpavg("l_discount", Q20).alias("avg_disc"),
             cnt.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -75,7 +72,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q3_SQL = """
 SELECT
   l.l_orderkey,
-  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+  (SUM(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 1048576) AS BIGINT)) / 1048576.0) AS revenue,
   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
   o.o_orderpriority
 FROM customer c
@@ -91,7 +88,7 @@ LIMIT 10
 
 
 @register("q3_shipping_priority", oracle=_Q3_SQL,
-          doc="3-way join, selective filters, decimal agg, deterministic top-10.",
+          doc="3-way join, selective filters, exact agg, deterministic top-10.",
           tags=("relational", "join", "bench"))
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -106,7 +103,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_dec(revenue)).cast("double").alias("revenue"))
+        .agg(fpsum(revenue, Q20).alias("revenue"))
         .select(
             "l_orderkey", "revenue",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
@@ -122,7 +119,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q5_SQL = """
 SELECT
   n.n_name,
-  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+  (SUM(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 1048576) AS BIGINT)) / 1048576.0) AS revenue,
   COUNT(*) AS n_items
 FROM region r
 JOIN nation n ON n.n_regionkey = r.r_regionkey
@@ -152,7 +149,7 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(dims, l.l_suppkey == dims.s_suppkey)
         .groupBy("n_name")
         .agg(
-            F.sum(_dec(revenue)).cast("double").alias("revenue"),
+            fpsum(revenue, Q20).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy(F.desc("revenue"), "n_name")
@@ -167,7 +164,7 @@ _P2_SQL = """
 SELECT
   string_split(o_orderpriority, '-')[1] AS priority_code,
   COUNT(*) AS n,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+  (SUM(CAST(round((o_totalprice) * 1048576) AS BIGINT)) / 1048576.0) AS total_price
 FROM orders
 GROUP BY priority_code
 ORDER BY priority_code
@@ -184,7 +181,7 @@ def p2_derive_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("priority_code")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+            fpsum("o_totalprice", Q20).alias("total_price"),
         )
         .orderBy("priority_code")
     )
@@ -310,9 +307,9 @@ def p9_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _W1_SQL = """
 SELECT o_custkey, o_orderkey,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+  (SUM(CAST(round(o_totalprice * 1048576) AS BIGINT))
        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1048576.0) AS running_spend
 FROM orders
 WHERE o_custkey < 100
 ORDER BY o_custkey, o_orderkey
@@ -330,7 +327,7 @@ def w1_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        o.withColumn("running_spend", F.sum(_dec("o_totalprice")).over(w).cast("double"))
+        o.withColumn("running_spend", F.sum(fp("o_totalprice", Q20)).over(w) / F.lit(float(Q20)))
         .select("o_custkey", "o_orderkey", "running_spend")
         .orderBy("o_custkey", "o_orderkey")
     )

@@ -22,6 +22,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ae_data_integration_spark.functions.portable import Q40
+
 
 def contingency(df: DataFrame, label_col: str, pred_col: str) -> DataFrame:
     return df.groupBy(
@@ -54,19 +56,17 @@ def cluster_metrics(df: DataFrame, label_col: str, pred_col: str) -> DataFrame:
         F.log(N * F.col("n_ij") / (F.col("a_i") * F.col("b_j")))
     )
     stats = joined.groupBy("N").agg(
-        F.sum(mi_term.cast("decimal(38,18)")).cast("double").alias("mi"),
+        (F.sum(F.round(mi_term * F.lit(Q40)).cast("long")) / F.lit(float(Q40))).alias("mi"),
         F.sum(_pairs(F.col("n_ij")).cast("decimal(38,6)")).cast("double").alias("sum_nij_pairs"),
     )
     h_u = a.crossJoin(F.broadcast(tot)).agg(
-        F.sum(
-            (-(F.col("a_i") / N) * F.log(F.col("a_i") / N)).cast("decimal(38,18)")
-        ).cast("double").alias("h_u"),
+        (F.sum(F.round(-(F.col("a_i") / N) * F.log(F.col("a_i") / N) * F.lit(Q40)).cast("long"))
+         / F.lit(float(Q40))).alias("h_u"),
         F.sum(_pairs(F.col("a_i")).cast("decimal(38,6)")).cast("double").alias("sum_ai_pairs"),
     )
     h_v = b.crossJoin(F.broadcast(tot)).agg(
-        F.sum(
-            (-(F.col("b_j") / N) * F.log(F.col("b_j") / N)).cast("decimal(38,18)")
-        ).cast("double").alias("h_v"),
+        (F.sum(F.round(-(F.col("b_j") / N) * F.log(F.col("b_j") / N) * F.lit(Q40)).cast("long"))
+         / F.lit(float(Q40))).alias("h_v"),
         F.sum(_pairs(F.col("b_j")).cast("decimal(38,6)")).cast("double").alias("sum_bj_pairs"),
     )
     total_pairs = N * (N - F.lit(1.0)) / F.lit(2.0)

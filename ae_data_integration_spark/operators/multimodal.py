@@ -1,0 +1,69 @@
+"""Multimodal (binary) column plumbing.
+
+Image/audio/video payloads are opaque `binary` columns with a typed
+metadata struct; decode / feature-extraction runs as Arrow-batched
+mapInPandas. The decode kernels themselves are STUBBED (no media
+libraries in this container — a real deployment drops cv2/PIL/ffmpeg
+into `_decode_image`); everything Spark-side — schema, batching,
+partitioning, UDF signatures — is real and tested.
+
+The md5/byte-stat extractor is deterministic, which lets the catalog
+query (m1) cross-check the whole binary pipeline against a DuckDB
+oracle even though it runs through Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Simulate a multimodal row: utf-8 bytes of the text as the
+    payload + typed metadata struct (the schema real media would use).
+    """
+    return df.withColumn("content", F.col(text_col).cast("binary")).withColumn(
+        "meta",
+        F.struct(
+            F.length(F.col(text_col)).cast("long").alias("n_bytes"),
+            F.lit("text/plain").alias("mime"),
+        ),
+    )
+
+
+def _decode_image(payload: bytes) -> None:
+    """Stub: decode an image payload to HxWxC. Requires a media
+    library absent from this container."""
+    raise NotImplementedError("image decode requires cv2/PIL; stubbed by design")
+
+
+def extract_binary_features(
+    df: DataFrame, key_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """mapInPandas feature extractor over binary payloads.
+
+    Emits (key, content_md5, n_bytes, head_bytes) — deterministic
+    byte-level features standing in for decode+embed; the Arrow
+    round-trip of binary columns is the part under test.
+    """
+    schema = f"{key_col} long, content_md5 string, n_bytes long, head_sum long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = pdf[content_col]
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].to_numpy(),
+                    "content_md5": [hashlib.md5(b).hexdigest() for b in payloads],
+                    "n_bytes": [len(b) for b in payloads],
+                    "head_sum": [sum(b[:8]) for b in payloads],
+                }
+            )
+
+    return df.mapInPandas(run, schema)

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ae_data_integration_spark.functions.arrays import to_double
 from ae_data_integration_spark.functions.hashing import md5_bucket
+from ae_data_integration_spark.functions.portable import Q30, Q40
 
 _LN_2PI = float(math.log(2 * math.pi))
 
@@ -51,8 +52,8 @@ def gaussian_nb_cv_accuracy(
 
     # One-pass partial sums per (fold, class, dim), decimal-exact.
     part = long.groupBy("fold", "y", "dim").agg(
-        F.sum(F.col("x").cast("decimal(38,12)")).alias("s1"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).alias("s2"),
+        F.sum(F.round(F.col("x") * F.lit(Q40)).cast("long")).alias("s1"),
+        F.sum(F.round(F.col("x") * F.col("x") * F.lit(Q40)).cast("long")).alias("s2"),
         F.count(F.lit(1)).alias("cnt"),
     )
     tot = part.groupBy("y", "dim").agg(
@@ -66,8 +67,8 @@ def gaussian_nb_cv_accuracy(
         .join(part, ["fold", "y", "dim"], "left")
         .select(
             "fold", "y", "dim",
-            (F.col("t1") - F.coalesce(F.col("s1"), F.lit(0))).cast("double").alias("sum1"),
-            (F.col("t2") - F.coalesce(F.col("s2"), F.lit(0))).cast("double").alias("sum2"),
+            ((F.col("t1") - F.coalesce(F.col("s1"), F.lit(0))) / F.lit(float(Q40))).alias("sum1"),
+            ((F.col("t2") - F.coalesce(F.col("s2"), F.lit(0))) / F.lit(float(Q40))).alias("sum2"),
             (F.col("tc") - F.coalesce(F.col("cnt"), F.lit(0))).alias("n_tr"),
         )
         .withColumn("mu", F.col("sum1") / F.col("n_tr"))
@@ -98,15 +99,18 @@ def gaussian_nb_cv_accuracy(
 
     # Score every test row against every class of its fold's model.
     cand = stats.select("fold", F.col("y").alias("cls"), "dim", "mu", "var")
-    ll_dim = (
+    # Clamp at -1e4 so a degenerate (class, dim) variance cannot
+    # overflow the fixed-point accumulator (argmax is unaffected).
+    ll_dim = F.greatest(
         F.lit(-0.5) * (F.lit(_LN_2PI) + F.log(F.col("var")))
         - (F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu"))
-        / (F.lit(2.0) * F.col("var"))
+        / (F.lit(2.0) * F.col("var")),
+        F.lit(-1e4),
     )
     scored = (
         long.join(F.broadcast(cand), ["fold", "dim"])
         .groupBy("id", "y", "fold", "cls")
-        .agg(F.sum(ll_dim.cast("decimal(38,15)")).cast("double").alias("ll"))
+        .agg((F.sum(F.round(ll_dim * F.lit(Q30)).cast("long")) / F.lit(float(Q30))).alias("ll"))
         .join(
             F.broadcast(priors.select("fold", F.col("y").alias("cls"), "log_prior")),
             ["fold", "cls"],

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ae_data_integration_spark.functions.arrays import to_double
+from ae_data_integration_spark.functions.portable import Q20, fpavg
 
 
 def minmax_scale_scalar(
@@ -78,15 +79,10 @@ def mean_center(df: DataFrame, value_col: str, out_col: str | None = None) -> Da
     """N3: x - mean(x), with the mean computed as an exact decimal
     sum / count so the result is independent of partition order."""
     out_col = out_col or f"{value_col}_centered"
-    # sum as decimal (exact, partition-order independent), then divide as
-    # double/double — decimal/int division has engine-specific result
-    # scales, so the division is done after the cast for portability.
-    stats = df.agg(
-        (
-            F.sum(F.col(value_col).cast("decimal(30,6)")).cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("_mu")
-    )
+    # Fixed-point sum (functions/portable.py): exact, partition-order
+    # independent, and bit-portable to the DuckDB oracle — double→
+    # decimal casts are NOT (engines disagree in the tail).
+    stats = df.agg(fpavg(value_col, Q20).alias("_mu"))
     return (
         df.crossJoin(F.broadcast(stats))
         .withColumn(out_col, F.col(value_col) - F.col("_mu"))

@@ -1,0 +1,41 @@
+"""Streaming twins equal their batch queries after full drain."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ae_data_integration_spark.functions.portable import Q20, fpsum
+
+from ae_data_integration_spark.streaming.events import (
+    hourly_rollup,
+    read_events_stream,
+    run_available_now,
+)
+from ae_data_integration_spark.tables import table
+from tests.conftest import SF_SMOKE
+
+
+def test_streaming_hourly_rollup_matches_batch(spark):
+    stream = read_events_stream(spark, SF_SMOKE)
+    assert stream.isStreaming
+    run_available_now(hourly_rollup(stream), "t_hourly", mode="complete")
+    got = (
+        spark.table("t_hourly")
+        .orderBy("hour_epoch", "event_type")
+        .toPandas()
+    )
+
+    ev = table(spark, SF_SMOKE, "events")
+    want = (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            fpsum("value", Q20).alias("total_value"),
+        )
+        .orderBy("hour_epoch", "event_type")
+        .toPandas()
+    )
+    assert got.equals(want)
