@@ -55,6 +55,7 @@ def load_all() -> dict[str, Query]:
             arrays_q,
             dedup_q,
             events_q,
+            kmeans_q,
             linalg_q,
             metrics_q,
             multimodal_q,
@@ -64,6 +65,7 @@ def load_all() -> dict[str, Query]:
             report_q,
             similarity_q,
             text_q,
+            train_q,
         )
 
         _LOADED = True

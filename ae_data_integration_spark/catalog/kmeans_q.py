@@ -1,0 +1,158 @@
+"""Clustering queries (SURVEY §2.8 C1/C5).
+
+c1_kmeans_relational is the deterministic Lloyd's unroll — the whole
+algorithm (seeded init, assignment, centroid update ×2, final
+assignment) is replayed by the DuckDB oracle CTE-for-CTE, making this
+one of the strongest cross-engine checks in the catalog. The MLlib
+twin is rows-only (k-means|| init is engine-internal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ae_data_integration_spark.catalog import register
+from ae_data_integration_spark.functions.portable import Q30, fpsum
+from ae_data_integration_spark.operators.kmeans import ch_dbi, kmeans_mllib, kmeans_relational
+from ae_data_integration_spark.tables import table
+
+_K, _ITER = 5, 2
+_V = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+def _sqd(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}),"
+        f" q -> (q[1]-q[2]) * (q[1]-q[2])), (x, y) -> x + y)"
+    )
+
+
+def _assign_cte(pts: str, cents: str, out: str) -> str:
+    return f"""{out}_d AS (
+  SELECT p.id, p.vec, c.cluster, {_sqd('p.vec', 'c.centroid')} AS sqd
+  FROM {pts} p CROSS JOIN {cents} c
+),
+{out} AS (
+  SELECT id, vec, cluster, sqd FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY sqd, cluster) AS rk FROM {out}_d
+  ) WHERE rk = 1
+)"""
+
+
+def _update_cte(assigned: str, out: str) -> str:
+    return f"""{out}_l AS (
+  SELECT cluster, generate_subscripts(vec, 1) AS dim, unnest(vec) AS x FROM {assigned}
+),
+{out}_m AS (
+  SELECT cluster, dim,
+         (SUM(CAST(round(x * {Q30}) AS BIGINT)) / {Q30}.0) / CAST(COUNT(*) AS DOUBLE) AS m
+  FROM {out}_l GROUP BY cluster, dim
+),
+{out} AS (
+  SELECT cluster, list(m ORDER BY dim) AS centroid FROM {out}_m GROUP BY cluster
+)"""
+
+
+_C1_SQL = f"""
+WITH pts AS (SELECT vec_id AS id, {_V} AS vec FROM embeddings),
+init AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5('km' || CAST(id AS VARCHAR)), id) - 1 AS cluster,
+         vec AS centroid
+  FROM (SELECT * FROM pts ORDER BY md5('km' || CAST(id AS VARCHAR)), id LIMIT {_K})
+),
+{_assign_cte('pts', 'init', 'a1')},
+{_update_cte('a1', 'c1')},
+{_assign_cte('pts', 'c1', 'a2')},
+{_update_cte('a2', 'c2')},
+{_assign_cte('pts', 'c2', 'a3')}
+SELECT cluster, COUNT(*) AS n,
+       (SUM(CAST(round(sqd * {Q30}) AS BIGINT)) / {Q30}.0) AS total_sqdist
+FROM a3 GROUP BY cluster ORDER BY cluster
+"""
+
+
+@register("c1_kmeans_relational", oracle=_C1_SQL,
+          doc="Lloyd's KMeans unrolled as DataFrame ops (md5 init, 2 iters); "
+              "oracle replays the whole algorithm (ref mocss.py:409).",
+          tags=("clustering", "bench"))
+def c1_kmeans_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    assigned = kmeans_relational(e, k=_K, n_iter=_ITER, salt="km")
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            fpsum("sqdist", Q30).alias("total_sqdist"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@register("c1_kmeans_mllib", oracle=None,
+          doc="MLlib KMeans (k-means||) — production path; rows-only "
+              "(internal init is not SQL-replayable).",
+          tags=("clustering",))
+def c1_kmeans_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        kmeans_mllib(e, k=_K, seed=42)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cluster")
+    )
+
+
+# --- C5: Calinski-Harabasz + Davies-Bouldin over the label clustering -------
+
+_C5_SQL = f"""
+WITH pts AS (SELECT label AS c, {_V} AS vec FROM embeddings),
+long AS (SELECT c, generate_subscripts(vec, 1) AS dim, unnest(vec) AS x FROM pts),
+cent_m AS (
+  SELECT c, dim, (SUM(CAST(round(x * {Q30}) AS BIGINT)) / {Q30}.0) / CAST(COUNT(*) AS DOUBLE) AS m
+  FROM long GROUP BY c, dim
+),
+cent AS (SELECT c, list(m ORDER BY dim) AS centroid FROM cent_m GROUP BY c),
+gcm AS (
+  SELECT dim, (SUM(CAST(round(x * {Q30}) AS BIGINT)) / {Q30}.0) / CAST(COUNT(*) AS DOUBLE) AS g
+  FROM long GROUP BY dim
+),
+gc AS (SELECT list(g ORDER BY dim) AS gcent FROM gcm),
+sizes AS (SELECT c, COUNT(*) AS n_c FROM pts GROUP BY c),
+tot AS (SELECT COUNT(*) AS n FROM pts),
+wdf AS (
+  SELECT c,
+         (SUM(CAST(round(d2 * {Q30}) AS BIGINT)) / {Q30}.0) AS w_c,
+         (SUM(CAST(round(sqrt(d2) * {Q30}) AS BIGINT)) / {Q30}.0) / CAST(COUNT(*) AS DOUBLE) AS s_c
+  FROM (SELECT p.c, {_sqd('p.vec', 'ct.centroid')} AS d2 FROM pts p JOIN cent ct ON p.c = ct.c)
+  GROUP BY c
+),
+bdf AS (
+  SELECT (SUM(CAST(round((n_c * bd2) * {Q30}) AS BIGINT)) / {Q30}.0) AS B
+  FROM (SELECT ct.c, {_sqd('ct.centroid', 'g.gcent')} AS bd2 FROM cent ct CROSS JOIN gc g)
+  JOIN sizes USING (c)
+),
+wtot AS (SELECT (SUM(CAST(round(w_c * {Q30}) AS BIGINT)) / {Q30}.0) AS W, COUNT(*) AS k FROM wdf),
+pair AS (
+  SELECT (SUM(CAST(round(rmax * {Q30}) AS BIGINT)) / {Q30}.0) / CAST(COUNT(*) AS DOUBLE) AS dbi
+  FROM (
+    SELECT a.ci, MAX(r) AS rmax FROM (
+      SELECT i.c AS ci, (si.s_c + sj.s_c) / sqrt({_sqd('i.centroid', 'j.centroid')}) AS r
+      FROM cent i JOIN cent j ON i.c != j.c
+      JOIN wdf si ON si.c = i.c
+      JOIN wdf sj ON sj.c = j.c
+    ) a GROUP BY a.ci
+  )
+)
+SELECT ((B / (k - 1.0)) / (W / CAST(n - k AS DOUBLE))) AS ch, dbi
+FROM bdf CROSS JOIN wtot CROSS JOIN tot CROSS JOIN pair
+"""
+
+
+@register("c5_ch_dbi", oracle=_C5_SQL,
+          doc="Calinski-Harabasz + Davies-Bouldin via centroid aggregates "
+              "(ref test_metrics.py:15-17).",
+          tags=("clustering", "metrics"))
+def c5_ch_dbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return ch_dbi(e, "label", "embedding")

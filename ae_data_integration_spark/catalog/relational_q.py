@@ -351,3 +351,58 @@ def set1_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
     return c.union(s).distinct().agg(F.count(F.lit(1)).alias("n_keys"))
+
+
+# --- W2: moving average window (frame-bounded; SURVEY §2.10) ----------------
+
+_W2_SQL = """
+SELECT o_custkey, o_orderkey,
+  (SUM(CAST(round(o_totalprice * 1048576) AS BIGINT))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 1048576.0)
+  / CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_avg
+FROM orders
+WHERE o_custkey < 100
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register("w2_moving_avg", oracle=_W2_SQL,
+          doc="3-row moving average; fixed-point window sum over a bounded frame.",
+          tags=("window",))
+def w2_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    mavg = (F.sum(fp("o_totalprice", Q20)).over(w) / F.lit(float(Q20))) / F.count(
+        F.lit(1)
+    ).over(w).cast("double")
+    return (
+        o.withColumn("moving_avg", mavg)
+        .select("o_custkey", "o_orderkey", "moving_avg")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# --- SET2: INTERSECT (set-op surface completion) ----------------------------
+
+_SET2_SQL = """
+SELECT COUNT(*) AS n_common FROM (
+  SELECT c_nationkey AS k FROM customer
+  INTERSECT
+  SELECT s_nationkey AS k FROM supplier
+)
+"""
+
+
+@register("set2_intersect", oracle=_SET2_SQL,
+          doc="INTERSECT set op (nation keys present on both sides).",
+          tags=("setop",))
+def set2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersect(s).agg(F.count(F.lit(1)).alias("n_common"))

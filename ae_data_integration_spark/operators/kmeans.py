@@ -1,0 +1,198 @@
+"""Clustering (SURVEY §2.8 C1/C5).
+
+Two KMeans paths:
+
+* `kmeans_mllib` — MLlib's KMeans (k-means|| init) on a Vector
+  column: the production path (distributed, mature).
+* `kmeans_relational` — Lloyd's algorithm unrolled for a fixed
+  iteration count as pure DataFrame ops: md5-seeded deterministic
+  init, broadcast centroids, argmin assignment via a rank window,
+  fixed-point centroid means. Slower per iteration but 100%
+  deterministic, engine-portable, and DuckDB-verifiable — the
+  correctness anchor for the MLlib path (ref mocss.py:409
+  KMeans(k).fit_predict).
+
+Cluster-quality indices (C5): Calinski-Harabasz and Davies-Bouldin
+as centroid-join aggregates (ref test_metrics.py:15-17).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ae_data_integration_spark.functions.arrays import to_double
+from ae_data_integration_spark.functions.hashing import md5_rank
+from ae_data_integration_spark.functions.portable import Q30, fpsum
+
+_SQDIST = "sqdist"
+
+
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast k centroids, argmin by
+    (distance, cluster) — deterministic under ties."""
+    joined = points.crossJoin(F.broadcast(centroids)).withColumn(
+        _SQDIST, _sq_dist("vec", "centroid")
+    )
+    w = Window.partitionBy("id").orderBy(_SQDIST, "cluster")
+    return (
+        joined.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("id", "vec", "cluster", _SQDIST)
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """New centroids: fixed-point per-dimension means, reassembled in
+    dim order (one narrow shuffle of k×d rows)."""
+    long = assigned.select("cluster", F.posexplode("vec").alias("dim", "x"))
+    means = long.groupBy("cluster", "dim").agg(
+        (fpsum("x", Q30) / F.count(F.lit(1)).cast("double")).alias("m")
+    )
+    return (
+        means.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("_dm"))
+        .select(
+            "cluster", F.transform("_dm", lambda s: s["m"]).alias("centroid")
+        )
+    )
+
+
+def kmeans_relational(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_iter: int = 2,
+    salt: str = "km",
+) -> DataFrame:
+    """Lloyd's for `n_iter` iterations; returns (id, cluster, sqdist).
+
+    Init = the k rows with smallest md5(salt‖key) — the portable
+    seeded random choice (SURVEY §4.2a).
+    """
+    points = df.select(F.col(key_col).alias("id"), to_double(vec_col).alias("vec"))
+    init = (
+        points.withColumn("_h", md5_rank(F.col("id"), salt))
+        .orderBy("_h", "id")
+        .limit(k)
+        .withColumn(
+            "cluster",
+            F.row_number().over(Window.orderBy("_h", "id")) - 1,
+        )
+        .select("cluster", F.col("vec").alias("centroid"))
+    )
+    centroids = init
+    assigned = None
+    for _ in range(n_iter):
+        assigned = _assign(points, centroids)
+        centroids = _update(assigned)
+    return _assign(points, centroids)
+
+
+def kmeans_mllib(
+    df: DataFrame, key_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = 5, seed: int = 42,
+) -> DataFrame:
+    """MLlib KMeans (k-means|| init) — the production-scale path."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        F.col(key_col).alias("id"),
+        array_to_vector(to_double(vec_col)).alias("features"),
+    )
+    model = KMeans(k=k, seed=seed, featuresCol="features").fit(feats)
+    return model.transform(feats).select(
+        "id", F.col("prediction").alias("cluster")
+    )
+
+
+def ch_dbi(
+    df: DataFrame, cluster_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Calinski-Harabasz + Davies-Bouldin for a given hard clustering.
+
+    All statistics from two explode+groupBy passes (cluster centroids,
+    global centroid) with fixed-point means — no pairwise point work;
+    only k² centroid pairs touch the driver-scale tail.
+    """
+    pts = df.select(F.col(cluster_col).alias("c"), to_double(vec_col).alias("vec"))
+    long = pts.select("c", F.posexplode("vec").alias("dim", "x"))
+
+    cent = long.groupBy("c", "dim").agg(
+        (fpsum("x", Q30) / F.count(F.lit(1)).cast("double")).alias("m")
+    )
+    cent_arr = (
+        cent.groupBy("c")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("_dm"))
+        .select("c", F.transform("_dm", lambda s: s["m"]).alias("centroid"))
+    )
+    glob = long.groupBy("dim").agg(
+        (fpsum("x", Q30) / F.count(F.lit(1)).cast("double")).alias("g")
+    )
+    glob_arr = glob.agg(
+        F.array_sort(F.collect_list(F.struct("dim", "g"))).alias("_dg")
+    ).select(F.transform("_dg", lambda s: s["g"]).alias("gcent"))
+
+    sizes = pts.groupBy("c").agg(F.count(F.lit(1)).alias("n_c"))
+    tot = pts.agg(F.count(F.lit(1)).alias("n"))
+
+    # W: within-cluster sum of squared distances; s_i: mean distance.
+    wdf = (
+        pts.join(F.broadcast(cent_arr), "c")
+        .select("c", _sq_dist("vec", "centroid").alias("d2"))
+        .groupBy("c")
+        .agg(
+            fpsum("d2", Q30).alias("w_c"),
+            (fpsum(F.sqrt(F.col("d2")), Q30) / F.count(F.lit(1)).cast("double")).alias("s_c"),
+        )
+    )
+    # B: between-cluster dispersion.
+    bdf = (
+        cent_arr.crossJoin(F.broadcast(glob_arr))
+        .select("c", _sq_dist("centroid", "gcent").alias("bd2"))
+        .join(F.broadcast(sizes), "c")
+        .agg(fpsum(F.col("n_c") * F.col("bd2"), Q30).alias("B"))
+    )
+    w_tot = wdf.agg(fpsum("w_c", Q30).alias("W"), F.count(F.lit(1)).alias("k"))
+
+    # DBI: max over j≠i of (s_i+s_j)/||μ_i-μ_j|| per i, then mean.
+    a = cent_arr.select(F.col("c").alias("ci"), F.col("centroid").alias("mi"))
+    b = cent_arr.select(F.col("c").alias("cj"), F.col("centroid").alias("mj"))
+    si = wdf.select(F.col("c").alias("ci"), F.col("s_c").alias("si"))
+    sj = wdf.select(F.col("c").alias("cj"), F.col("s_c").alias("sj"))
+    pair = (
+        a.crossJoin(b)
+        .filter(F.col("ci") != F.col("cj"))
+        .join(F.broadcast(si), "ci")
+        .join(F.broadcast(sj), "cj")
+        .select(
+            "ci",
+            ((F.col("si") + F.col("sj")) / F.sqrt(_sq_dist("mi", "mj"))).alias("r"),
+        )
+        .groupBy("ci")
+        .agg(F.max("r").alias("rmax"))
+        .agg((fpsum("rmax", Q30) / F.count(F.lit(1)).cast("double")).alias("dbi"))
+    )
+
+    return (
+        bdf.crossJoin(w_tot)
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(pair)
+        .select(
+            (
+                (F.col("B") / (F.col("k") - F.lit(1.0)))
+                / (F.col("W") / (F.col("n") - F.col("k")).cast("double"))
+            ).alias("ch"),
+            "dbi",
+        )
+    )

@@ -1,0 +1,258 @@
+"""Training + model-selection control plane (SURVEY §2.9 O1-O8,
+§2.7 A1/A3/A6/A7/A10).
+
+The reference's Objective_CV (CNC_AE_model_selection.py:319-381)
+trains a fresh model per CV fold and averages validation losses.
+Spark-idiomatic shape: ALL folds train **in parallel** — the dataset
+is replicated once per test fold (exactly the 5× the reference also
+pays, serially), grouped by fold, and `applyInPandas` runs one
+training loop per group, one Spark task per fold. The driver-side
+search loop (Optuna when installed, an md5-deterministic random
+sampler otherwise) only sees (fold, val_loss) rows.
+
+Kernels are numpy (torch absent by design — same swap point as
+operators/inference.py): full-batch/minibatch forward-backward for a
+two-layer AE with tanh, Adam with L2 (O5), deterministic md5-seeded
+init and shuffling (O6 discipline, SURVEY §4.2a).
+
+A10: per-epoch averages accumulate inside the loop; the reference's
+validation-divisor quirk (val loss divided by the *training* last-
+batch size, CNC_AE_model_selection.py:304) is reproduced behind
+``compat_val_divisor=True``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ae_data_integration_spark.functions.hashing import md5_bucket
+
+# O2 search space (ref CNC_AE_model_selection.py:331-344, fixture-scaled)
+SEARCH_SPACE = {
+    "lr": (1e-4, 1e-2, "log"),
+    "l2_lambda": (1e-8, 1e-5, "log"),
+    "batch_size": [32, 64, 128],
+    "epochs": [5, 10],
+    "hidden": [8, 16],
+}
+
+
+def _seed_from(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def sample_params(trial: int, salt: str = "search") -> dict:
+    """md5-deterministic random-search sampler (Optuna stand-in)."""
+    rng = np.random.default_rng(_seed_from(f"{salt}:{trial}"))
+    lo, hi, _ = SEARCH_SPACE["lr"]
+    lr = float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+    lo, hi, _ = SEARCH_SPACE["l2_lambda"]
+    l2 = float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+    return {
+        "lr": lr,
+        "l2_lambda": l2,
+        "batch_size": int(rng.choice(SEARCH_SPACE["batch_size"])),
+        "epochs": int(rng.choice(SEARCH_SPACE["epochs"])),
+        "hidden": int(rng.choice(SEARCH_SPACE["hidden"])),
+    }
+
+
+def _l2norm_rows(x: np.ndarray) -> np.ndarray:
+    n = np.sqrt((x * x).sum(axis=1, keepdims=True))
+    return x / np.maximum(n, 1e-12)
+
+
+def _init_ae(d_in: int, hidden: int, seed: int) -> dict:
+    rng = np.random.default_rng(seed)
+    s1 = np.sqrt(6.0 / (d_in + hidden))
+    return {
+        "W1": rng.uniform(-s1, s1, (d_in, hidden)),
+        "b1": np.zeros(hidden),
+        "W2": rng.uniform(-s1, s1, (hidden, d_in)),
+        "b2": np.zeros(d_in),
+    }
+
+
+def _forward(params: dict, x: np.ndarray):
+    h = np.tanh(x @ params["W1"] + params["b1"])
+    xhat = h @ params["W2"] + params["b2"]
+    return h, xhat
+
+
+def _loss_and_grads(params: dict, x: np.ndarray, l2_lambda: float):
+    """Frobenius recon loss ‖x̂−norm(x)‖_F (A1 shape) + L2 penalty."""
+    xn = _l2norm_rows(x)
+    h, xhat = _forward(params, xn)
+    diff = xhat - xn
+    fro = np.sqrt(max((diff * diff).sum(), 1e-24))
+    # d fro / d xhat = diff / fro
+    g_xhat = diff / fro
+    gW2 = h.T @ g_xhat + l2_lambda * params["W2"]
+    gb2 = g_xhat.sum(axis=0)
+    g_h = g_xhat @ params["W2"].T
+    g_pre = g_h * (1.0 - h * h)
+    gW1 = xn.T @ g_pre + l2_lambda * params["W1"]
+    gb1 = g_pre.sum(axis=0)
+    return fro, {"W1": gW1, "b1": gb1, "W2": gW2, "b2": gb2}
+
+
+def _adam_step(params, grads, m, v, t, lr, b1=0.9, b2=0.999, eps=1e-8):
+    for k in params:
+        m[k] = b1 * m[k] + (1 - b1) * grads[k]
+        v[k] = b2 * v[k] + (1 - b2) * grads[k] ** 2
+        mh = m[k] / (1 - b1**t)
+        vh = v[k] / (1 - b2**t)
+        params[k] = params[k] - lr * mh / (np.sqrt(vh) + eps)
+
+
+def train_ae_numpy(
+    x_train: np.ndarray,
+    x_val: np.ndarray | None,
+    hyper: dict,
+    seed: int,
+    compat_val_divisor: bool = False,
+) -> tuple[dict, list[float], float]:
+    """One training run; returns (params, per-epoch train losses,
+    final val loss). Deterministic for a given (data, hyper, seed)."""
+    params = _init_ae(x_train.shape[1], hyper["hidden"], seed)
+    m = {k: np.zeros_like(p) for k, p in params.items()}
+    v = {k: np.zeros_like(p) for k, p in params.items()}
+    rng = np.random.default_rng(seed + 1)
+    bs = int(hyper["batch_size"])
+    t = 0
+    epoch_losses: list[float] = []
+    last_batch_n = bs
+    for _epoch in range(int(hyper["epochs"])):
+        order = rng.permutation(len(x_train))  # R3 shuffled batching
+        total, nb = 0.0, 0
+        for i in range(0, len(order), bs):
+            xb = x_train[order[i : i + bs]]
+            last_batch_n = len(xb)
+            loss, grads = _loss_and_grads(params, xb, hyper["l2_lambda"])
+            t += 1
+            _adam_step(params, grads, m, v, t, hyper["lr"])
+            total += loss
+            nb += 1
+        epoch_losses.append(total / max(nb, 1))  # A10 averaging
+    val_loss = float("nan")
+    if x_val is not None and len(x_val):
+        vloss, _ = _loss_and_grads(params, x_val, 0.0)
+        if compat_val_divisor:
+            # A10 divisor quirk (ref CNC_AE_model_selection.py:304):
+            # the reference divides by the TRAIN loop's last batch size.
+            val_loss = float(vloss / last_batch_n)
+        else:
+            val_loss = float(vloss)
+    return params, epoch_losses, val_loss
+
+
+def objective_cv(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hyper: dict | None = None,
+    n_folds: int = 5,
+    salt: str = "cv21",
+    compat_val_divisor: bool = False,
+) -> DataFrame:
+    """O3: one trial's k-fold CV — every fold trains in parallel.
+
+    Rows are replicated once per test fold (flag marks val rows),
+    grouped by fold, and applyInPandas runs the numpy training loop
+    per group — one executor task per fold, zero driver loops.
+    Returns (fold, n_train, n_val, val_loss, last_train_loss).
+    """
+    hyper = hyper or sample_params(0)
+    base = df.select(
+        F.col(key_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
+        md5_bucket(key_col, n_folds, salt).alias("fold"),
+    )
+    replicated = base.select(
+        "id", "vec",
+        F.explode(F.sequence(F.lit(0), F.lit(n_folds - 1))).alias("test_fold"),
+        F.col("fold"),
+    ).withColumn("is_val", F.col("fold") == F.col("test_fold"))
+
+    schema = (
+        "fold int, n_train long, n_val long, val_loss double, last_train_loss double"
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = int(pdf["test_fold"].iloc[0])
+        tr = pdf[~pdf["is_val"]]
+        va = pdf[pdf["is_val"]]
+        # Deterministic row order regardless of partitioning (O6).
+        tr = tr.sort_values("id")
+        va = va.sort_values("id")
+        x_tr = np.stack(tr["vec"].to_numpy())
+        x_va = np.stack(va["vec"].to_numpy()) if len(va) else None
+        _, losses, val = train_ae_numpy(
+            x_tr, x_va, hyper, seed=_seed_from(f"{salt}:fold{k}"),
+            compat_val_divisor=compat_val_divisor,
+        )
+        return pd.DataFrame(
+            {
+                "fold": [k],
+                "n_train": [len(tr)],
+                "n_val": [len(va)],
+                "val_loss": [val],
+                "last_train_loss": [losses[-1] if losses else float("nan")],
+            }
+        )
+
+    return (
+        replicated.groupBy("test_fold")
+        .applyInPandas(run, schema)
+        .orderBy("fold")
+    )
+
+
+def random_search(
+    df: DataFrame,
+    n_trials: int = 3,
+    n_folds: int = 3,
+    **kw,
+) -> list[tuple[int, dict, float]]:
+    """O1 control plane without Optuna: deterministic random search;
+    each trial's folds run as one parallel Spark job. Uses Optuna's
+    TPE automatically when the package is installed."""
+    results: list[tuple[int, dict, float]] = []
+    try:
+        import optuna  # noqa: F401
+
+        have_optuna = True
+    except ImportError:
+        have_optuna = False
+
+    def run_trial(trial_idx: int, hyper: dict) -> float:
+        rows = objective_cv(df, hyper=hyper, n_folds=n_folds, **kw).collect()
+        return float(np.mean([r["val_loss"] for r in rows]))
+
+    if have_optuna:  # pragma: no cover - optuna absent in this container
+        import optuna
+
+        def objective(trial):
+            hyper = {
+                "lr": trial.suggest_float("lr", 1e-4, 1e-2, log=True),
+                "l2_lambda": trial.suggest_float("l2_lambda", 1e-8, 1e-5, log=True),
+                "batch_size": trial.suggest_categorical("batch_size", SEARCH_SPACE["batch_size"]),
+                "epochs": trial.suggest_categorical("epochs", SEARCH_SPACE["epochs"]),
+                "hidden": trial.suggest_categorical("hidden", SEARCH_SPACE["hidden"]),
+            }
+            return run_trial(trial.number, hyper)
+
+        study = optuna.create_study(direction="minimize")
+        study.optimize(objective, n_trials=n_trials)
+        return [(t.number, t.params, t.value) for t in study.trials]
+
+    for i in range(n_trials):
+        hyper = sample_params(i)
+        results.append((i, hyper, run_trial(i, hyper)))
+    return results

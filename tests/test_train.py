@@ -1,0 +1,86 @@
+"""Training control plane: determinism, loss decrease, divisor quirk,
+artifact round-trip."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ae_data_integration_spark.operators.artifacts import load_weights, save_weights
+from ae_data_integration_spark.operators.train import (
+    objective_cv,
+    random_search,
+    sample_params,
+    train_ae_numpy,
+)
+from ae_data_integration_spark.tables import table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def xdata():
+    rng = np.random.default_rng(7)
+    return rng.normal(size=(120, 32))
+
+
+def test_loss_decreases(xdata):
+    hyper = {"lr": 3e-3, "l2_lambda": 1e-7, "batch_size": 32, "epochs": 8, "hidden": 8}
+    _, losses, _ = train_ae_numpy(xdata, None, hyper, seed=1)
+    assert losses[-1] < losses[0] * 0.9
+
+
+def test_training_deterministic(xdata):
+    hyper = sample_params(1)
+    p1, l1, _ = train_ae_numpy(xdata, xdata[:10], hyper, seed=5)
+    p2, l2, _ = train_ae_numpy(xdata, xdata[:10], hyper, seed=5)
+    assert l1 == l2
+    for k in p1:
+        np.testing.assert_array_equal(p1[k], p2[k])
+
+
+def test_divisor_quirk(xdata):
+    hyper = {"lr": 1e-3, "l2_lambda": 0.0, "batch_size": 50, "epochs": 1, "hidden": 8}
+    _, _, v_plain = train_ae_numpy(xdata, xdata[:30], hyper, seed=2)
+    _, _, v_quirk = train_ae_numpy(
+        xdata, xdata[:30], hyper, seed=2, compat_val_divisor=True
+    )
+    # 120 rows / bs 50 -> last train batch has 20 rows; quirk divides
+    # the same raw loss by 20 (ref CNC_AE_model_selection.py:304).
+    assert v_quirk == pytest.approx(v_plain / 20.0)
+
+
+def test_objective_cv_parallel_folds(spark):
+    e = table(spark, SF_SMOKE, "embeddings")
+    hyper = {"lr": 3e-3, "l2_lambda": 1e-7, "batch_size": 64, "epochs": 2, "hidden": 8}
+    rows = objective_cv(e, hyper=hyper, n_folds=5).collect()
+    assert len(rows) == 5
+    assert sum(r["n_val"] for r in rows) == e.count()
+    for r in rows:
+        assert np.isfinite(r["val_loss"]) and r["val_loss"] > 0
+    # Determinism across runs (applyInPandas sorts rows internally).
+    rows2 = objective_cv(e, hyper=hyper, n_folds=5).collect()
+    assert [r["val_loss"] for r in rows] == [r["val_loss"] for r in rows2]
+
+
+def test_random_search_deterministic_params():
+    assert sample_params(3) == sample_params(3)
+    assert sample_params(3) != sample_params(4)
+
+
+def test_random_search_runs(spark):
+    e = table(spark, SF_SMOKE, "embeddings").limit(200)
+    res = random_search(e, n_trials=2, n_folds=2)
+    assert len(res) == 2
+    assert all(np.isfinite(v) for _, _, v in res)
+
+
+def test_artifact_roundtrip(spark, tmp_path):
+    from ae_data_integration_spark.models.specs import build_weights
+
+    w = build_weights("CNC", (32, 32))
+    path = str(tmp_path / "model.parquet")
+    save_weights(spark, w, path, meta={"arch": "CNC"})
+    back = load_weights(spark, path)
+    assert set(back) == set(w)
+    for k in w:
+        np.testing.assert_array_equal(back[k], w[k])
