@@ -211,7 +211,7 @@ def a5_ortho_coldot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         e.select(F.posexplode(pairs).alias("i", "p"))
-        .select((F.col("i") + 1).alias("dim"), (F.col("p.v1") * F.col("p.v2")).alias("prod"))
+        .select((F.col("i") + 1).cast("long").alias("dim"), (F.col("p.v1") * F.col("p.v2")).alias("prod"))
         .groupBy("dim")
         .agg(fpsum("prod", Q40).alias("col_dot"))
         .orderBy("dim")

@@ -24,9 +24,9 @@ from ae_data_integration_spark.tables import table
 # --- D1: exact duplicate stats ----------------------------------------------
 
 _D1_SQL = r"""
-SELECT SUM(n) AS n_docs,
+SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
        COUNT(*) AS n_distinct,
-       SUM(n) - COUNT(*) AS n_redundant
+       CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_redundant
 FROM (
   SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp, COUNT(*) AS n
   FROM documents GROUP BY fp

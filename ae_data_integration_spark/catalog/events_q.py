@@ -37,9 +37,13 @@ ORDER BY hour_epoch, event_type
           tags=("events", "bench"))
 def e1_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
+    # Hour bucket via pure integer arithmetic on epoch micros —
+    # date_trunc on a timestamp is session-timezone-sensitive and the
+    # driver's session TZ is not ours to control.
+    hour_epoch = F.expr("unix_micros(ts) div 3600000000") * F.lit(3600).cast("long")
     return (
         ev.groupBy(
-            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            hour_epoch.alias("hour_epoch"),
             "event_type",
         )
         .agg(
@@ -73,7 +77,7 @@ sess AS (
 per_sess AS (SELECT user_id, sess_id, COUNT(*) AS n FROM sess GROUP BY user_id, sess_id)
 SELECT user_id,
        COUNT(*) AS n_sessions,
-       SUM(n) AS n_events,
+       CAST(SUM(n) AS BIGINT) AS n_events,
        MAX(n) AS max_session_events
 FROM per_sess
 GROUP BY user_id

@@ -22,7 +22,7 @@ _LN_2PI = repr(float(math.log(2 * math.pi)))
 _C6_SQL = f"""
 WITH base AS (
   SELECT vec_id AS id, label AS y,
-         CAST(CAST(('0x' || substr(md5('nb' || CAST(vec_id AS VARCHAR)), 1, 12)) AS BIGINT) % 5 AS INT) AS fold,
+         CAST(('0x' || substr(md5('nb' || CAST(vec_id AS VARCHAR)), 1, 12)) AS BIGINT) % 5 AS fold,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
   FROM embeddings
 ),
@@ -37,7 +37,7 @@ part AS (
   FROM long GROUP BY fold, y, dim
 ),
 tot AS (SELECT y, dim, SUM(s1) AS t1, SUM(s2) AS t2, SUM(cnt) AS tc FROM part GROUP BY y, dim),
-folds AS (SELECT CAST(unnest(range(0, 5)) AS INT) AS fold),
+folds AS (SELECT unnest(range(0, 5)) AS fold),
 stats AS (
   SELECT f.fold, t.y, t.dim,
          CAST(t.t1 - COALESCE(p.s1, 0) AS DOUBLE) / 1099511627776.0 AS sum1,

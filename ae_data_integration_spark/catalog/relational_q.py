@@ -51,7 +51,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     charge = disc_price * (F.lit(1) + F.col("l_tax"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             fpsum("l_quantity", Q20).alias("sum_qty"),
@@ -93,10 +93,10 @@ LIMIT 10
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
     )
     l = table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
     )
     revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
@@ -266,7 +266,7 @@ ORDER BY c_mktsegment
 def p5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp")
+        F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp_ntz")
     )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")

@@ -53,7 +53,7 @@ def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        token_count("text").alias("n_tokens"),
+        token_count("text").cast("long").alias("n_tokens"),
         mean_word_len("text").alias("mean_word_len"),
         punct_ratio("text").alias("punct_ratio"),
         bpe_ish_token_count("text").alias("bpe_tokens"),

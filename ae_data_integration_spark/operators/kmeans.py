@@ -86,7 +86,7 @@ def kmeans_relational(
         .limit(k)
         .withColumn(
             "cluster",
-            F.row_number().over(Window.orderBy("_h", "id")) - 1,
+            (F.row_number().over(Window.orderBy("_h", "id")) - 1).cast("long"),
         )
         .select("cluster", F.col("vec").alias("centroid"))
     )

@@ -59,7 +59,7 @@ def gaussian_nb_cv_accuracy(
     tot = part.groupBy("y", "dim").agg(
         F.sum("s1").alias("t1"), F.sum("s2").alias("t2"), F.sum("cnt").alias("tc")
     )
-    folds = df.sparkSession.range(n_folds).select(F.col("id").cast("int").alias("fold"))
+    folds = df.sparkSession.range(n_folds).select(F.col("id").alias("fold"))
 
     # Train stats for test-fold f = totals − fold-f partials.
     stats = (

@@ -97,6 +97,6 @@ def label_encode(df: DataFrame, label_col: str, out_col: str = "label_id") -> Da
     the deterministic engine-portable equivalent)."""
     dim = (
         df.select(label_col).distinct()
-        .withColumn(out_col, F.row_number().over(Window.orderBy(label_col)) - 1)
+        .withColumn(out_col, (F.row_number().over(Window.orderBy(label_col)) - 1).cast("long"))
     )
     return df.join(F.broadcast(dim), on=label_col)

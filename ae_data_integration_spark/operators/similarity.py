@@ -50,7 +50,7 @@ def brute_force_topk(
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("q_id", "n_id", "cos", "rk")
+        .select("q_id", "n_id", "cos", F.col("rk").cast("long").alias("rk"))
     )
 
 

@@ -62,7 +62,7 @@ def kfold(df: DataFrame, key_col: str, n_splits: int = 5, salt: str = "21") -> D
     # fold assignment over training *samples* (the reference's scale —
     # thousands of rows); for billion-row fold assignment use
     # `kfold_hashed` below, which is fully parallel.
-    return df.withColumn("fold", (F.row_number().over(w) - 1) % n_splits)
+    return df.withColumn("fold", ((F.row_number().over(w) - 1) % n_splits).cast("long"))
 
 
 def kfold_hashed(df: DataFrame, key_col: str, n_splits: int = 5, salt: str = "21") -> DataFrame:

@@ -22,11 +22,15 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) parquet, which Spark cannot read
+        # natively. Set the legacy conf at runtime (the driver's own
+        # session won't have it at build time), read nanos as long,
+        # truncate to micros — exactly what DuckDB's micro-resolution
+        # TIMESTAMP does.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) parquet, surfaced as long nanos via
-        # spark.sql.legacy.parquet.nanosAsLong; truncate to micros —
-        # exactly what DuckDB's micro-resolution TIMESTAMP does.
         from pyspark.sql.types import LongType
 
         if isinstance(df.schema["ts"].dataType, LongType):

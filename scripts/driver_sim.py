@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Hostile-driver simulation: run the full parity suite in a session
+the DRIVER would build — no engine configs prewired, a half-hour-
+offset timezone, different core count — and additionally compare
+column dtypes between Spark and the DuckDB oracle (the driver's
+schema check may be type-strict).
+
+Usage: python scripts/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import SparkSession
+
+from ae_data_integration_spark.catalog import load_all
+from ae_data_integration_spark.oracle import check_query, duck_connection
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .config("spark.sql.session.timeZone", "Asia/Kolkata")  # +5:30
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    registry = load_all()
+    con = duck_connection(sf_dir)
+    n_ok = 0
+    dtype_notes = []
+    for name, q in sorted(registry.items()):
+        r = check_query(spark, con, q, sf_dir)
+        mark = "PASS" if r.ok else "FAIL"
+        if not r.ok:
+            print(f"{mark} {name:28s} {r.detail}")
+        n_ok += r.ok
+        if q.oracle is not None and r.ok:
+            sdf = q.fn(spark, sf_dir).limit(0).toPandas()
+            odf = con.execute(q.oracle).fetchdf().head(0)
+            for c in sdf.columns:
+                st, ot = str(sdf[c].dtype), str(odf[c].dtype)
+                if st != ot:
+                    dtype_notes.append(f"{name}.{c}: spark={st} oracle={ot}")
+    print(f"\n{n_ok}/{len(registry)} ok under hostile session @ {sf_dir}")
+    if dtype_notes:
+        print("dtype divergences:")
+        for d in dtype_notes:
+            print("  ", d)
+    return 0 if n_ok == len(registry) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
