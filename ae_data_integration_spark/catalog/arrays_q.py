@@ -216,3 +216,28 @@ def a5_ortho_coldot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(fpsum("prod", Q40).alias("col_dot"))
         .orderBy("dim")
     )
+
+
+# --- A4: orthogonality loss v2 — sum of squared per-row dots ----------------
+
+_A4_SQL = f"""
+SELECT (SUM(CAST(round((
+         {_dot("list_transform(embedding[1:32], x -> CAST(x AS DOUBLE))",
+               "list_transform(embedding[33:64], x -> CAST(x AS DOUBLE))")}
+         * {_dot("list_transform(embedding[1:32], x -> CAST(x AS DOUBLE))",
+                 "list_transform(embedding[33:64], x -> CAST(x AS DOUBLE))")}
+       ) * 1048576) AS BIGINT)) / 1048576.0) AS ortho_sq
+FROM embeddings
+"""
+
+
+@register("a4_ortho_rowdot_sq", oracle=_A4_SQL,
+          doc="Σ diag(z12 z1ᵀ)² per-sample squared dots (ref JISAE-O2_selection.py:281-305).",
+          tags=("arrays", "loss"))
+def a4_ortho_rowdot_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.functions.portable import Q20
+
+    e = table(spark, sf_dir, "embeddings")
+    arr = to_double("embedding")
+    row_dot = dot(slice_features(arr, 1, 32), slice_features(arr, 33, 32))
+    return e.agg(fpsum(row_dot * row_dot, Q20).alias("ortho_sq"))

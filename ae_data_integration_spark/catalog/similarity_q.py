@@ -99,3 +99,58 @@ def s2_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_near_dup_pairs(e, bits=8, threshold=-1.0)
         .orderBy("id_a", "id_b")
     )
+
+
+# --- S3: IVF ANN (coarse quantizer + probed cells) --------------------------
+
+from ae_data_integration_spark.catalog.kmeans_q import _assign_cte, _update_cte
+from ae_data_integration_spark.operators.similarity import ivf_topk
+
+
+def _ivf_sql(k_clusters: int = 8, nprobe: int = 2, topk: int = 3) -> str:
+    return f"""
+WITH pts AS (SELECT vec_id AS id, {_V} AS vec FROM embeddings),
+init AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5('ivf' || CAST(id AS VARCHAR)), id) - 1 AS cluster,
+         vec AS centroid
+  FROM (SELECT * FROM pts ORDER BY md5('ivf' || CAST(id AS VARCHAR)), id LIMIT {k_clusters})
+),
+{_assign_cte('pts', 'init', 'a1')},
+{_update_cte('a1', 'c1')},
+{_assign_cte('pts', 'c1', 'a2')},
+q AS (SELECT id AS q_id, vec AS q_vec FROM pts WHERE id % 100 = 0),
+qd AS (
+  SELECT q.q_id, q.q_vec, c.cluster,
+         list_reduce(list_transform(list_zip(q.q_vec, c.centroid),
+                                    p -> (p[1]-p[2]) * (p[1]-p[2])), (x,y) -> x+y) AS cdist
+  FROM q CROSS JOIN c1 c
+),
+probes AS (
+  SELECT q_id, q_vec, cluster FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cdist, cluster) AS rk FROM qd
+  ) WHERE rk <= {nprobe}
+),
+cand AS (
+  SELECT p.q_id, a.id AS n_id,
+         {_dotp('p.q_vec', 'a.vec')}
+           / greatest(sqrt({_sq('p.q_vec')}) * sqrt({_sq('a.vec')}), 1e-12) AS cos
+  FROM probes p JOIN a2 a ON p.cluster = a.cluster AND a.id != p.q_id
+)
+SELECT q_id, n_id, cos, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk FROM cand
+) WHERE rk <= {topk}
+ORDER BY q_id, rk
+"""
+
+
+@register("s3_ivf_topk", oracle=_ivf_sql(),
+          doc="IVF ANN: md5-seeded coarse KMeans quantizer, nprobe=2 probed "
+              "cells, exact cosine within cells — the large-Q scale path; "
+              "oracle replays quantizer+probe+rank end to end.",
+          tags=("similarity",))
+def s3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk(e, q, k_clusters=8, n_iter=1, nprobe=2, topk=3, salt="ivf").orderBy(
+        "q_id", "rk"
+    )

@@ -66,15 +66,15 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_relational(
+def kmeans_fit(
     df: DataFrame,
     key_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
     n_iter: int = 2,
     salt: str = "km",
-) -> DataFrame:
-    """Lloyd's for `n_iter` iterations; returns (id, cluster, sqdist).
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's for `n_iter` iterations; returns (assignment, centroids).
 
     Init = the k rows with smallest md5(salt‖key) — the portable
     seeded random choice (SURVEY §4.2a).
@@ -91,11 +91,22 @@ def kmeans_relational(
         .select("cluster", F.col("vec").alias("centroid"))
     )
     centroids = init
-    assigned = None
     for _ in range(n_iter):
-        assigned = _assign(points, centroids)
-        centroids = _update(assigned)
-    return _assign(points, centroids)
+        centroids = _update(_assign(points, centroids))
+    return _assign(points, centroids), centroids
+
+
+def kmeans_relational(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_iter: int = 2,
+    salt: str = "km",
+) -> DataFrame:
+    """Final Lloyd's assignment (id, cluster, sqdist) — see kmeans_fit."""
+    assigned, _ = kmeans_fit(df, key_col, vec_col, k, n_iter, salt)
+    return assigned
 
 
 def kmeans_mllib(

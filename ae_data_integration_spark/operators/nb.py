@@ -46,6 +46,9 @@ def gaussian_nb_cv_accuracy(
         md5_bucket(key_col, n_folds, salt).alias("fold"),
         to_double(vec_col).alias("vec"),
     )
+    # `long` feeds both the training-statistics pass and the scoring
+    # join; it is recomputed rather than persisted — at corpus scale a
+    # 64x-exploded cache costs more than the second scan-side explode.
     long = base.select(
         "id", "y", "fold", F.posexplode("vec").alias("dim", "x")
     )

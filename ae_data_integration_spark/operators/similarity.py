@@ -116,3 +116,56 @@ def lsh_near_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_clusters: int = 8,
+    n_iter: int = 1,
+    nprobe: int = 2,
+    topk: int = 3,
+    salt: str = "ivf",
+) -> DataFrame:
+    """IVF-style ANN: coarse KMeans quantizer, probe the `nprobe`
+    nearest cells per query, exact cosine only within probed cells.
+
+    The scale path for large Q: candidate count drops from N per
+    query to ~N·nprobe/k_clusters, and both sides shuffle only on the
+    small cluster key. Fully deterministic (md5-seeded quantizer), so
+    the DuckDB oracle replays it end to end.
+    """
+    from ae_data_integration_spark.operators.kmeans import kmeans_fit
+
+    assigned, centroids = kmeans_fit(
+        emb, key_col, vec_col, k=k_clusters, n_iter=n_iter, salt=salt
+    )
+    data = assigned.select("id", "vec", "cluster")
+
+    q = queries.select(
+        F.col(key_col).alias("q_id"), to_double(vec_col).alias("q_vec")
+    )
+    qd = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "cdist",
+        F.aggregate(
+            F.zip_with("q_vec", "centroid", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ),
+    )
+    wq = Window.partitionBy("q_id").orderBy("cdist", "cluster")
+    probes = (
+        qd.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= nprobe)
+        .select("q_id", "q_vec", "cluster")
+    )
+    cand = probes.join(data, "cluster").filter(F.col("id") != F.col("q_id"))
+    scored = cand.withColumn("cos", cosine("q_vec", "vec"))
+    wt = Window.partitionBy("q_id").orderBy(F.desc("cos"), "id")
+    return (
+        scored.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= topk)
+        .select("q_id", F.col("id").alias("n_id"), "cos", F.col("rk").cast("long").alias("rk"))
+    )

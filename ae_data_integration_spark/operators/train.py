@@ -256,3 +256,48 @@ def random_search(
         hyper = sample_params(i)
         results.append((i, hyper, run_trial(i, hyper)))
     return results
+
+
+# --- Contrastive losses (SURVEY A6/A7) ---------------------------------------
+# NT-Xent InstanceLoss (ref Simulation_Auxiliary/contrastive_loss.py:8-67):
+# sim = (z·zᵀ)/τ over the stacked batch [z_i; z_j] of two views,
+# positives at the ±B diagonals, mask removes self and positive pairs,
+# CrossEntropyLoss(reduction=sum)/(2B).
+
+
+def instance_loss(z_i: np.ndarray, z_j: np.ndarray, temperature: float = 0.5) -> float:
+    b = z_i.shape[0]
+    z = np.concatenate([z_i, z_j], axis=0)
+    zn = _l2norm_rows(z)
+    sim = (zn @ zn.T) / temperature
+    pos = np.concatenate([np.diag(sim, b), np.diag(sim, -b)])  # 2B positives
+    mask = np.ones_like(sim, dtype=bool)
+    np.fill_diagonal(mask, False)
+    for k in range(b):  # remove positive pairs from the negatives
+        mask[k, k + b] = False
+        mask[k + b, k] = False
+    total = 0.0
+    for row in range(2 * b):
+        logits = np.concatenate([[pos[row]], sim[row][mask[row]]])
+        logits = logits - logits.max()  # stable softmax-CE, target idx 0
+        total += -(logits[0] - np.log(np.exp(logits).sum()))
+    return float(total / (2 * b))
+
+
+def mocss_composite_loss(
+    z_shared_i: np.ndarray,
+    z_shared_j: np.ndarray,
+    z_spec_i: np.ndarray,
+    z_spec_j: np.ndarray,
+    recon: float,
+    ortho_multiplier: float = 1.0,
+    temperature: float = 0.4,
+) -> float:
+    """A6 (ref MOCSS_AE_model_selection.py:46-119, mocss.py:34-135):
+    ortho = mean(shared ⊙ specific) per view; + NT-Xent over the two
+    shared embeddings (temperature fixed 0.4, ref :289); the study's
+    tuned weight applies to RECON (ref MOCSS_AE_model_selection.py:291).
+    """
+    ortho = float(np.mean(z_shared_i * z_spec_i) + np.mean(z_shared_j * z_spec_j))
+    contrastive = instance_loss(z_shared_i, z_shared_j, temperature)
+    return ortho + contrastive + ortho_multiplier * recon

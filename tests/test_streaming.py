@@ -39,3 +39,29 @@ def test_streaming_hourly_rollup_matches_batch(spark):
         .toPandas()
     )
     assert got.equals(want)
+
+
+def test_stream_static_broadcast_join(spark):
+    """Stream-static join: enrich the event stream with a static
+    dimension; result equals the batch join."""
+    dim = spark.createDataFrame(
+        [(i, f"cohort{i % 3}") for i in range(200)], "user_id long, cohort string"
+    )
+    stream = read_events_stream(spark, SF_SMOKE)
+    enriched = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    run_available_now(enriched, "t_enriched", mode="complete")
+    got = spark.table("t_enriched").orderBy("cohort").toPandas()
+
+    want = (
+        table(spark, SF_SMOKE, "events")
+        .join(F.broadcast(dim), "user_id")
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cohort")
+        .toPandas()
+    )
+    assert got.equals(want)

@@ -84,3 +84,43 @@ def test_artifact_roundtrip(spark, tmp_path):
     assert set(back) == set(w)
     for k in w:
         np.testing.assert_array_equal(back[k], w[k])
+
+
+def test_instance_loss_matches_direct_softmax():
+    """NT-Xent golden: brute-force recomputation on a tiny batch."""
+    from ae_data_integration_spark.operators.train import instance_loss
+
+    rng = np.random.default_rng(3)
+    zi, zj = rng.normal(size=(4, 6)), rng.normal(size=(4, 6))
+    got = instance_loss(zi, zj, temperature=0.5)
+
+    z = np.concatenate([zi, zj])
+    zn = z / np.maximum(np.linalg.norm(z, axis=1, keepdims=True), 1e-12)
+    sim = zn @ zn.T / 0.5
+    b = 4
+    total = 0.0
+    for r in range(2 * b):
+        pos_c = r + b if r < b else r - b
+        negs = [c for c in range(2 * b) if c != r and c != pos_c]
+        logits = np.array([sim[r, pos_c]] + [sim[r, c] for c in negs])
+        p = np.exp(logits - logits.max())
+        total += -np.log(p[0] / p.sum())
+    assert got == pytest.approx(total / (2 * b), rel=1e-12)
+
+
+def test_mocss_composite_combines():
+    from ae_data_integration_spark.operators.train import (
+        instance_loss,
+        mocss_composite_loss,
+    )
+
+    rng = np.random.default_rng(4)
+    sh_i, sh_j = rng.normal(size=(4, 6)), rng.normal(size=(4, 6))
+    sp_i, sp_j = rng.normal(size=(4, 6)), rng.normal(size=(4, 6))
+    got = mocss_composite_loss(sh_i, sh_j, sp_i, sp_j, recon=2.0, ortho_multiplier=0.5)
+    want = (
+        float(np.mean(sh_i * sp_i) + np.mean(sh_j * sp_j))
+        + instance_loss(sh_i, sh_j, 0.4)
+        + 0.5 * 2.0
+    )
+    assert got == pytest.approx(want, rel=1e-12)
