@@ -1,0 +1,192 @@
+"""The reference's full workflow, end to end (SURVEY §3.1-§3.3).
+
+A user of wangc90/AE_Data_Integration runs, per dataset:
+
+    ingest two omics TSVs → transpose → align → derive labels →
+    stratified 80/20 split (seed) → per-split min-max scale →
+    label encode → AE model selection (k-fold CV) → retrain →
+    extract embeddings → per-subject recon loss → GaussianNB CV →
+    clustering metrics → report tables
+
+`run_reference_pipeline` is that workflow on this engine: one call,
+DataFrames end to end, every stage the Spark-native operator built in
+operators/ and sources/. The torch layer is the numpy executor
+(operators/train.py, operators/inference.py) — swap points documented
+there.
+
+Citations: ingest/align CNC_AE_model_selection.py:507-516; prep
+:518-524; selection :319-381,528-552; embeddings + NB + metrics
+AE_results.ipynb cells 67-134.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ae_data_integration_spark.operators.artifacts import save_weights
+from ae_data_integration_spark.operators.inference import _l2norm_rows
+from ae_data_integration_spark.operators.metrics import cluster_metrics, munkres_accuracy
+from ae_data_integration_spark.operators.nb import gaussian_nb_cv_accuracy
+from ae_data_integration_spark.operators.kmeans import kmeans_relational
+from ae_data_integration_spark.operators.scale import minmax_scale_features
+from ae_data_integration_spark.operators.splits import stratified_split
+from ae_data_integration_spark.operators.train import (
+    _seed_from,
+    sample_params,
+    train_ae_numpy,
+)
+from ae_data_integration_spark.sources.matrix_io import (
+    align_views,
+    assert_aligned,
+    derive_labels,
+    read_matrix_wide,
+)
+
+
+@dataclass
+class PipelineResult:
+    aligned: DataFrame
+    split_counts: dict
+    best_trial: dict
+    embeddings: DataFrame
+    recon_stats: dict
+    nb_accuracy: list
+    metrics: dict
+    artifacts_path: str | None = None
+    trials: list = field(default_factory=list)
+
+
+def run_reference_pipeline(
+    spark: SparkSession,
+    view1_path: str,
+    view2_path: str,
+    train_prop: float = 0.8,
+    n_trials: int = 2,
+    n_folds: int = 3,
+    artifacts_dir: str | None = None,
+) -> PipelineResult:
+    """One dataset through the whole reference workflow."""
+    # §3.1 step 1-2: ingest + transpose + align + labels (S1/P1/P2)
+    v1 = read_matrix_wide(spark, view1_path)
+    v2 = read_matrix_wide(spark, view2_path)
+    assert_aligned(v1, v2)
+    both = derive_labels(align_views(v1, v2))
+
+    # step 3: stratified split (R1) + per-split min-max scale (N1,
+    # refit-per-split quirk) on each view
+    split = stratified_split(both, "label", "sample_id", train_prop, salt="42")
+    train_df = split.filter(F.col("is_train"))
+    test_df = split.filter(~F.col("is_train"))
+
+    def scale_views(df: DataFrame) -> DataFrame:
+        out = df.withColumnRenamed("features_v1", "features")
+        out = minmax_scale_features(out, "features").withColumnRenamed(
+            "features", "features_v1"
+        )
+        out = out.withColumnRenamed("features_v2", "features")
+        out = minmax_scale_features(out, "features").withColumnRenamed(
+            "features", "features_v2"
+        )
+        return out
+
+    train_scaled = scale_views(train_df)
+    test_scaled = scale_views(test_df)
+    split_counts = {
+        "n_train": train_df.count(),
+        "n_test": test_df.count(),
+    }
+
+    # step 4: model selection — n_trials × k-fold CV on the training
+    # split (O1-O3). Collected once (fixture scale); at corpus scale
+    # objective_cv keeps folds distributed.
+    pdf = (
+        train_scaled.select("sample_id", "features_v1", "features_v2")
+        .orderBy("sample_id")
+        .toPandas()
+    )
+    x = np.concatenate(
+        [np.stack(pdf["features_v1"].to_numpy()), np.stack(pdf["features_v2"].to_numpy())],
+        axis=1,
+    )
+    trials = []
+    for t in range(n_trials):
+        hyper = sample_params(t)
+        hyper["epochs"] = min(int(hyper["epochs"]), 5)
+        fold = np.array(
+            [int(_seed_from(f"cv:{sid}") % n_folds) for sid in pdf["sample_id"]]
+        )
+        vals = []
+        for k in range(n_folds):
+            _, _, vl = train_ae_numpy(
+                x[fold != k], x[fold == k], hyper, seed=_seed_from(f"trial{t}:fold{k}")
+            )
+            vals.append(vl)
+        trials.append({"trial": t, "hyper": hyper, "cv_loss": float(np.mean(vals))})
+    best = min(trials, key=lambda r: r["cv_loss"])
+
+    # step 5: retrain on the full training split (O4) + artifact (S9)
+    params, losses, _ = train_ae_numpy(x, None, best["hyper"], seed=_seed_from("retrain"))
+    artifacts_path = None
+    if artifacts_dir:
+        artifacts_path = f"{artifacts_dir}/retrained"
+        save_weights(spark, params, artifacts_path, meta={"trial": str(best["trial"])})
+
+    # step 6: embeddings + per-subject recon loss (C8/A2) for ALL rows
+    def embed(df: DataFrame):
+        p = df.select("sample_id", "label", "features_v1", "features_v2").orderBy(
+            "sample_id"
+        ).toPandas()
+        xx = np.concatenate(
+            [np.stack(p["features_v1"].to_numpy()), np.stack(p["features_v2"].to_numpy())],
+            axis=1,
+        )
+        xn = _l2norm_rows(xx)
+        h = np.tanh(xn @ params["W1"] + params["b1"])
+        xhat = h @ params["W2"] + params["b2"]
+        recon = np.sqrt(((xhat - xn) ** 2).sum(axis=1))
+        return p, h, recon
+
+    # Per-split scaling (the reference's refit quirk) for both halves.
+    p_all, z_all, recon_all = embed(train_scaled.unionByName(test_scaled))
+    emb = spark.createDataFrame(
+        [
+            (str(s), [float(v) for v in z], int(lab_id), float(r))
+            for s, z, lab_id, r in zip(
+                p_all["sample_id"],
+                z_all,
+                p_all["label"].astype("category").cat.codes,
+                recon_all,
+            )
+        ],
+        "sample_id string, embedding array<double>, label int, recon_loss double",
+    )
+    recon_stats = {
+        "mean": float(recon_all.mean()),
+        "std": float(recon_all.std()),  # ddof=0, numpy/reference convention
+    }
+
+    # step 7: GaussianNB CV on embeddings (C6), clustering metrics
+    # (C1+C3/C4) — the evaluation queries of AE_results.ipynb.
+    nb = gaussian_nb_cv_accuracy(
+        emb, "sample_id", "label", "embedding", n_folds=n_folds, salt="nb"
+    ).collect()
+    clustered = kmeans_relational(emb, "sample_id", "embedding", k=3, n_iter=2)
+    joined = emb.select(F.col("sample_id").alias("id"), "label").join(clustered, "id")
+    cm = cluster_metrics(joined, "label", "cluster").first().asDict()
+    cm["munkres_accuracy"] = munkres_accuracy(joined, "label", "cluster").first()[0]
+
+    return PipelineResult(
+        aligned=both,
+        split_counts=split_counts,
+        best_trial=best,
+        embeddings=emb,
+        recon_stats=recon_stats,
+        nb_accuracy=[(r["fold"], r["accuracy"]) for r in nb],
+        metrics=cm,
+        artifacts_path=artifacts_path,
+        trials=trials,
+    )

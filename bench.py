@@ -25,14 +25,13 @@ def main() -> None:
     bench_queries = {n: q for n, q in sorted(registry.items()) if "bench" in q.tags}
 
     spark = get_spark("bench")
-    # Warmup pass at the smallest SF: JIT + whole-stage-codegen
-    # compilation dominates first execution of each plan shape; the
-    # measured numbers below are steady-state engine throughput.
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
-        for q in bench_queries.values():
-            q.fn(spark, warm_dir).collect()
-        spark.catalog.clearCache()
+    # Warmup pass at the TARGET SF: first execution of each plan shape
+    # pays JIT + whole-stage-codegen compilation and AQE replanning;
+    # the measured numbers below are steady-state engine throughput at
+    # the benchmark scale.
+    for q in bench_queries.values():
+        q.fn(spark, sf_dir).collect()
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name, q in bench_queries.items():

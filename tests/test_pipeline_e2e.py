@@ -1,0 +1,73 @@
+"""End-to-end reference-workflow test: two omics TSVs in, embeddings,
+NB accuracies, clustering metrics and artifacts out (SURVEY §3)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ae_data_integration_spark.pipelines.omics import run_reference_pipeline
+
+
+@pytest.fixture(scope="module")
+def omics_pair(tmp_path_factory):
+    """Two aligned features×samples TSVs with group structure
+    (mirrors Simulation_Data shape at fixture scale)."""
+    tmp = tmp_path_factory.mktemp("omics_e2e")
+    rng = np.random.default_rng(42)
+    samples = [
+        f"Group{g}.Time{t}.Rep{r}" for g in (1, 2, 3) for t in (1, 2, 3, 4) for r in (1, 2, 3)
+    ]
+    centers = {1: 0.0, 2: 4.0, 3: -4.0}
+
+    def write(path, n_feat):
+        data = {
+            s: rng.normal(loc=centers[int(s[5])], scale=0.8, size=n_feat)
+            for s in samples
+        }
+        pd.DataFrame(data, index=[f"f{i}" for i in range(n_feat)]).to_csv(
+            path, sep="\t", index_label="feature"
+        )
+
+    p1, p2 = tmp / "rna.tsv", tmp / "mirna.tsv"
+    write(p1, 24)
+    write(p2, 8)
+    return str(p1), str(p2), len(samples)
+
+
+def test_full_pipeline(spark, omics_pair, tmp_path):
+    p1, p2, n = omics_pair
+    res = run_reference_pipeline(
+        spark, p1, p2, n_trials=2, n_folds=3, artifacts_dir=str(tmp_path)
+    )
+    # split: exact stratified counts
+    assert res.split_counts["n_train"] + res.split_counts["n_test"] == n
+    assert res.split_counts["n_train"] == round(12 * 0.8) * 3  # 3 classes x round(12*.8)
+    # selection picked the best of the trials
+    assert res.best_trial["cv_loss"] == min(t["cv_loss"] for t in res.trials)
+    # embeddings: one per sample, finite recon
+    assert res.embeddings.count() == n
+    assert np.isfinite(res.recon_stats["mean"]) and res.recon_stats["mean"] > 0
+    # NB on well-separated groups beats chance (1/3) comfortably
+    accs = [a for _, a in res.nb_accuracy]
+    assert np.mean(accs) > 0.6
+    # clustering metrics exist and munkres accuracy beats chance
+    # (1/3 for 3 groups — the 2-trial, 5-epoch toy AE is a plumbing
+    # test, not a quality benchmark)
+    assert 0.0 <= res.metrics["nmi"] <= 1.0
+    assert res.metrics["munkres_accuracy"] > 0.34
+    # artifacts round-trip
+    from ae_data_integration_spark.operators.artifacts import load_weights
+
+    w = load_weights(spark, res.artifacts_path)
+    assert {"W1", "b1", "W2", "b2"} <= set(w)
+
+
+def test_pipeline_deterministic(spark, omics_pair):
+    p1, p2, _ = omics_pair
+    r1 = run_reference_pipeline(spark, p1, p2, n_trials=1, n_folds=2)
+    r2 = run_reference_pipeline(spark, p1, p2, n_trials=1, n_folds=2)
+    assert r1.best_trial["cv_loss"] == r2.best_trial["cv_loss"]
+    assert r1.recon_stats == r2.recon_stats
+    assert r1.nb_accuracy == r2.nb_accuracy
