@@ -1,0 +1,85 @@
+"""CCA loss (SURVEY §2.7 A9, §2.6 L8).
+
+The reference imports a CCA objective (Simulation_Auxiliary/
+objectives.py:11-90: regularized within-view covariances, inverse
+square roots via eigendecomposition, then the sum of the top-k
+singular values of T = Σ11^(-1/2) Σ12 Σ22^(-1/2)) but never calls it
+from the 8 pipelines. The engine ships it anyway: covariances are
+DISTRIBUTED (fixed-point cross-product aggregates over exploded
+pairs — the only O(N) part), and the k×k eigen work runs driver-side
+in numpy (L8), since k is the embedding width, never large.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ae_data_integration_spark.functions.portable import Q30, fpsum
+
+
+def _cross_products(df: DataFrame, a_col: str, b_col: str) -> np.ndarray:
+    """Distributed Σ aᵢ bᵢᵀ via posexplode pairs + fixed-point sums;
+    collects only da×db aggregate cells."""
+    pairs = df.select(
+        F.posexplode(a_col).alias("i", "x"),
+        F.col(b_col).alias("_b"),
+    ).select("i", "x", F.posexplode("_b").alias("j", "y"))
+    cells = (
+        pairs.groupBy("i", "j")
+        .agg(fpsum(F.col("x") * F.col("y"), Q30).alias("s"))
+        .collect()
+    )
+    di = max(c["i"] for c in cells) + 1
+    dj = max(c["j"] for c in cells) + 1
+    m = np.zeros((di, dj))
+    for c in cells:
+        m[c["i"], c["j"]] = c["s"]
+    return m
+
+
+def cca_loss(
+    df: DataFrame,
+    v1_col: str = "features_v1",
+    v2_col: str = "features_v2",
+    out_dim: int | None = None,
+    reg: float = 1e-3,
+) -> float:
+    """Negative sum of the top-k canonical correlations.
+
+    Mean-centering + covariance assembly distributed; eigh on k×k
+    driver-side (ref objectives.py:46-47,86 torch.linalg.eigh)."""
+    n = df.count()
+    mu1 = np.array(
+        df.agg(
+            *[
+                (fpsum(F.element_at(v1_col, i + 1), Q30) / F.lit(float(n))).alias(f"m{i}")
+                for i in range(len(df.select(v1_col).first()[0]))
+            ]
+        ).first()
+    )
+    d1 = len(mu1)
+    mu2 = np.array(
+        df.agg(
+            *[
+                (fpsum(F.element_at(v2_col, i + 1), Q30) / F.lit(float(n))).alias(f"m{i}")
+                for i in range(len(df.select(v2_col).first()[0]))
+            ]
+        ).first()
+    )
+    s11 = _cross_products(df, v1_col, v1_col) / n - np.outer(mu1, mu1)
+    s22 = _cross_products(df, v2_col, v2_col) / n - np.outer(mu2, mu2)
+    s12 = _cross_products(df, v1_col, v2_col) / n - np.outer(mu1, mu2)
+    s11 += reg * np.eye(d1)
+    s22 += reg * np.eye(len(mu2))
+
+    def inv_sqrt(m: np.ndarray) -> np.ndarray:
+        w, v = np.linalg.eigh(m)  # L8
+        w = np.maximum(w, 1e-12)
+        return v @ np.diag(w**-0.5) @ v.T
+
+    t = inv_sqrt(s11) @ s12 @ inv_sqrt(s22)
+    sv = np.linalg.svd(t, compute_uv=False)
+    k = out_dim or min(t.shape)
+    return float(-np.sort(sv)[::-1][:k].sum())

@@ -1,0 +1,87 @@
+"""Scale patterns: salting equivalence and bucketed co-located joins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ae_data_integration_spark.functions.portable import Q20, fpsum
+from ae_data_integration_spark.functions.skew import salted_fpsum, salted_join
+from ae_data_integration_spark.plans.explain import formatted_plan
+from ae_data_integration_spark.tables import table
+from tests.conftest import SF_CORRECT
+
+
+def test_salted_sum_equals_plain(spark):
+    o = table(spark, SF_CORRECT, "orders")
+    plain = (
+        o.groupBy("o_orderpriority")
+        .agg(fpsum("o_totalprice", Q20).alias("total"))
+        .toPandas()
+        .set_index("o_orderpriority")["total"]
+        .to_dict()
+    )
+    salted = (
+        salted_fpsum(o, "o_orderpriority", "o_totalprice", Q20, "o_orderkey", 16)
+        .toPandas()
+        .set_index("o_orderpriority")["total"]
+        .to_dict()
+    )
+    assert salted == plain  # fixed-point sums commute exactly
+
+
+def test_salted_join_equals_plain(spark):
+    o = table(spark, SF_CORRECT, "orders")
+    c = table(spark, SF_CORRECT, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    plain = o.join(c, "o_custkey").count()
+    salted = salted_join(o, c, "o_custkey", "o_orderkey", 8).count()
+    assert salted == plain
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Bucketing both sides on the join key pre-partitions the data so
+    the sort-merge join needs NO Exchange — the co-located-join pattern
+    for repeated fact-fact joins at scale. (warehouse.dir is a static
+    conf; tables land in ./spark-warehouse, dropped afterwards.)"""
+    o = table(spark, SF_CORRECT, "orders")
+    li = table(spark, SF_CORRECT, "lineitem")
+    # overwrite mode still trips on a stale orphaned location — clear.
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    import shutil
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("b_orders")
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("b_lineitem")
+    )
+    # At fixture scale Catalyst would broadcast the small side and hide
+    # the effect under test — force the sort-merge path.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        ).groupBy("o_orderpriority").count()
+        plan = formatted_plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    # The join inputs must come straight from the bucketed scans — no
+    # shuffle exchange below the join.
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    want = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority").count().orderBy("o_orderpriority").collect()
+    )
+    got = joined.orderBy("o_orderpriority").collect()
+    assert got == want
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
