@@ -156,3 +156,23 @@ FROM bdf CROSS JOIN wtot CROSS JOIN tot CROSS JOIN pair
 def c5_ch_dbi(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     return ch_dbi(e, "label", "embedding")
+
+
+# --- C2: DBSCAN (ref mocss.py:410; no MLlib counterpart) --------------------
+
+from ae_data_integration_spark.operators.dbscan import dbscan
+
+
+@register("c2_dbscan", oracle=None,
+          doc="Distributed DBSCAN: ε-pair join, core-point filter, min-label "
+              "propagation components (ref mocss.py:410); iterative → "
+              "rows-only, numpy golden in tests/test_dbscan.py.",
+          tags=("clustering",))
+def c2_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        dbscan(e, "vec_id", "embedding", eps=3.0, min_pts=4)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cluster")
+    )

@@ -246,3 +246,51 @@ def prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_id", "is_train")
     )
+
+
+# --- N5b: dispersion statistics (SURVEY §2.10 — np.mean/np.std ddof=0) ------
+# stddev_pop's internal accumulation is partition-order dependent, so
+# the portable form assembles variance from fixed-point moments:
+# var = E[x²] − E[x]² (population, matching numpy's default ddof=0).
+
+_N5_SQL = """
+SELECT o_orderpriority,
+       (SUM(CAST(round(o_totalprice * 1048576) AS BIGINT)) / 1048576.0)
+         / CAST(COUNT(*) AS DOUBLE) AS mean_price,
+       sqrt(
+         (SUM(CAST(round(o_totalprice * o_totalprice * 16) AS BIGINT)) / 16.0)
+           / CAST(COUNT(*) AS DOUBLE)
+         - ((SUM(CAST(round(o_totalprice * 1048576) AS BIGINT)) / 1048576.0)
+              / CAST(COUNT(*) AS DOUBLE))
+           * ((SUM(CAST(round(o_totalprice * 1048576) AS BIGINT)) / 1048576.0)
+                / CAST(COUNT(*) AS DOUBLE))
+       ) AS std_pop_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("n5_dispersion", oracle=_N5_SQL,
+          doc="Portable mean/stddev_pop from fixed-point moments "
+              "(np.std ddof=0 convention, ref AE_results.ipynb cells 26-32).",
+          tags=("prep", "agg"))
+def n5_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.functions.portable import Q20, fp, fpavg
+
+    o = table(spark, sf_dir, "orders")
+    # x² of ~1e5-scale prices needs a coarser quantum to keep the
+    # accumulator in range: q=16 (~0.06 grid on values up to ~1e10).
+    q2 = 16
+    mean = fpavg("o_totalprice", Q20)
+    ex2 = (F.sum(fp(F.col("o_totalprice") * F.col("o_totalprice"), q2)) / F.lit(float(q2))) / F.count(
+        F.lit(1)
+    ).cast("double")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            mean.alias("mean_price"),
+            F.sqrt(ex2 - mean * mean).alias("std_pop_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,65 @@
+"""DBSCAN vs a brute-force numpy golden (sklearn-convention core/border/noise)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ae_data_integration_spark.operators.dbscan import dbscan
+
+
+def _numpy_dbscan(x: np.ndarray, eps: float, min_pts: int) -> np.ndarray:
+    """Reference implementation with the same labeling convention:
+    cluster id = min core-point index of the component; border points
+    take the min core label among neighbors; noise = -1."""
+    n = len(x)
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    nb = d2 <= eps * eps
+    core = nb.sum(1) >= min_pts
+    # components over core-core edges
+    lbl = {i: i for i in range(n) if core[i]}
+    changed = True
+    while changed:
+        changed = False
+        for i in lbl:
+            nbl = [lbl[j] for j in np.where(nb[i])[0] if core[j]]
+            m = min([lbl[i]] + nbl)
+            if m < lbl[i]:
+                lbl[i] = m
+                changed = True
+    out = np.full(n, -1)
+    for i, v in lbl.items():
+        out[i] = v
+    for i in range(n):
+        if not core[i]:
+            cores = [lbl[j] for j in np.where(nb[i])[0] if core[j]]
+            if cores:
+                out[i] = min(cores)
+    return out
+
+
+@pytest.fixture(scope="module")
+def blob_df(spark):
+    rng = np.random.default_rng(11)
+    blobs = [
+        rng.normal(loc=c, scale=0.3, size=(25, 4))
+        for c in ([0, 0, 0, 0], [5, 5, 5, 5], [-5, 5, -5, 5])
+    ]
+    noise = rng.uniform(-10, 10, size=(6, 4))
+    x = np.concatenate(blobs + [noise])
+    rows = [(i, [float(v) for v in x[i]]) for i in range(len(x))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), x
+
+
+def test_dbscan_matches_numpy(spark, blob_df):
+    df, x = blob_df
+    got = {
+        r["id"]: r["cluster"]
+        for r in dbscan(df, eps=1.5, min_pts=4).collect()
+    }
+    want = _numpy_dbscan(x, eps=1.5, min_pts=4)
+    assert got == {i: int(want[i]) for i in range(len(x))}
+    # sanity: found exactly the 3 blobs + some noise
+    clusters = {v for v in got.values() if v != -1}
+    assert len(clusters) == 3
+    assert sum(1 for v in got.values() if v == -1) >= 1
