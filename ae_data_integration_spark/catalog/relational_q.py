@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ae_data_integration_spark.catalog import register
-from ae_data_integration_spark.functions.portable import Q20, fp, fpavg, fpsum, fpsum_sql
+from ae_data_integration_spark.functions.portable import Q20, fp, fpavg, fpsum
 from ae_data_integration_spark.tables import table
 
 
@@ -406,3 +406,66 @@ def set2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
     return c.intersect(s).agg(F.count(F.lit(1)).alias("n_common"))
+
+
+# --- G1: rollup / grouping sets (engine surface beyond the reference) -------
+
+_G1_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n,
+       (SUM(CAST(round(l_quantity * 1048576) AS BIGINT)) / 1048576.0) AS qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+@register("g1_rollup", oracle=_G1_SQL,
+          doc="ROLLUP hierarchy totals (subtotal + grand-total rows); "
+              "fixed-point sums at every grouping level.",
+          tags=("relational", "agg"))
+def g1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            fpsum("l_quantity", Q20).alias("qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n", "qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# --- G2: cube ----------------------------------------------------------------
+
+_G2_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+@register("g2_cube", oracle=_G2_SQL,
+          doc="CUBE over two dimensions — all 2^k grouping sets in one pass.",
+          tags=("relational", "agg"))
+def g2_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+        .orderBy("status", "priority")
+    )

@@ -8,7 +8,7 @@ re-expressed over the driver's tables.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ae_data_integration_spark.catalog import register

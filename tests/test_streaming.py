@@ -65,3 +65,43 @@ def test_stream_static_broadcast_join(spark):
         .toPandas()
     )
     assert got.equals(want)
+
+
+def test_stateful_running_counts_across_batches(spark, tmp_path):
+    """applyInPandasWithState accumulates per-user state across
+    MULTIPLE micro-batches (3 input files, maxFilesPerTrigger=1);
+    the final per-user count equals the batch groupBy."""
+    from ae_data_integration_spark.streaming.stateful import running_user_counts
+
+    ev = table(spark, SF_SMOKE, "events").select("user_id", "event_id")
+    src = str(tmp_path / "ev_parts")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = running_user_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = (
+        spark.table("t_state")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n"))
+        .orderBy("user_id")
+        .toPandas()
+    )
+    want = (
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).orderBy("user_id").toPandas()
+    )
+    assert got.equals(want)
+    # multiple batches actually ran (update mode emits per batch)
+    assert spark.table("t_state").count() > want.shape[0]
