@@ -469,3 +469,63 @@ def g2_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status", "priority")
     )
+
+
+# --- Q18-style: HAVING over aggregated join ---------------------------------
+
+_Q18_SQL = """
+SELECT o.o_orderkey,
+       (SUM(CAST(round(l.l_quantity * 1048576) AS BIGINT)) / 1048576.0) AS total_qty
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey
+HAVING (SUM(CAST(round(l.l_quantity * 1048576) AS BIGINT)) / 1048576.0) > 250
+ORDER BY total_qty DESC, o_orderkey
+"""
+
+
+@register("q18_large_orders", oracle=_Q18_SQL,
+          doc="Aggregate-then-filter (HAVING) over a fact-fact join.",
+          tags=("relational", "agg"))
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(fpsum("l_quantity", Q20).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+    )
+
+
+# --- Q17-style: correlated scalar subquery (per-group average gate) ---------
+# "parts whose max-size sibling exceeds 2x the brand's average size" —
+# the decorrelated form is an aggregate join, which is exactly how the
+# engine expresses it (Catalyst decorrelates the SQL form the same way).
+
+_Q17_SQL = """
+SELECT p.p_partkey, p.p_brand, p.p_size
+FROM part p
+WHERE p.p_size > 2 * (
+  SELECT (SUM(CAST(round(CAST(p2.p_size AS DOUBLE) * 1048576) AS BIGINT)) / 1048576.0)
+         / CAST(COUNT(*) AS DOUBLE)
+  FROM part p2 WHERE p2.p_brand = p.p_brand
+)
+ORDER BY p_partkey
+"""
+
+
+@register("q17_above_brand_avg", oracle=_Q17_SQL,
+          doc="Correlated scalar subquery, decorrelated to agg + broadcast join.",
+          tags=("relational", "join"))
+def q17_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    brand_avg = p.groupBy("p_brand").agg(
+        fpavg(F.col("p_size").cast("double"), Q20).alias("avg_size")
+    )
+    return (
+        p.join(F.broadcast(brand_avg), "p_brand")
+        .filter(F.col("p_size") > 2 * F.col("avg_size"))
+        .select("p_partkey", "p_brand", "p_size")
+        .orderBy("p_partkey")
+    )
