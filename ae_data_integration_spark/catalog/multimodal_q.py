@@ -38,3 +38,29 @@ def m1_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     payload = attach_binary_payload(d, "text").select("doc_id", "content")
     return extract_binary_features(payload, "doc_id", "content").orderBy("doc_id")
+
+
+# --- M2: frame sampling (1→N generator through Arrow) -----------------------
+
+_M2_SQL = """
+SELECT doc_id,
+       CAST(f.f AS BIGINT) AS frame_idx,
+       md5(substr(text, (length(text) * f.f) // 4 + 1,
+                  (length(text) * (f.f + 1)) // 4 - (length(text) * f.f) // 4)) AS frame_md5,
+       CAST((length(text) * (f.f + 1)) // 4 - (length(text) * f.f) // 4 AS BIGINT) AS frame_bytes
+FROM documents, (SELECT unnest(range(0, 4)) AS f) f
+ORDER BY doc_id, frame_idx
+"""
+
+
+@register("m2_frame_samples", oracle=_M2_SQL,
+          doc="Video-style frame sampling: 1 payload → 4 frame rows via "
+              "mapInPandas (decode stubbed as deterministic byte slices, "
+              "so the oracle verifies the whole 1→N Arrow path).",
+          tags=("multimodal",))
+def m2_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.multimodal import sample_frames
+
+    d = table(spark, sf_dir, "documents")
+    payload = attach_binary_payload(d, "text").select("doc_id", "content")
+    return sample_frames(payload, n_frames=4).orderBy("doc_id", "frame_idx")

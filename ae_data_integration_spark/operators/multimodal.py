@@ -67,3 +67,48 @@ def extract_binary_features(
             )
 
     return df.mapInPandas(run, schema)
+
+
+def _decode_video_frames(payload: bytes, n_frames: int):
+    """Stub: decode + uniformly frame-sample a video payload.
+    Requires ffmpeg/av, absent from this container by design."""
+    raise NotImplementedError("video decode requires ffmpeg/av; stubbed by design")
+
+
+def sample_frames(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    content_col: str = "content",
+    n_frames: int = 4,
+) -> DataFrame:
+    """Frame-sampling plumbing: one input payload → n_frames output
+    rows (the 1→N generator shape video pipelines need). The decode
+    kernel is stubbed with a deterministic byte-slice 'frame' so the
+    row-explosion, schema, and Arrow batching are real and testable;
+    `_decode_video_frames` is the swap point for a real codec.
+    """
+    schema = f"{key_col} long, frame_idx long, frame_md5 string, frame_bytes long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keys, idxs, md5s, sizes = [], [], [], []
+            for key, payload in zip(pdf[key_col], pdf[content_col]):
+                n = len(payload)
+                for f in range(n_frames):
+                    # deterministic fake frame: the f-th of n_frames
+                    # contiguous byte slices
+                    lo = (n * f) // n_frames
+                    hi = (n * (f + 1)) // n_frames
+                    frame = bytes(payload[lo:hi])
+                    keys.append(key)
+                    idxs.append(f)
+                    md5s.append(hashlib.md5(frame).hexdigest())
+                    sizes.append(len(frame))
+            yield pd.DataFrame(
+                {key_col: keys, "frame_idx": idxs, "frame_md5": md5s,
+                 "frame_bytes": sizes}
+            )
+
+    return df.mapInPandas(run, schema)

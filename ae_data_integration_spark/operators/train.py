@@ -301,3 +301,33 @@ def mocss_composite_loss(
     ortho = float(np.mean(z_shared_i * z_spec_i) + np.mean(z_shared_j * z_spec_j))
     contrastive = instance_loss(z_shared_i, z_shared_j, temperature)
     return ortho + contrastive + ortho_multiplier * recon
+
+
+def cluster_loss(
+    c_i: np.ndarray, c_j: np.ndarray, temperature: float = 1.0
+) -> float:
+    """A8 ClusterLoss (ref contrastive_loss.py:70-116): contrastive
+    over cluster-assignment COLUMNS (cosine sim of the k columns of
+    the two views' soft assignments) plus the negative-entropy of the
+    mean assignment per view. Unused by the 8 pipelines (MOCSS-paper
+    extra) — shipped for completeness."""
+    k = c_i.shape[1]
+
+    def neg_entropy(c: np.ndarray) -> float:
+        p = c.sum(axis=0) / c.sum()
+        p = np.clip(p, 1e-12, None)
+        return float((p * np.log(p)).sum())
+
+    cols = np.concatenate([c_i.T, c_j.T], axis=0)  # 2k rows = columns
+    cn = _l2norm_rows(cols)
+    sim = cn @ cn.T / temperature
+    total = 0.0
+    for r in range(2 * k):
+        pos_c = r + k if r < k else r - k
+        mask = np.ones(2 * k, dtype=bool)
+        mask[r] = False
+        mask[pos_c] = False
+        logits = np.concatenate([[sim[r, pos_c]], sim[r][mask]])
+        logits = logits - logits.max()
+        total += -(logits[0] - np.log(np.exp(logits).sum()))
+    return float(total / (2 * k)) + neg_entropy(c_i) + neg_entropy(c_j)

@@ -124,3 +124,21 @@ def test_mocss_composite_combines():
         + 0.5 * 2.0
     )
     assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_cluster_loss_structure():
+    """A8: identical assignments minimize the contrastive part; the
+    entropy terms match a direct computation."""
+    from ae_data_integration_spark.operators.train import cluster_loss
+
+    rng = np.random.default_rng(9)
+    c = np.abs(rng.normal(size=(30, 5)))
+    c = c / c.sum(axis=1, keepdims=True)
+    same = cluster_loss(c, c)
+    diff = cluster_loss(c, np.roll(c, 2, axis=1))
+    assert same < diff  # aligned assignments score better
+    p = c.sum(0) / c.sum()
+    want_ent = float((p * np.log(p)).sum())
+    noisy = cluster_loss(c, c) - cluster_loss(c, c)  # determinism
+    assert noisy == 0.0
+    assert same > 2 * want_ent  # contrastive part is positive
