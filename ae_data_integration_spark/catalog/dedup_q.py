@@ -16,7 +16,7 @@ from ae_data_integration_spark.operators.dedup import (
     doc_shingles,
     exact_dup_stats,
     jaccard_verify,
-    lsh_candidate_pairs,
+    lsh_candidate_pairs_from_shingles,
     simhash,
 )
 from ae_data_integration_spark.tables import table
@@ -104,9 +104,10 @@ ORDER BY doc_a, doc_b
           tags=("dedup", "bench"))
 def d2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(d, "doc_id", "text", k=5, num_perm=8, num_bands=2)
-    # Persist: the verify join reads the shingle sets twice (a/b side).
-    shs = doc_shingles(d, "doc_id", "text", k=5).persist()
+    # One persisted shingle pass feeds BOTH the signature path and
+    # the a/b sides of the verify join (3 consumers, 1 computation).
+    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).persist()
+    pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=8, num_bands=2)
     return jaccard_verify(pairs, shs).orderBy("doc_a", "doc_b")
 
 
@@ -146,3 +147,26 @@ def d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("doc", "doc_id")
         .orderBy("doc_id")
     )
+
+
+# --- D4: embedding-cosine near-dup drop list --------------------------------
+
+from ae_data_integration_spark.catalog.similarity_q import _S2_SQL
+from ae_data_integration_spark.operators.dedup import embedding_near_dup_drops
+
+_D4_SQL = f"""
+SELECT id_b AS vec_id, MIN(id_a) AS dup_of
+FROM ({_S2_SQL})
+WHERE cos >= 0.35
+GROUP BY id_b
+ORDER BY vec_id
+"""
+
+
+@register("d4_embedding_neardup", oracle=_D4_SQL,
+          doc="Embedding-cosine near-dedup: LSH-bucketed pairs at cosine ≥ "
+              "0.35, keep-first survivor policy (drop list + canonical id).",
+          tags=("dedup", "similarity"))
+def d4_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_drops(e, bits=8, threshold=0.35).orderBy("vec_id")

@@ -42,41 +42,46 @@ def exact_dup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def doc_shingles(df: DataFrame, key_col: str, text_col: str, k: int = 5) -> DataFrame:
-    return df.select(F.col(key_col).alias("doc"), shingles(text_col, k).alias("shs"))
+def doc_shingles(
+    df: DataFrame, key_col: str, text_col: str, k: int = 5, spread: bool = False
+) -> DataFrame:
+    """Distinct k-shingle arrays per doc.
+
+    spread=True rebalances a narrow scan (input splits < cores) by
+    doc key before the substring pass — a bench-scale knob only: at
+    corpus scale the scan already has >> cores splits and the extra
+    shuffle of raw text would be pure waste, so it self-disables.
+    """
+    out = df.select(F.col(key_col).alias("doc"), F.col(text_col).alias("_t"))
+    if spread:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if out.rdd.getNumPartitions() < par:
+            out = out.repartition(par, "doc")
+    return out.select("doc", shingles("_t", k).alias("shs"))
 
 
-def lsh_candidate_pairs(
-    df: DataFrame,
-    key_col: str,
-    text_col: str,
-    k: int = 5,
+def lsh_candidate_pairs_from_shingles(
+    shingle_df: DataFrame,
     num_perm: int = 8,
     num_bands: int = 2,
     max_bucket: int | None = None,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs (a < b), distinct.
+    """MinHash-LSH candidate pairs (a < b), distinct, from a (doc,
+    shs) shingle-array table — lets one persisted shingle pass feed
+    both the signature path and the Jaccard-verify join.
 
     rows_per_band = num_perm / num_bands sets the similarity knee at
     roughly (1/num_bands)^(1/rows_per_band). `max_bucket` drops
     pathological buckets (skew guard for web-scale corpora).
     """
     rpb = num_perm // num_bands
-    # Signature via generator + codegen'd min-aggregates rather than
+    # Signature via explode + codegen'd min-aggregates rather than
     # array-HOF folds (HOF lambdas run interpreted — measured ~8x
-    # slower). Shingles need no dedup here: duplicate shingles cannot
-    # change a min. Map-side partial mins shrink the shuffle to one
-    # row per (doc, 8 longs) — the layout that survives a 100 TB
+    # slower). Distinct shingles give the same mins as raw ones.
+    # Map-side partial mins shrink the shuffle to one row per
+    # (doc, num_perm longs) — the layout that survives a 100 TB
     # corpus.
-    ex = df.select(
-        F.col(key_col).alias("doc"),
-        F.col(text_col).alias("_t"),
-        F.explode(
-            F.sequence(
-                F.lit(1), F.greatest(F.length(text_col) - F.lit(k - 1), F.lit(1))
-            )
-        ).alias("_i"),
-    ).select("doc", F.col("_t").substr(F.col("_i"), F.lit(k)).alias("sh"))
+    ex = shingle_df.select("doc", F.explode("shs").alias("sh"))
     h = F.conv(F.substring(F.md5(F.col("sh")), 1, 12), 16, 10).cast("long")
     mins = ex.select("doc", h.alias("h")).groupBy("doc").agg(
         *[
@@ -108,6 +113,48 @@ def lsh_candidate_pairs(
         .filter(F.col("x.doc") < F.col("y.doc"))
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    k: int = 5,
+    num_perm: int = 8,
+    num_bands: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs straight from a text column
+    (compose doc_shingles + lsh_candidate_pairs_from_shingles)."""
+    return lsh_candidate_pairs_from_shingles(
+        doc_shingles(df, key_col, text_col, k, spread=True),
+        num_perm=num_perm,
+        num_bands=num_bands,
+        max_bucket=max_bucket,
+    )
+
+
+def embedding_near_dup_drops(
+    emb: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-dedup with keep-first survivor policy.
+
+    Candidate pairs come from the random-hyperplane LSH bucket join
+    (operators/similarity.lsh_near_dup_pairs — Σ|bucket|² work, not
+    N²); a vector is dropped iff it has a neighbor with cosine ≥
+    threshold and a smaller id. Returns (key, dup_of = smallest such
+    neighbor) — the drop list a dedup pipeline anti-joins against.
+    """
+    from ae_data_integration_spark.operators.similarity import lsh_near_dup_pairs
+
+    pairs = lsh_near_dup_pairs(emb, key_col, vec_col, bits=bits, threshold=threshold)
+    return pairs.groupBy(F.col("id_b").alias(key_col)).agg(
+        F.min("id_a").alias("dup_of")
     )
 
 

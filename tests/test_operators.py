@@ -103,3 +103,22 @@ def test_l2_normalize_unit_norm(spark):
         .tolist()
     )
     assert all(math.isclose(n, 1.0, rel_tol=1e-12) for n in norms)
+
+
+def test_embedding_near_dup_keep_first(spark):
+    """D4: identical vectors land in one LSH bucket; every copy but
+    the smallest id is dropped, pointing at the smallest id."""
+    from ae_data_integration_spark.operators.dedup import embedding_near_dup_drops
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (5, [1.0, 0.0, 0.0, 0.0]),   # dup of 1
+        (9, [2.0, 0.0, 0.0, 0.0]),   # cosine 1.0 with 1/5 too
+        (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal — survives
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["vec_id"], r["dup_of"])
+        for r in embedding_near_dup_drops(e, bits=4, threshold=0.99).collect()
+    }
+    assert got == {(5, 1), (9, 1)}
