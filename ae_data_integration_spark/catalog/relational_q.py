@@ -529,3 +529,41 @@ def q17_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_brand", "p_size")
         .orderBy("p_partkey")
     )
+
+
+# --- Q4-style: EXISTS subquery (semi-join with non-equi condition) ----------
+# "count orders per priority that have at least one late shipment"
+# (shipdate > orderdate + 80 days). The EXISTS decorrelates to a
+# LEFT SEMI join on the orderkey with the date predicate as an extra
+# join condition — one shuffle, no dedup pass, lineitem never
+# materializes into the output.
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 80 DAY
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("q4_late_orders", oracle=_Q4_SQL,
+          doc="EXISTS subquery as a left-semi join with a non-equi "
+              "(interval-shifted timestamp) condition.",
+          tags=("relational", "join"))
+def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 80 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ae_data_integration_spark.functions.arrays import to_double
@@ -120,11 +120,17 @@ def gaussian_nb_cv_accuracy(
         )
         .withColumn("score", F.col("ll") + F.col("log_prior"))
     )
-    w = Window.partitionBy("id").orderBy(F.desc("score"), "cls")
+    # Argmax as a max-of-struct aggregation, not a row_number window:
+    # a window would exchange + SORT the whole scored table by id; the
+    # hash agg partial-aggregates map-side and never sorts. Tie-break
+    # matches ORDER BY score DESC, cls ASC via the -cls struct field.
     pred = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("id", "y", "fold", F.col("cls").alias("pred"))
+        scored.groupBy("id", "y", "fold")
+        .agg(
+            F.max(
+                F.struct(F.col("score"), (-F.col("cls")).alias("_nc"), F.col("cls"))
+            )["cls"].alias("pred")
+        )
     )
     return (
         pred.groupBy("fold")
