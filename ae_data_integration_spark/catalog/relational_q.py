@@ -567,3 +567,52 @@ def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_late_orders"))
         .orderBy("o_orderpriority")
     )
+
+
+# --- W3: exact median via rank selection ------------------------------------
+# No percentile_approx: the middle element(s) are selected by
+# row_number against the partition count, so Spark and the oracle
+# pick the IDENTICAL values (sum of ≤2 doubles + one division — both
+# single exact IEEE ops, bit-portable). The scale path for a
+# full-table exact quantile stays the same shape: rank + count are
+# one window pass, the selection filter is free.
+
+_W3_SQL = """
+WITH r AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+  FROM orders
+)
+SELECT o_orderpriority,
+       SUM(o_totalprice) / COUNT(*) AS median_price
+FROM r
+WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("w3_median", oracle=_W3_SQL,
+          doc="Exact per-group median by row_number-vs-count selection "
+              "(deterministic middle elements, no percentile_approx).",
+          tags=("relational", "window"))
+def w3_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wc = Window.partitionBy("o_orderpriority")
+    r = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    mid = r.filter(
+        (F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("cnt") + 2) / 2))
+    )
+    return (
+        mid.groupBy("o_orderpriority")
+        .agg((F.sum("o_totalprice") / F.count(F.lit(1))).alias("median_price"))
+        .orderBy("o_orderpriority")
+    )

@@ -95,3 +95,22 @@ def run_available_now(sdf: DataFrame, query_name: str, mode: str = "complete"):
     )
     q.awaitTermination()
     return q
+
+
+def dedup_keys_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming key dedup: first arrival wins; duplicate keys inside
+    the watermark horizon are dropped and per-key state expires with
+    the watermark (dropDuplicatesWithinWatermark), so state is
+    bounded by key cardinality × horizon — the streaming twin of
+    batch `select(keys).distinct()` once the source drains.
+    """
+    return (
+        events.select("ts", *keys)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
+        .select(*keys)
+    )

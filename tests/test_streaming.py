@@ -105,3 +105,21 @@ def test_stateful_running_counts_across_batches(spark, tmp_path):
     assert got.equals(want)
     # multiple batches actually ran (update mode emits per batch)
     assert spark.table("t_state").count() > want.shape[0]
+
+
+def test_streaming_dedup_matches_batch_distinct(spark):
+    from ae_data_integration_spark.streaming.events import dedup_keys_stream
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    run_available_now(
+        dedup_keys_stream(stream), "t_dedup", mode="append"
+    )
+    got = sorted(
+        (r["user_id"], r["event_type"]) for r in spark.table("t_dedup").collect()
+    )
+    ev = table(spark, SF_SMOKE, "events")
+    want = sorted(
+        (r["user_id"], r["event_type"])
+        for r in ev.select("user_id", "event_type").distinct().collect()
+    )
+    assert got == want
