@@ -79,7 +79,13 @@ def kmeans_fit(
     Init = the k rows with smallest md5(salt‖key) — the portable
     seeded random choice (SURVEY §4.2a).
     """
-    points = df.select(F.col(key_col).alias("id"), to_double(vec_col).alias("vec"))
+    # Iterative algorithm: the points projection is read by every
+    # assign pass (n_iter + 1 of them) and Spark does not CSE common
+    # scan subtrees within one plan — persist it once, as MLlib's own
+    # iterative fitters cache their input.
+    points = df.select(
+        F.col(key_col).alias("id"), to_double(vec_col).alias("vec")
+    ).persist()
     init = (
         points.withColumn("_h", md5_rank(F.col("id"), salt))
         .orderBy("_h", "id")
