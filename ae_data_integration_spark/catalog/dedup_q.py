@@ -170,3 +170,61 @@ ORDER BY vec_id
 def d4_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     return embedding_near_dup_drops(e, bits=8, threshold=0.35).orderBy("vec_id")
+
+
+# --- PIPE1: end-to-end corpus curation --------------------------------------
+# The headline training-data flow: exact-dedup (keep-first per
+# fingerprint) → quality gate → embedding near-dup removal → per-lang
+# corpus stats. Each stage is an operator already ◆-checked alone
+# (d1/t2/d4); this query checks their composition.
+
+from ae_data_integration_spark.catalog.text_q import _T2_SQL
+from ae_data_integration_spark.functions.portable import Q20, fpavg
+from ae_data_integration_spark.functions.text import fingerprint, quality_score
+
+_PIPE1_SQL = f"""
+WITH fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents
+),
+keep_fp AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
+q AS ({_T2_SQL.replace("ORDER BY doc_id", "")}),
+drops AS ({_D4_SQL}),
+surv AS (
+  SELECT d.lang, q.quality
+  FROM documents d
+  JOIN keep_fp k ON d.doc_id = k.doc_id
+  JOIN q ON d.doc_id = q.doc_id
+  WHERE q.quality >= 0.5
+    AND d.doc_id NOT IN (SELECT vec_id FROM drops)
+)
+SELECT lang, COUNT(*) AS n_docs,
+       (SUM(CAST(round(quality * {Q20}) AS BIGINT)) / {Q20}.0) / CAST(COUNT(*) AS DOUBLE) AS avg_quality
+FROM surv GROUP BY lang ORDER BY lang
+"""
+
+
+@register("pipe1_corpus_curation", oracle=_PIPE1_SQL,
+          doc="Corpus curation end-to-end: exact dedup (keep-first), "
+              "quality gate, embedding near-dup removal, per-lang stats.",
+          tags=("dedup", "text", "pipeline", "bench"))
+def pipe1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    keep = d.groupBy(fingerprint("text").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    drops = embedding_near_dup_drops(e, bits=8, threshold=0.35).select("vec_id")
+    surv = (
+        d.join(keep, "doc_id", "left_semi")
+        .join(drops, F.col("doc_id") == F.col("vec_id"), "left_anti")
+        .select("lang", quality_score("text").alias("quality"))
+        .filter(F.col("quality") >= 0.5)
+    )
+    return (
+        surv.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            fpavg("quality", Q20).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
