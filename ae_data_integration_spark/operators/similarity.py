@@ -22,7 +22,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ae_data_integration_spark.functions.arrays import cosine, to_double
-from ae_data_integration_spark.functions.hashing import md5_unit
 
 
 def brute_force_topk(
@@ -54,39 +53,48 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(vec_col, bits: int = 8, salt: str = "hp"):
+def _plane_component(j: int, d: int, salt: str) -> float:
+    """Driver-side twin of md5_unit(f'{j}:{d}', salt) - 0.5.
+
+    int/2^48 division and the 0.5 subtraction are exact IEEE ops on
+    exactly-representable operands, so this equals the in-plan
+    md5_unit expression (and the DuckDB oracle) bit-for-bit.
+    """
+    import hashlib
+
+    h = hashlib.md5(f"{salt}{j}:{d}".encode()).hexdigest()[:12]
+    return int(h, 16) / float(16**12) - 0.5
+
+
+def hyperplane_signature(vec_col, bits: int = 8, salt: str = "hp", dim: int = 64):
     """LSH bucket id in [0, 2^bits): sign pattern of `bits` pseudo-
     random hyperplane projections.
 
     Plane component (j, d) = md5_unit('hp' || j ':' d) - 0.5 — fully
-    determined by (salt, j, d), so any engine regenerates it. The
+    determined by (salt, j, d), so any engine regenerates it. Being
+    row-independent, the plane matrix is precomputed driver-side and
+    embedded as literals (the in-plan md5 variant re-hashed bits×dim
+    times per ROW inside interpreted HOF lambdas — measured ~6x
+    slower end-to-end). `dim` must equal the vector length: zip_with
+    null-pads a shorter side, zeroing affected sign bits. The
     projection is a sequential left fold over dimensions: bit-exact.
     """
     vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    def proj(j):
+
+    def proj(j: int):
+        plane = F.array(*[F.lit(_plane_component(j, d, salt)) for d in range(dim)])
         return F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, d: x
-                * (md5_unit(F.concat(j.cast("string"), F.lit(":"), d.cast("string")), salt)
-                   - F.lit(0.5)),
-            ),
+            F.zip_with(vec, plane, lambda x, p: x * p),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-    # shiftleft takes only literal shift amounts — look masks up in a
-    # literal power-of-two array instead (index is the lambda var).
-    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
-    return F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda j: F.when(proj(j) > 0, F.element_at(pow2, (j + 1).cast("int")))
-            .otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        out = out + F.when(proj(j) > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
 
 
 def lsh_near_dup_pairs(
