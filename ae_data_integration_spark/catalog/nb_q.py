@@ -38,6 +38,20 @@ part AS (
 ),
 tot AS (SELECT y, dim, SUM(s1) AS t1, SUM(s2) AS t2, SUM(cnt) AS tc FROM part GROUP BY y, dim),
 folds AS (SELECT unnest(range(0, 5)) AS fold),
+dim_part AS (SELECT fold, dim, SUM(s1) AS ds1, SUM(s2) AS ds2, SUM(cnt) AS dc FROM part GROUP BY fold, dim),
+dim_tot AS (SELECT dim, SUM(ds1) AS dt1, SUM(ds2) AS dt2, SUM(dc) AS dtc FROM dim_part GROUP BY dim),
+dvar AS (
+  SELECT fold, u2 / n_d - (u1 / n_d) * (u1 / n_d) AS vard FROM (
+    SELECT f.fold,
+           CAST(dt.dt1 - COALESCE(dp.ds1, 0) AS DOUBLE) / 1099511627776.0 AS u1,
+           CAST(dt.dt2 - COALESCE(dp.ds2, 0) AS DOUBLE) / 1099511627776.0 AS u2,
+           dt.dtc - COALESCE(dp.dc, 0) AS n_d
+    FROM folds f
+    CROSS JOIN dim_tot dt
+    LEFT JOIN dim_part dp ON dp.fold = f.fold AND dp.dim = dt.dim
+  )
+),
+eps AS (SELECT fold, 1e-9 * MAX(vard) AS eps FROM dvar GROUP BY fold),
 stats AS (
   SELECT f.fold, t.y, t.dim,
          CAST(t.t1 - COALESCE(p.s1, 0) AS DOUBLE) / 1099511627776.0 AS sum1,
@@ -48,10 +62,10 @@ stats AS (
   LEFT JOIN part p ON p.fold = f.fold AND p.y = t.y AND p.dim = t.dim
 ),
 model AS (
-  SELECT fold, y, dim,
+  SELECT s.fold, s.y, s.dim,
          sum1 / n_tr AS mu,
-         sum2 / n_tr - (sum1 / n_tr) * (sum1 / n_tr) + 1e-9 AS var
-  FROM stats
+         sum2 / n_tr - (sum1 / n_tr) * (sum1 / n_tr) + e.eps AS var
+  FROM stats s JOIN eps e ON e.fold = s.fold
 ),
 cls_fold AS (SELECT fold, y, COUNT(*) AS cn FROM base GROUP BY fold, y),
 cls_tot AS (SELECT y, SUM(cn) AS ct FROM cls_fold GROUP BY y),

@@ -44,12 +44,14 @@ def cca_loss(
     v1_col: str = "features_v1",
     v2_col: str = "features_v2",
     out_dim: int | None = None,
-    reg: float = 1e-3,
+    reg: float = 1e-4,
 ) -> float:
     """Negative sum of the top-k canonical correlations.
 
     Mean-centering + covariance assembly distributed; eigh on k×k
-    driver-side (ref objectives.py:46-47,86 torch.linalg.eigh)."""
+    driver-side (ref objectives.py:46-47,86 torch.linalg.eigh).
+    Covariances use the reference's unbiased 1/(m-1) convention with
+    r1 = r2 = 1e-4 ridge (ref objectives.py:36-40)."""
     n = df.count()
     mu1 = np.array(
         df.agg(
@@ -68,9 +70,9 @@ def cca_loss(
             ]
         ).first()
     )
-    s11 = _cross_products(df, v1_col, v1_col) / n - np.outer(mu1, mu1)
-    s22 = _cross_products(df, v2_col, v2_col) / n - np.outer(mu2, mu2)
-    s12 = _cross_products(df, v1_col, v2_col) / n - np.outer(mu1, mu2)
+    s11 = (_cross_products(df, v1_col, v1_col) - n * np.outer(mu1, mu1)) / (n - 1)
+    s22 = (_cross_products(df, v2_col, v2_col) - n * np.outer(mu2, mu2)) / (n - 1)
+    s12 = (_cross_products(df, v1_col, v2_col) - n * np.outer(mu1, mu2)) / (n - 1)
     s11 += reg * np.eye(d1)
     s22 += reg * np.eye(len(mu2))
 

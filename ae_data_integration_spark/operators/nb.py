@@ -64,6 +64,32 @@ def gaussian_nb_cv_accuracy(
     )
     folds = df.sparkSession.range(n_folds).select(F.col("id").alias("fold"))
 
+    # sklearn GaussianNB smoothing is ADAPTIVE: epsilon = var_smoothing
+    # * max over dims of Var(x) on the fold's training rows (classes
+    # pooled), not an absolute 1e-9 — matching the reference's
+    # nb_classification.py classifier exactly.
+    dim_part = part.groupBy("fold", "dim").agg(
+        F.sum("s1").alias("ds1"), F.sum("s2").alias("ds2"), F.sum("cnt").alias("dc")
+    )
+    dim_tot = dim_part.groupBy("dim").agg(
+        F.sum("ds1").alias("dt1"), F.sum("ds2").alias("dt2"), F.sum("dc").alias("dtc")
+    )
+    dvar = (
+        folds.crossJoin(dim_tot)
+        .join(dim_part, ["fold", "dim"], "left")
+        .select(
+            "fold",
+            ((F.col("dt1") - F.coalesce(F.col("ds1"), F.lit(0))) / F.lit(float(Q40))).alias("u1"),
+            ((F.col("dt2") - F.coalesce(F.col("ds2"), F.lit(0))) / F.lit(float(Q40))).alias("u2"),
+            (F.col("dtc") - F.coalesce(F.col("dc"), F.lit(0))).alias("n_d"),
+        )
+        .withColumn("mud", F.col("u1") / F.col("n_d"))
+        .withColumn("vard", F.col("u2") / F.col("n_d") - F.col("mud") * F.col("mud"))
+    )
+    eps = dvar.groupBy("fold").agg(
+        (F.lit(var_smoothing) * F.max("vard")).alias("eps")
+    )
+
     # Train stats for test-fold f = totals − fold-f partials.
     stats = (
         folds.crossJoin(tot)
@@ -74,10 +100,11 @@ def gaussian_nb_cv_accuracy(
             ((F.col("t2") - F.coalesce(F.col("s2"), F.lit(0))) / F.lit(float(Q40))).alias("sum2"),
             (F.col("tc") - F.coalesce(F.col("cnt"), F.lit(0))).alias("n_tr"),
         )
+        .join(F.broadcast(eps), "fold")
         .withColumn("mu", F.col("sum1") / F.col("n_tr"))
         .withColumn(
             "var",
-            F.col("sum2") / F.col("n_tr") - F.col("mu") * F.col("mu") + F.lit(var_smoothing),
+            F.col("sum2") / F.col("n_tr") - F.col("mu") * F.col("mu") + F.col("eps"),
         )
     )
 

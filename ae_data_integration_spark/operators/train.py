@@ -24,6 +24,7 @@ batch size, CNC_AE_model_selection.py:304) is reproduced behind
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -294,11 +295,17 @@ def mocss_composite_loss(
     temperature: float = 0.4,
 ) -> float:
     """A6 (ref MOCSS_AE_model_selection.py:46-119, mocss.py:34-135):
-    ortho = mean(shared ⊙ specific) per view; + NT-Xent over the two
-    shared embeddings (temperature fixed 0.4, ref :289); the study's
-    tuned weight applies to RECON (ref MOCSS_AE_model_selection.py:291).
+    ortho = mean(norm(shared) ⊙ norm(specific)) per view — the
+    reference's SharedAndSpecificLoss.orthogonal_loss row-L2-normalizes
+    BOTH inputs first (F.normalize(p=2, dim=1),
+    MOCSS_AE_model_selection.py:56-62); + NT-Xent over the two shared
+    embeddings (temperature fixed 0.4, ref :289); the study's tuned
+    weight applies to RECON (ref MOCSS_AE_model_selection.py:291).
     """
-    ortho = float(np.mean(z_shared_i * z_spec_i) + np.mean(z_shared_j * z_spec_j))
+    ortho = float(
+        np.mean(_l2norm_rows(z_shared_i) * _l2norm_rows(z_spec_i))
+        + np.mean(_l2norm_rows(z_shared_j) * _l2norm_rows(z_spec_j))
+    )
     contrastive = instance_loss(z_shared_i, z_shared_j, temperature)
     return ortho + contrastive + ortho_multiplier * recon
 
@@ -314,9 +321,10 @@ def cluster_loss(
     k = c_i.shape[1]
 
     def neg_entropy(c: np.ndarray) -> float:
+        # ref contrastive_loss.py:93-96: ne_i = log(p.size(0)) + Σ p·log p
         p = c.sum(axis=0) / c.sum()
         p = np.clip(p, 1e-12, None)
-        return float((p * np.log(p)).sum())
+        return float(math.log(len(p)) + (p * np.log(p)).sum())
 
     cols = np.concatenate([c_i.T, c_j.T], axis=0)  # 2k rows = columns
     cn = _l2norm_rows(cols)
