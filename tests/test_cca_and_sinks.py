@@ -32,9 +32,11 @@ def test_cca_loss_matches_numpy(spark):
     x2 = np.stack(pdf["features_v2"].to_numpy())
     n = len(x1)
     x1c, x2c = x1 - x1.mean(0), x2 - x2.mean(0)
-    s11 = x1c.T @ x1c / n + 1e-3 * np.eye(8)
-    s22 = x2c.T @ x2c / n + 1e-3 * np.eye(8)
-    s12 = x1c.T @ x2c / n
+    # unbiased 1/(n-1) covariances, matching operators/cca.py:73-75
+    # (ref Simulation_Auxiliary/objectives.py:36-40)
+    s11 = x1c.T @ x1c / (n - 1) + 1e-3 * np.eye(8)
+    s22 = x2c.T @ x2c / (n - 1) + 1e-3 * np.eye(8)
+    s12 = x1c.T @ x2c / (n - 1)
 
     def inv_sqrt(m):
         w, v = np.linalg.eigh(m)

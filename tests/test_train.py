@@ -118,8 +118,13 @@ def test_mocss_composite_combines():
     sh_i, sh_j = rng.normal(size=(4, 6)), rng.normal(size=(4, 6))
     sp_i, sp_j = rng.normal(size=(4, 6)), rng.normal(size=(4, 6))
     got = mocss_composite_loss(sh_i, sh_j, sp_i, sp_j, recon=2.0, ortho_multiplier=0.5)
+
+    def l2n(m):
+        # ref MOCSS_AE_model_selection.py:56-62 F.normalize(p=2, dim=1)
+        return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
     want = (
-        float(np.mean(sh_i * sp_i) + np.mean(sh_j * sp_j))
+        float(np.mean(l2n(sh_i) * l2n(sp_i)) + np.mean(l2n(sh_j) * l2n(sp_j)))
         + instance_loss(sh_i, sh_j, 0.4)
         + 0.5 * 2.0
     )
@@ -128,7 +133,10 @@ def test_mocss_composite_combines():
 
 def test_cluster_loss_structure():
     """A8: identical assignments minimize the contrastive part; the
-    entropy terms match a direct computation."""
+    full loss matches a brute-force recomputation including the
+    log(k) entropy offset (ref contrastive_loss.py:93-96)."""
+    import math
+
     from ae_data_integration_spark.operators.train import cluster_loss
 
     rng = np.random.default_rng(9)
@@ -137,8 +145,25 @@ def test_cluster_loss_structure():
     same = cluster_loss(c, c)
     diff = cluster_loss(c, np.roll(c, 2, axis=1))
     assert same < diff  # aligned assignments score better
-    p = c.sum(0) / c.sum()
-    want_ent = float((p * np.log(p)).sum())
-    noisy = cluster_loss(c, c) - cluster_loss(c, c)  # determinism
-    assert noisy == 0.0
-    assert same > 2 * want_ent  # contrastive part is positive
+    assert cluster_loss(c, c) == same  # deterministic
+
+    # Brute-force golden: softmax-CE over the 2k assignment columns
+    # plus ne = log(k) + Σ p·log p per view.
+    k = c.shape[1]
+
+    def neg_ent(m):
+        p = m.sum(axis=0) / m.sum()
+        return math.log(k) + float((p * np.log(p)).sum())
+
+    cols = np.concatenate([c.T, c.T], axis=0)
+    cn = cols / np.maximum(np.linalg.norm(cols, axis=1, keepdims=True), 1e-12)
+    sim = cn @ cn.T
+    total = 0.0
+    for r in range(2 * k):
+        pos_c = r + k if r < k else r - k
+        negs = [x for x in range(2 * k) if x != r and x != pos_c]
+        logits = np.array([sim[r, pos_c]] + [sim[r, x] for x in negs])
+        p = np.exp(logits - logits.max())
+        total += -np.log(p[0] / p.sum())
+    want = total / (2 * k) + 2 * neg_ent(c)
+    assert same == pytest.approx(want, rel=1e-12)
