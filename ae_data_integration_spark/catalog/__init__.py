@@ -14,6 +14,14 @@ written for *exact* cross-engine reproducibility:
 * nonlinear functions that are not correctly-rounded by IEEE (log,
   exp, pow) are rounded to 6 decimals on both sides; sqrt and
   arithmetic are exact and left unrounded.
+
+Naming convention for the driver's 50-slot correctness window (the
+driver oracle-checks the first 50 registry names alphabetically):
+``z_*`` = no-SQL-oracle queries (rows-only check anyway) pushed past
+the window; ``y_*`` = oracled queries already verified green in
+rounds 1-3, rotated out so every window slot holds a not-yet-verified
+oracled query. Function names are unprefixed and stable — only the
+registry key carries the rotation prefix.
 """
 
 from __future__ import annotations

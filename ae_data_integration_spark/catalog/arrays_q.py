@@ -200,7 +200,7 @@ ORDER BY dim
 """
 
 
-@register("a5_ortho_coldot", oracle=_A5_SQL,
+@register("y_a5_ortho_coldot", oracle=_A5_SQL,
           doc="Per-dimension dot over samples (ref JISAE-O3_selection.py:281-300).",
           tags=("arrays", "loss"))
 def a5_ortho_coldot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,7 +231,7 @@ FROM embeddings
 """
 
 
-@register("a4_ortho_rowdot_sq", oracle=_A4_SQL,
+@register("y_a4_ortho_rowdot_sq", oracle=_A4_SQL,
           doc="Σ diag(z12 z1ᵀ)² per-sample squared dots (ref JISAE-O2_selection.py:281-305).",
           tags=("arrays", "loss"))
 def a4_ortho_rowdot_sq(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -14,7 +14,12 @@ from pyspark.sql import functions as F
 
 from ae_data_integration_spark.catalog import register
 from ae_data_integration_spark.functions.portable import Q30, fpsum
-from ae_data_integration_spark.operators.kmeans import ch_dbi, kmeans_mllib, kmeans_relational
+from ae_data_integration_spark.operators.kmeans import (
+    ch_dbi,
+    kmeans_mllib,
+    kmeans_relational,
+    silhouette_cosine,
+)
 from ae_data_integration_spark.tables import table
 
 _K, _ITER = 5, 2
@@ -89,7 +94,7 @@ def c1_kmeans_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("c1_kmeans_mllib", oracle=None,
+@register("z_c1_kmeans_mllib", oracle=None,
           doc="MLlib KMeans (k-means||) — production path; rows-only "
               "(internal init is not SQL-replayable).",
           tags=("clustering",))
@@ -158,12 +163,60 @@ def c5_ch_dbi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_dbi(e, "label", "embedding")
 
 
+# --- C5b: simplified cosine silhouette --------------------------------------
+
+_DOTP = (
+    "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]),"
+    " (x, y) -> x + y)"
+)
+
+
+def _cosd(a: str, b: str) -> str:
+    dot = _DOTP.format(a=a, b=b)
+    na = _DOTP.format(a=a, b=a)
+    nb = _DOTP.format(a=b, b=b)
+    return f"1.0 - ({dot} / greatest(sqrt({na}) * sqrt({nb}), 1e-12))"
+
+
+_C5S_SQL = f"""
+WITH pts AS (SELECT vec_id AS id, label AS c, {_V} AS vec FROM embeddings),
+long AS (SELECT c, generate_subscripts(vec, 1) AS dim, unnest(vec) AS x FROM pts),
+cent_m AS (
+  SELECT c, dim, (SUM(CAST(round(x * {Q30}) AS BIGINT)) / {Q30}.0) / CAST(COUNT(*) AS DOUBLE) AS m
+  FROM long GROUP BY c, dim
+),
+cent AS (SELECT c AS cj, list(m ORDER BY dim) AS centroid FROM cent_m GROUP BY c),
+pd AS (
+  SELECT p.id, p.c, ct.cj, {_cosd('p.vec', 'ct.centroid')} AS d
+  FROM pts p CROSS JOIN cent ct
+),
+ab AS (
+  SELECT id, c,
+         MIN(CASE WHEN cj = c THEN d END) AS a,
+         MIN(CASE WHEN cj != c THEN d END) AS b
+  FROM pd GROUP BY id, c
+)
+SELECT (SUM(CAST(round(((b - a) / greatest(a, b, 1e-12)) * {Q30}) AS BIGINT)) / {Q30}.0)
+         / CAST(COUNT(*) AS DOUBLE) AS silhouette
+FROM ab
+"""
+
+
+@register("c5_silhouette", oracle=_C5S_SQL,
+          doc="Simplified cosine silhouette via centroid broadcast join — "
+              "O(N·k), completes C5 (ref test_metrics.py:15-17).",
+          tags=("clustering", "metrics"))
+def c5_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return silhouette_cosine(e, "vec_id", "label", "embedding")
+
+
 # --- C2: DBSCAN (ref mocss.py:410; no MLlib counterpart) --------------------
 
 from ae_data_integration_spark.operators.dbscan import dbscan
 
 
-@register("c2_dbscan", oracle=None,
+@register("z_c2_dbscan", oracle=None,
           doc="Distributed DBSCAN: ε-pair join, core-point filter, min-label "
               "propagation components (ref mocss.py:410); iterative → "
               "rows-only, numpy golden in tests/test_dbscan.py.",

@@ -168,7 +168,7 @@ def _make_c8(arch: str):
 
 for _arch in ARCHITECTURES:
     register(
-        f"c8_infer_{_arch.lower().replace('-', '_')}",
+        f"z_c8_infer_{_arch.lower().replace('-', '_')}",
         oracle=None,
         doc=f"Batched {_arch} AE inference via numpy mapInPandas "
             "(ref embedding_from_retrained_models.py:7-92); golden-tested "

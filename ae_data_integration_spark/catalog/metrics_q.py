@@ -107,7 +107,7 @@ def c4_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- C4b: Munkres-matched accuracy (driver-side Hungarian; no SQL oracle) ---
 
 
-@register("c4_munkres_accuracy", oracle=None,
+@register("z_c4_munkres_accuracy", oracle=None,
           doc="Hungarian-matched clustering accuracy (ref evaluation.py:34-53); "
               "k×k assignment on the driver → rows-only check.",
           tags=("metrics",))

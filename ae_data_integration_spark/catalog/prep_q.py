@@ -144,7 +144,7 @@ ORDER BY o_orderkey
 """
 
 
-@register("n3_mean_center", oracle=_N3_SQL,
+@register("y_n3_mean_center", oracle=_N3_SQL,
           doc="x - mean(x) with decimal-exact mean (ref mocss.py:40-41).",
           tags=("prep", "scale"))
 def n3_mean_center(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -171,7 +171,7 @@ ORDER BY priority_code
 """
 
 
-@register("p2_derive_label", oracle=_P2_SQL,
+@register("y_p2_derive_label", oracle=_P2_SQL,
           doc="Split-on-delimiter label derivation (ref CNC_AE_model_selection.py:514).",
           tags=("string", "prep"))
 def p2_derive_label(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,7 +260,7 @@ ORDER BY c_mktsegment
 """
 
 
-@register("p5_anti_join", oracle=_P5_SQL,
+@register("y_p5_anti_join", oracle=_P5_SQL,
           doc="Left-anti join: set-difference of keys (ref Data_prep.py:56).",
           tags=("join",))
 def p5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,7 +421,7 @@ ORDER BY returnflag, linestatus
 """
 
 
-@register("g1_rollup", oracle=_G1_SQL,
+@register("y_g1_rollup", oracle=_G1_SQL,
           doc="ROLLUP hierarchy totals (subtotal + grand-total rows); "
               "fixed-point sums at every grouping level.",
           tags=("relational", "agg"))
@@ -454,7 +454,7 @@ ORDER BY status, priority
 """
 
 
-@register("g2_cube", oracle=_G2_SQL,
+@register("y_g2_cube", oracle=_G2_SQL,
           doc="CUBE over two dimensions — all 2^k grouping sets in one pass.",
           tags=("relational", "agg"))
 def g2_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,7 +483,7 @@ ORDER BY total_qty DESC, o_orderkey
 """
 
 
-@register("q18_large_orders", oracle=_Q18_SQL,
+@register("y_q18_large_orders", oracle=_Q18_SQL,
           doc="Aggregate-then-filter (HAVING) over a fact-fact join.",
           tags=("relational", "agg"))
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -515,7 +515,7 @@ ORDER BY p_partkey
 """
 
 
-@register("q17_above_brand_avg", oracle=_Q17_SQL,
+@register("y_q17_above_brand_avg", oracle=_Q17_SQL,
           doc="Correlated scalar subquery, decorrelated to agg + broadcast join.",
           tags=("relational", "join"))
 def q17_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:

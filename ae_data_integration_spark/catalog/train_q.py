@@ -16,7 +16,7 @@ from ae_data_integration_spark.operators.train import objective_cv, sample_param
 from ae_data_integration_spark.tables import table
 
 
-@register("o3_objective_cv", oracle=None,
+@register("z_o3_objective_cv", oracle=None,
           doc="One model-selection trial: 5-fold CV AE training, all folds "
               "in parallel via applyInPandas (ref CNC_AE_model_selection.py:319-381); "
               "rows-only (gradient descent is not SQL).",

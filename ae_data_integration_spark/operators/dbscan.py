@@ -66,10 +66,14 @@ def candidate_pairs(
     down to true ε-pairs. ``pts`` must have (id, vec) columns."""
     a = pts.select(F.col("id").alias("ia"), F.col("vec").alias("va"))
     b = pts.select(F.col("id").alias("ib"), F.col("vec").alias("vb"))
-    if exact:
+    head = pts.select("vec").first()
+    if exact or head is None or head[0] is None:
+        # Exact theta join; also the empty-input path (head is None):
+        # the join over zero rows is a no-op and avoids probing a
+        # nonexistent first vector for dimensionality.
         cand = a.join(b, F.col("ia") <= F.col("ib"))
     else:
-        d = len(pts.select("vec").first()[0])
+        d = len(head[0])
         p = max(1, min(grid_dims, d))
         dims = _top_variance_dims(pts, d, p)
         cells = pts.select(
@@ -139,7 +143,10 @@ def dbscan(
     )
 
     # Min-label propagation over core-core edges (one hop per pass).
-    labels = core.select("id", F.col("id").alias("lbl"))
+    # Each pass persists its result and unpersists the previous one —
+    # only the frontier generation stays cached, so a 50-pass run
+    # holds one labels DataFrame in memory, not 50.
+    labels = core.select("id", F.col("id").alias("lbl")).persist()
     changed = 0
     for _ in range(max_iter):
         nb_min = (
@@ -153,14 +160,16 @@ def dbscan(
                 "id",
                 F.least(F.col("lbl"), F.coalesce(F.col("nb_lbl"), F.col("lbl"))).alias("lbl"),
             )
+            .persist()
         )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.lbl") != F.col("o.lbl"))
             .count()
-        )
-        labels = new_labels.persist()
+        )  # materializes new_labels; the old generation is now safe to drop
+        labels.unpersist()
+        labels = new_labels
         if changed == 0:
             break
     if changed:

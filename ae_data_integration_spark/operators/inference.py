@@ -130,3 +130,44 @@ def embed_and_recon(
             )
 
     return df.mapInPandas(run, schema)
+
+
+def embed_with_params(
+    df: DataFrame,
+    params: dict,
+    key_col: str = "sample_id",
+    v1_col: str = "features_v1",
+    v2_col: str = "features_v2",
+) -> DataFrame:
+    """Pipeline twin of ``embed_and_recon`` that runs TRAINED weights
+    (a two-layer tanh AE from operators/train.py) instead of
+    spec-built ones: weights broadcast once per executor, Arrow-
+    batched mapInPandas over (key, v1, v2) — never a driver-side
+    matrix (ref embedding_from_retrained_models.py:7-92 batched
+    eval + vertical concat)."""
+    spark = df.sparkSession
+    bw = spark.sparkContext.broadcast({k: np.asarray(v) for k, v in params.items()})
+    schema = f"{key_col} string, embedding array<double>, recon_loss double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = bw.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.concatenate(
+                [np.stack(pdf[v1_col].to_numpy()), np.stack(pdf[v2_col].to_numpy())],
+                axis=1,
+            )
+            xn = _l2norm_rows(x)
+            h = np.tanh(xn @ w["W1"] + w["b1"])
+            xhat = h @ w["W2"] + w["b2"]
+            recon = np.sqrt(((xhat - xn) ** 2).sum(axis=1))
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].astype(str),
+                    "embedding": list(h),
+                    "recon_loss": recon,
+                }
+            )
+
+    return df.mapInPandas(run, schema)

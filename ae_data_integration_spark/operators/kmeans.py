@@ -133,6 +133,66 @@ def kmeans_mllib(
     )
 
 
+def silhouette_cosine(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    cluster_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette with cosine distance.
+
+    Completes C5 next to CH/DBI (ref Simulation_Auxiliary/
+    test_metrics.py:15-17 silhouette_score(metric='cosine')). The
+    simplified variant scores each point against cluster CENTROIDS
+    instead of all points: a_i = cosdist(x_i, own centroid), b_i =
+    min over other centroids — O(N·k) via one broadcast join, no N²
+    pairwise pass, so it survives 100-TB inputs (this is also what
+    MLlib's ClusteringEvaluator computes, for the same reason).
+    s_i = (b_i - a_i) / max(a_i, b_i); result = mean s_i.
+    """
+    pts = df.select(
+        F.col(key_col).alias("id"),
+        F.col(cluster_col).alias("c"),
+        to_double(vec_col).alias("vec"),
+    )
+    long = pts.select("c", F.posexplode("vec").alias("dim", "x"))
+    cent = long.groupBy("c", "dim").agg(
+        (fpsum("x", Q30) / F.count(F.lit(1)).cast("double")).alias("m")
+    )
+    cent_arr = (
+        cent.groupBy("c")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("_dm"))
+        .select(F.col("c").alias("cj"), F.transform("_dm", lambda s: s["m"]).alias("centroid"))
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    def _norm(a):
+        return F.sqrt(_dot(a, a))
+
+    scored = pts.crossJoin(F.broadcast(cent_arr)).select(
+        "id", "c", "cj",
+        (
+            F.lit(1.0)
+            - _dot("vec", "centroid")
+            / F.greatest(_norm("vec") * _norm("centroid"), F.lit(1e-12))
+        ).alias("d"),
+    )
+    ab = scored.groupBy("id", "c").agg(
+        F.min(F.when(F.col("cj") == F.col("c"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("cj") != F.col("c"), F.col("d"))).alias("b"),
+    )
+    s = ab.select(
+        ((F.col("b") - F.col("a")) / F.greatest("a", "b", F.lit(1e-12))).alias("s")
+    )
+    return s.agg(
+        (fpsum("s", Q30) / F.count(F.lit(1)).cast("double")).alias("silhouette")
+    )
+
+
 def ch_dbi(
     df: DataFrame, cluster_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

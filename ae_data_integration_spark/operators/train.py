@@ -161,6 +161,8 @@ def objective_cv(
     n_folds: int = 5,
     salt: str = "cv21",
     compat_val_divisor: bool = False,
+    fold_salt: str | None = None,
+    seed_salt: str | None = None,
 ) -> DataFrame:
     """O3: one trial's k-fold CV — every fold trains in parallel.
 
@@ -168,12 +170,19 @@ def objective_cv(
     grouped by fold, and applyInPandas runs the numpy training loop
     per group — one executor task per fold, zero driver loops.
     Returns (fold, n_train, n_val, val_loss, last_train_loss).
+
+    ``fold_salt``/``seed_salt`` default to ``salt``; a multi-trial
+    search passes a fixed fold_salt (same folds every trial, the
+    reference's KFold reuse) and a per-trial seed_salt (fresh init
+    per trial).
     """
     hyper = hyper or sample_params(0)
+    fold_salt = salt if fold_salt is None else fold_salt
+    salt = salt if seed_salt is None else seed_salt
     base = df.select(
         F.col(key_col).alias("id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
-        md5_bucket(key_col, n_folds, salt).alias("fold"),
+        md5_bucket(key_col, n_folds, fold_salt).alias("fold"),
     )
     replicated = base.select(
         "id", "vec",
@@ -213,6 +222,61 @@ def objective_cv(
         .applyInPandas(run, schema)
         .orderBy("fold")
     )
+
+
+def train_full_on_executor(
+    df: DataFrame,
+    key_col: str = "sample_id",
+    vec_col: str = "vec",
+    hyper: dict | None = None,
+    seed: int = 0,
+) -> dict:
+    """O4 retrain with zero driver-side data movement: every row routes
+    to ONE applyInPandas group (a single executor task — the analogue
+    of the reference's one GPU worker), the numpy training loop runs
+    there, and only the flattened WEIGHTS come back to the driver
+    (k×d rows, model-sized, not data-sized).
+
+    At genuine 100-TB scale a single-model SGD retrain becomes a
+    torch-distributed job; this function encodes the Spark-side
+    contract that job must honor — deterministic row order (sort by
+    key), md5-derived seed, weights as the only driver-bound output
+    (ref CNC_AE_model_selection.py:528-552 retrain stage).
+    """
+    hyper = hyper or sample_params(0)
+    base = df.select(
+        F.col(key_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
+        F.lit(0).alias("_g"),
+    )
+    schema = "name string, idx long, vals array<double>"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id")
+        x = np.stack(pdf["vec"].to_numpy())
+        params, _, _ = train_ae_numpy(x, None, hyper, seed=seed)
+        names, idxs, vals = [], [], []
+        for name, arr in params.items():
+            if arr.ndim == 1:
+                names.append(name); idxs.append(-1)
+                vals.append([float(v) for v in arr])
+            else:
+                for i, row in enumerate(arr):
+                    names.append(name); idxs.append(i)
+                    vals.append([float(v) for v in row])
+        return pd.DataFrame({"name": names, "idx": idxs, "vals": vals})
+
+    rows = base.groupBy("_g").applyInPandas(run, schema).collect()
+    out: dict[str, np.ndarray] = {}
+    by_name: dict[str, list] = {}
+    for r in rows:
+        by_name.setdefault(r["name"], []).append((r["idx"], r["vals"]))
+    for name, items in by_name.items():
+        if len(items) == 1 and items[0][0] == -1:
+            out[name] = np.array(items[0][1])
+        else:
+            out[name] = np.array([v for _, v in sorted(items)])
+    return out
 
 
 def random_search(

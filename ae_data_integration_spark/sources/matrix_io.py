@@ -126,6 +126,39 @@ def read_headerless_csv(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("header", False).csv(path)
 
 
+def read_numpy_text(
+    spark: SparkSession, path: str, delimiter: str | None = None
+) -> DataFrame:
+    """S4: np.loadtxt parity (ref Simulation_Auxiliary/test_metrics.py:5)
+    — whitespace- (or delimiter-) separated numeric rows as
+    (row_idx, vec array<double>). row_idx is np.loadtxt's positional
+    row number; at scale prefer keyed formats, but the reader itself
+    is distributed (spark.read.text + JVM split/cast, no Python UDF).
+    """
+    txt = spark.read.text(path).select(
+        F.monotonically_increasing_id().alias("_file_pos"), "value"
+    )
+    # For a single-file text read the split order follows file offset,
+    # so monotonically_increasing_id preserves line order (partition
+    # index in the high bits); the rank densifies it to 0..n-1.
+    from pyspark.sql import Window
+
+    sep = delimiter if delimiter is not None else r"\s+"
+    return (
+        txt.filter(F.trim("value") != "")
+        .withColumn(
+            "row_idx",
+            F.row_number().over(Window.orderBy("_file_pos")).cast("long") - 1,
+        )
+        .select(
+            "row_idx",
+            F.transform(
+                F.split(F.trim("value"), sep), lambda x: x.cast("double")
+            ).alias("vec"),
+        )
+    )
+
+
 def read_results_json(spark: SparkSession, path: str) -> DataFrame:
     """S5: json.load of metric dicts (ref AE_results.ipynb cell 22)."""
     return spark.read.option("multiLine", True).json(path)

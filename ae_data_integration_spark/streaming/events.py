@@ -8,10 +8,10 @@ watermark expiry) the streaming state equals the batch result, which
 is how tests/test_streaming.py verifies it.
 
 Scale notes: the hourly rollup keys state by (window, event_type) —
-bounded by cardinality × watermark horizon; the per-user session agg
-uses applyInPandasWithState-free sessionization only in batch (true
-streaming sessionization would key state by user_id with a 30-min
-timeout; left for the next round)."""
+bounded by cardinality × watermark horizon; sessionize_stream keys
+state by user_id (one open session per user — three longs) with an
+event-time timeout, so state is bounded by active-user cardinality,
+not event volume."""
 
 from __future__ import annotations
 
@@ -52,8 +52,21 @@ def read_events_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(sf_dir)
-    if dict(df.dtypes).get("ts") == "bigint":
+    # Same ts normalization as tables.table so stream and batch plans
+    # see identical columns under every testdata layout.
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+                )
+            ),
+        )
     return df
 
 
@@ -95,6 +108,90 @@ def run_available_now(sdf: DataFrame, query_name: str, mode: str = "complete"):
     )
     q.awaitTermination()
     return q
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """True streaming sessionization — the streaming twin of
+    e2_sessionize (catalog/events_q.py): per-user sessions split on a
+    30-min inactivity gap, emitted as (user_id, session_start_us,
+    n_events) rows the moment each session CLOSES.
+
+    Mechanics: ``applyInPandasWithState`` keyed by user_id holds one
+    open session (start_us, last_us, n — three longs, so state is
+    bounded by active users, not events). Within a micro-batch,
+    sorted events extend or split the open session; sessions closed
+    by an in-batch gap emit immediately. The open session registers
+    an event-time timeout at last_us + gap: when the watermark passes
+    it, the timed-out invocation emits the session and clears the
+    state — late data beyond the watermark can no longer reopen it,
+    which is exactly the correctness contract watermarks buy.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import StructType
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = StructType.fromDDL(
+        "user_id long, session_start_us long, n_events long"
+    )
+    state_schema = StructType.fromDDL("start_us long, last_us long, n long")
+
+    def fn(key, pdfs, state: GroupState):
+        user_id = int(key[0])
+        if state.hasTimedOut:
+            start_us, _last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "session_start_us": [start_us], "n_events": [n]}
+            )
+            return
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        batch = pd.concat(parts).sort_values(["ts", "event_id"])
+        ts_us = (batch["ts"].astype("int64") // 1000).tolist()
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = None
+            last_us = n = 0
+        closed: list[tuple[int, int]] = []
+        for t in ts_us:
+            if start_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > gap_us:
+                closed.append((start_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us = t
+                n += 1
+        state.update((start_us, last_us, n))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start_us": [s for s, _ in closed],
+                    "n_events": [c for _, c in closed],
+                }
+            )
+
+    return (
+        events.select("user_id", "event_id", "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
 
 
 def dedup_keys_stream(

@@ -23,18 +23,39 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # ts is TIMESTAMP(NANOS) parquet, which Spark cannot read
-        # natively. Set the legacy conf at runtime (the driver's own
-        # session won't have it at build time), read nanos as long,
-        # truncate to micros — exactly what DuckDB's micro-resolution
-        # TIMESTAMP does.
+        # The driver has shipped events.ts in three physical layouts
+        # across rounds: TIMESTAMP(NANOS) (unreadable natively — needs
+        # the legacy nanos-as-long conf), timestamp[us] (Spark reads it
+        # as TIMESTAMP_NTZ), and plain TIMESTAMP. Set the legacy conf
+        # unconditionally (harmless for the non-nanos layouts), then
+        # type-dispatch on what actually materialized and normalize to
+        # session-TZ-free TIMESTAMP so downstream `unix_micros(ts)`
+        # matches DuckDB's `epoch_us` (UTC) exactly.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        if isinstance(df.schema["ts"].dataType, LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # legacy nanos-as-long → truncate to micros (DuckDB's
+            # micro-resolution TIMESTAMP does the same).
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # NTZ → micros-since-epoch via a timezone-free diff against
+            # the NTZ epoch literal, then rebuild as TIMESTAMP. Going
+            # through `cast` instead would apply the session timezone
+            # and break under the driver's unknown TZ.
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.expr(
+                        "timestampdiff(MICROSECOND,"
+                        " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+                    )
+                ),
+            )
+        # TimestampType: already what downstream expects.
     return df
 
 

@@ -74,6 +74,30 @@ def test_dbscan_exact_variant_agrees(spark, blob_df):
     assert got == {i: int(want[i]) for i in range(len(x))}
 
 
+def test_dbscan_empty_input(spark):
+    """Regression: the grid path used to probe first()[0] for
+    dimensionality and raise TypeError on zero rows."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert dbscan(empty, eps=1.5, min_pts=4).collect() == []
+    assert candidate_pairs(
+        empty.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
+        eps=1.5,
+    ).collect() == []
+
+
+def test_dbscan_iteration_cache_bounded(spark, blob_df):
+    """Regression: label propagation must not leave one persisted
+    DataFrame per iteration behind (only O(1) generations cached)."""
+    df, _ = blob_df
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    dbscan(df, eps=1.5, min_pts=4).collect()
+    after = jsc.getPersistentRDDs().size()
+    # sym + core_edges + the final labels generation stay cached; the
+    # per-iteration generations must have been unpersisted.
+    assert after - before <= 4
+
+
 def test_grid_candidates_prune_far_pairs(spark, blob_df):
     """The grid-bucket join must (a) keep every true ε-pair and
     (b) examine far fewer candidates than the N² all-pairs join."""

@@ -64,6 +64,60 @@ def test_full_pipeline(spark, omics_pair, tmp_path):
     assert {"W1", "b1", "W2", "b2"} <= set(w)
 
 
+def test_distributed_matches_fixture_path(spark, omics_pair):
+    """The default (distributed) path and the collect-to-driver twin
+    share fold assignment and seeds — cv losses, best trial, and
+    embeddings must agree exactly."""
+    p1, p2, _ = omics_pair
+    rd = run_reference_pipeline(spark, p1, p2, n_trials=2, n_folds=2)
+    rf = run_reference_pipeline(spark, p1, p2, n_trials=2, n_folds=2, fixture_scale=True)
+    assert [t["cv_loss"] for t in rd.trials] == [t["cv_loss"] for t in rf.trials]
+    assert rd.best_trial["trial"] == rf.best_trial["trial"]
+    de = {r["sample_id"]: (r["label"], r["embedding"]) for r in rd.embeddings.collect()}
+    fe = {r["sample_id"]: (r["label"], r["embedding"]) for r in rf.embeddings.collect()}
+    assert de == fe
+    assert abs(rd.recon_stats["mean"] - rf.recon_stats["mean"]) < 1e-6
+
+
+def test_default_path_never_collects_matrix(spark, omics_pair, monkeypatch):
+    """Scale guard: the default pipeline must not move row data to the
+    driver via toPandas (the r03 verdict's driver-OOM scale-killer)."""
+    p1, p2, _ = omics_pair
+    df_cls = type(spark.range(1))
+
+    def boom(self, *a, **k):  # noqa: ANN001
+        raise AssertionError("toPandas called in default pipeline path")
+
+    monkeypatch.setattr(df_cls, "toPandas", boom)
+    res = run_reference_pipeline(spark, p1, p2, n_trials=1, n_folds=2)
+    assert res.embeddings.count() > 0
+
+
+def test_sweep_orchestrator(spark, omics_pair, tmp_path):
+    """O7: a 2-dataset fixture sweep emits one summary row per dataset
+    with the AE_results.ipynb column set."""
+    from ae_data_integration_spark.pipelines.sweep import simulation_grid, sweep_datasets
+
+    p1, p2, n = omics_pair
+    out = sweep_datasets(
+        spark,
+        [("ds_a", p1, p2), ("ds_b", p1, p2)],
+        n_trials=1,
+        n_folds=2,
+        artifacts_root=str(tmp_path),
+    )
+    rows = {r["dataset"]: r for r in out.collect()}
+    assert set(rows) == {"ds_a", "ds_b"}
+    for r in rows.values():
+        assert r["n_train"] + r["n_test"] == n
+        assert 0.0 <= r["nmi"] <= 1.0
+        assert r["cv_loss"] > 0
+    # identical inputs → identical summary rows (determinism)
+    assert rows["ds_a"].asDict() == {**rows["ds_b"].asDict(), "dataset": "ds_a"}
+    # the reference's 4×5 grid enumerates 20 datasets
+    assert len(simulation_grid("/data")) == 20
+
+
 def test_pipeline_deterministic(spark, omics_pair):
     p1, p2, _ = omics_pair
     r1 = run_reference_pipeline(spark, p1, p2, n_trials=1, n_folds=2)

@@ -107,6 +107,103 @@ def test_stateful_running_counts_across_batches(spark, tmp_path):
     assert spark.table("t_state").count() > want.shape[0]
 
 
+def test_streaming_sessionization_matches_batch(spark, tmp_path):
+    """sessionize_stream over a full drain emits exactly the sessions
+    the batch e2 logic finds. A far-future sentinel event per user
+    forces every real session closed; sentinel sessions stay open in
+    state and are never emitted."""
+    from ae_data_integration_spark.streaming.events import sessionize_stream
+
+    ev = table(spark, SF_SMOKE, "events").select("user_id", "event_id", "ts")
+    ten_days_us = 10 * 24 * 3600 * 1_000_000
+    # One GLOBAL sentinel timestamp: per-user sentinels would time out
+    # against the global watermark for every user but the latest one.
+    mx_us = ev.agg(F.max(F.unix_micros("ts")).alias("m")).first()["m"] + ten_days_us
+    flush = ev.select("user_id").distinct().select(
+        "user_id",
+        F.lit(-1).cast("long").alias("event_id"),
+        F.timestamp_micros(F.lit(mx_us)).alias("ts"),
+    )
+    src = str(tmp_path / "sess_src")
+    ev.unionByName(flush).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    run_available_now(sessionize_stream(stream), "t_sess", mode="append")
+    got = sorted(
+        (r["user_id"], r["session_start_us"], r["n_events"])
+        for r in spark.table("t_sess").collect()
+    )
+
+    # batch golden: lag/gap/running-sum sessionization (e2 shape)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    base = ev.select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
+    flagged = base.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sess_id", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    want = sorted(
+        (r["user_id"], r["session_start_us"], r["n_events"])
+        for r in sess.groupBy("user_id", "sess_id")
+        .agg(F.min("ts_us").alias("session_start_us"), F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    assert got == want
+
+
+def test_streaming_sessionization_event_time_timeout(spark, tmp_path):
+    """A session left open at the end of one micro-batch emits via
+    EVENT-TIME TIMEOUT once later files advance the watermark past
+    its gap — no sentinel for that user."""
+    import os
+    import time
+
+    from ae_data_integration_spark.streaming.events import sessionize_stream
+
+    t0 = 1_700_000_000_000_000  # µs
+    src = tmp_path / "timeout_src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(
+            [(u, e, t) for u, e, t in rows], "user_id long, event_id long, ts_us long"
+        ).select("user_id", "event_id", F.timestamp_micros("ts_us").alias("ts"))
+        df.coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    # file1: user 1 has a 3-event session; user 2 one event.
+    write_file("f1", [(1, 1, t0), (1, 2, t0 + 60_000_000), (1, 3, t0 + 120_000_000),
+                      (2, 1, t0)])
+    time.sleep(1.1)  # file-source orders by modification time
+    # file2: user 2 again two hours later — advances the watermark
+    # past user 1's (last + 30 min) timeout.
+    write_file("f2", [(2, 2, t0 + 2 * 3600 * 1_000_000)])
+
+    schema = "user_id long, event_id long, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    run_available_now(sessionize_stream(stream), "t_sess_timeout", mode="append")
+    got = {
+        (r["user_id"], r["session_start_us"], r["n_events"])
+        for r in spark.table("t_sess_timeout").collect()
+    }
+    # user 1's session emitted by timeout; user 2's first session
+    # closed by the in-batch/cross-batch gap.
+    assert (1, t0, 3) in got
+    assert (2, t0, 1) in got
+
+
 def test_streaming_dedup_matches_batch_distinct(spark):
     from ae_data_integration_spark.streaming.events import dedup_keys_stream
 
