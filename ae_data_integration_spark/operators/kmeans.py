@@ -99,6 +99,16 @@ def kmeans_fit(
     centroids = init
     for _ in range(n_iter):
         centroids = _update(_assign(points, centroids))
+        # Materialize the k×d centroid table to the driver and rebuild
+        # it as a literal DataFrame — MLlib's Lloyd's does the same
+        # per-iteration roundtrip. Breaks the otherwise-exponential
+        # lineage growth (each assign would re-derive every earlier
+        # iteration, including the init TopK sort, inside one plan)
+        # while moving only model-sized data. Exact: doubles round-trip
+        # bit-for-bit through collect/createDataFrame.
+        centroids = points.sparkSession.createDataFrame(
+            centroids.collect(), centroids.schema
+        )
     return _assign(points, centroids), centroids
 
 

@@ -54,11 +54,15 @@ def gaussian_nb_cv_accuracy(
     )
 
     # One-pass partial sums per (fold, class, dim), decimal-exact.
+    # part is MODEL-sized (folds × classes × dims rows) and feeds two
+    # branches (train stats and the adaptive-eps pass); persist it so
+    # the N×d explode+aggregate runs once, not once per branch —
+    # exchange reuse does not always cover both consumers under AQE.
     part = long.groupBy("fold", "y", "dim").agg(
         F.sum(F.round(F.col("x") * F.lit(Q40)).cast("long")).alias("s1"),
         F.sum(F.round(F.col("x") * F.col("x") * F.lit(Q40)).cast("long")).alias("s2"),
         F.count(F.lit(1)).alias("cnt"),
-    )
+    ).persist()
     tot = part.groupBy("y", "dim").agg(
         F.sum("s1").alias("t1"), F.sum("s2").alias("t2"), F.sum("cnt").alias("tc")
     )
