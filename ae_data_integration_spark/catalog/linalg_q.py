@@ -144,6 +144,38 @@ def a1_frobenius_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- L2: BatchNorm1d, relationally ------------------------------------------
+
+_L2_SQL = f"""
+WITH longf AS (
+  SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(list_transform(embedding, e -> CAST(e AS DOUBLE))) AS x
+  FROM embeddings
+),
+stats AS (
+  SELECT dim,
+         (SUM(CAST(round(x * {_Q}) AS BIGINT)) / {_Q}.0) / CAST(COUNT(*) AS DOUBLE) AS mu,
+         (SUM(CAST(round(x * x * {_Q}) AS BIGINT)) / {_Q}.0) / CAST(COUNT(*) AS DOUBLE) AS m2
+  FROM longf GROUP BY dim
+)
+SELECT l.id, l.dim, (l.x - s.mu) / sqrt(s.m2 - s.mu * s.mu + 1e-5) AS y
+FROM longf l JOIN stats s ON l.dim = s.dim
+ORDER BY l.id, l.dim
+"""
+
+
+@register("l2_batchnorm", oracle=_L2_SQL,
+          doc="BatchNorm1d normalization as explode + per-dim stats + "
+              "broadcast join (ref model_structures.py Linear->BatchNorm1d "
+              "stacks); train-mode batch statistics, fixed-point portable.",
+          tags=("linalg",))
+def l2_batchnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.scale import batchnorm1d
+
+    e = table(spark, sf_dir, "embeddings")
+    return batchnorm1d(e, "vec_id", "embedding").orderBy("id", "dim")
+
+
 # --- C8: batched inference for all 8 architectures (rows-only) --------------
 
 

@@ -170,7 +170,7 @@ ORDER BY d.label_id
 """
 
 
-@register("n4_label_encode", oracle=_N4_SQL,
+@register("y_n4_label_encode", oracle=_N4_SQL,
           doc="Dense label codes via broadcast dim (ref Data_prep.py:86-91).",
           tags=("prep", "encode"))
 def n4_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:

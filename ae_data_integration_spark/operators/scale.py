@@ -100,3 +100,44 @@ def label_encode(df: DataFrame, label_col: str, out_col: str = "label_id") -> Da
         .withColumn(out_col, (F.row_number().over(Window.orderBy(label_col)) - 1).cast("long"))
     )
     return df.join(F.broadcast(dim), on=label_col)
+
+
+def batchnorm1d(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str,
+    eps: float = 1e-5,
+) -> DataFrame:
+    """L2: BatchNorm1d over an array feature column, long form.
+
+    Train-mode semantics on the given batch (= the DataFrame):
+    y = (x − μ_dim) / sqrt(σ²_dim + eps) with default γ=1, β=0 —
+    torch.nn.BatchNorm1d's normalization (ref model_structures.py
+    Linear→BatchNorm1d→activation stacks). Eval mode with running
+    stats is the same expression with stored μ/σ² (a broadcast join
+    of a stats table — identical plan shape).
+
+    Scale: per-dim statistics via one posexplode + groupBy(dim)
+    (map-side combined, d groups), attached back with a broadcast
+    join — never a window. Returns (key, dim, y) long form; fixed-
+    point μ/E[x²] keep the result bit-portable across engines.
+    """
+    from ae_data_integration_spark.functions.portable import Q30, fpsum
+
+    long = df.select(
+        F.col(key_col).alias("id"),
+        F.posexplode(to_double(vec_col)).alias("dim", "x"),
+    )
+    stats = long.groupBy("dim").agg(
+        (fpsum("x", Q30) / F.count(F.lit(1)).cast("double")).alias("mu"),
+        (fpsum(F.col("x") * F.col("x"), Q30) / F.count(F.lit(1)).cast("double")).alias("m2"),
+    ).select(
+        "dim", "mu", (F.col("m2") - F.col("mu") * F.col("mu")).alias("var"),
+    )
+    return (
+        long.join(F.broadcast(stats), "dim")
+        .select(
+            "id", "dim",
+            ((F.col("x") - F.col("mu")) / F.sqrt(F.col("var") + F.lit(eps))).alias("y"),
+        )
+    )

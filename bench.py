@@ -35,10 +35,16 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, q in bench_queries.items():
-        t0 = time.time()
-        q.fn(spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
-        spark.catalog.clearCache()  # drop per-query persists
+        # min of 2 timed reps: single-rep wall time on a 32-thread
+        # local JVM swings ±20% with GC/JIT; the min is the
+        # reproducible steady-state throughput number.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            q.fn(spark, sf_dir).collect()
+            best = min(best, time.time() - t0)
+            spark.catalog.clearCache()  # drop per-query persists
+        timings[name] = round(best, 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
