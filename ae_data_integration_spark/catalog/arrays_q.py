@@ -118,7 +118,7 @@ ORDER BY a.vec_id
 """
 
 
-@register("a2_recon_loss", oracle=_A2_SQL,
+@register("y_a2_recon_loss", oracle=_A2_SQL,
           doc="Per-row sqrt(sum((a-b)^2)) (ref reconloss_from_retrained_models.py:45,69-72).",
           tags=("arrays", "loss"))
 def a2_recon_loss(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -111,6 +111,69 @@ def d2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_verify(pairs, shs).orderBy("doc_a", "doc_b")
 
 
+# --- D5: word-n-gram Jaccard near-dup ---------------------------------------
+# Same bounded-candidate machinery as D2 (MinHash bands → bucket
+# join → exact verify) but over WORD 3-gram sets — the token-level
+# dedup unit for training corpora (char shingles catch near-identical
+# bytes; word ngrams catch shared phrasing).
+
+_WNG = (
+    "CASE WHEN len({t}) >= 3 THEN "
+    "list_distinct(list_transform(range(1, len({t}) - 1), "
+    "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2])) "
+    "ELSE [array_to_string({t}, ' ')] END"
+)
+
+_D5_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')"
+
+_D5_SQL = f"""
+WITH tok AS (SELECT doc_id, {_D5_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_WNG.format(t='t')} AS shs FROM tok),
+hashed AS (
+  SELECT doc_id, shs,
+         list_transform(shs, x -> CAST(('0x' || substr(md5(x), 1, 12)) AS BIGINT)) AS hs
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, shs, {_perm_mins_sql(8)} AS sig FROM hashed
+),
+bands AS (
+  SELECT doc_id, b.b AS band,
+         md5(array_to_string(sig[b.b*4 + 1 : b.b*4 + 4], '|')) AS bucket
+  FROM sig, (SELECT unnest(range(0, 2)) AS b) b
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x
+  JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+         / (CAST(len(a.shs) + len(b.shs) AS DOUBLE) - CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE))
+         AS jaccard
+FROM pairs p
+JOIN sh a ON p.doc_a = a.doc_id
+JOIN sh b ON p.doc_b = b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("d5_ngram_jaccard", oracle=_D5_SQL,
+          doc="Word-3-gram Jaccard near-dup: MinHash(8)+LSH(2x4) candidates "
+              "over ngram sets, exact set Jaccard verify — token-level twin "
+              "of d2's char-shingle dedup.",
+          tags=("dedup",))
+def d5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.functions.text import word_ngrams
+
+    d = table(spark, sf_dir, "documents")
+    shs = d.select(
+        F.col("doc_id").alias("doc"), word_ngrams("text", 3).alias("shs")
+    ).persist()
+    pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=8, num_bands=2)
+    return jaccard_verify(pairs, shs).orderBy("doc_a", "doc_b")
+
+
 # --- D3: SimHash fingerprints -----------------------------------------------
 
 _TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')"

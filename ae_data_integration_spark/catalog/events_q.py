@@ -131,7 +131,7 @@ ORDER BY cohort
 """
 
 
-@register("e3_type_pivot", oracle=_E3_SQL,
+@register("y_e3_type_pivot", oracle=_E3_SQL,
           doc="groupBy().pivot() with explicit value list (deterministic schema).",
           tags=("events", "pivot"))
 def e3_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -131,3 +131,38 @@ def t3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang_pred", "n_hits")
         .orderBy("doc_id")
     )
+
+
+# --- T4: rolling-hash document fingerprint ----------------------------------
+
+from ae_data_integration_spark.functions.hashing import MINHASH_P
+from ae_data_integration_spark.functions.text import ROLL_B, rolling_fingerprint
+
+_T4_SQL = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       (CASE WHEN len(t) = 0 THEN 0 ELSE
+         list_reduce(
+           list_transform(t, x -> CAST(('0x' || substr(md5(x), 1, 12)) AS BIGINT)),
+           (acc, h) -> (acc * {ROLL_B} + h) % {MINHASH_P})
+       END) % {MINHASH_P} AS fingerprint
+FROM tok
+ORDER BY doc_id
+"""
+
+
+@register("t4_fingerprint", oracle=_T4_SQL,
+          doc="Rabin-Karp rolling-hash document fingerprint: order-sensitive "
+              "left fold of (h*B + md5_48(token)) mod P — per-row, zero "
+              "shuffle, integer-exact across engines.",
+          tags=("text",))
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.functions.text import token_count
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        rolling_fingerprint("text").alias("fingerprint"),
+    ).orderBy("doc_id")

@@ -96,6 +96,47 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(t), r"\s+", " ")))
 
 
+def word_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) — the dedup unit for
+    n-gram Jaccard. Documents with fewer than n tokens contribute one
+    ngram: the whole token sequence (keeps sets non-empty and is
+    portable — the SQL twin uses the same CASE)."""
+    toks = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(
+            F.array(F.concat_ws(" ", toks))
+        )
+    )
+
+
+ROLL_B = 131  # polynomial base; h < 2^48 so B*h + t < 2^63 (no overflow)
+
+
+def rolling_fingerprint(text: Column | str) -> Column:
+    """Rabin-Karp-style document fingerprint: left fold of
+    h = (h·B + md5_48(token)) mod P over the token stream. Order-
+    SENSITIVE (unlike a bag-of-words hash) and engine-portable —
+    integer arithmetic both engines compute identically. Empty
+    documents map to 0."""
+    from ae_data_integration_spark.functions.hashing import MINHASH_P
+
+    toks = tokens(text)
+    th = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long")
+    )
+    return F.aggregate(
+        th,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(ROLL_B) + h) % F.lit(MINHASH_P),
+    )
+
+
 def lang_marker_table(spark: SparkSession) -> DataFrame:
     """(lang, word) dimension for the broadcast-join language ID."""
     rows = [(lang, w) for lang, ws in LANG_MARKERS.items() for w in ws]

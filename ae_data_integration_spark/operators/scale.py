@@ -137,7 +137,10 @@ def batchnorm1d(
     return (
         long.join(F.broadcast(stats), "dim")
         .select(
-            "id", "dim",
+            "id",
+            # posexplode yields int32; the oracle's generate_subscripts
+            # is int64 — align for type-strict schema compares.
+            F.col("dim").cast("long").alias("dim"),
             ((F.col("x") - F.col("mu")) / F.sqrt(F.col("var") + F.lit(eps))).alias("y"),
         )
     )

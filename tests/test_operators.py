@@ -122,3 +122,45 @@ def test_embedding_near_dup_keep_first(spark):
         for r in embedding_near_dup_drops(e, bits=4, threshold=0.99).collect()
     }
     assert got == {(5, 1), (9, 1)}
+
+
+def test_word_ngrams_and_rolling_fingerprint(spark):
+    """Goldens for the d5/t4 text primitives: exact ngram sets and a
+    Python-recomputed rolling hash."""
+    import hashlib
+
+    from ae_data_integration_spark.functions.hashing import MINHASH_P
+    from ae_data_integration_spark.functions.text import (
+        ROLL_B,
+        rolling_fingerprint,
+        word_ngrams,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "one two"), (3, "")],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: (sorted(r["ng"]), r["fp"])
+        for r in df.select(
+            "id", word_ngrams("text", 3).alias("ng"), rolling_fingerprint("text").alias("fp")
+        ).collect()
+    }
+    assert out[1][0] == sorted(
+        ["the cat sat", "cat sat on", "sat on the", "on the mat"]
+    )
+    assert out[2][0] == ["one two"]  # < n tokens -> whole sequence
+    assert out[3][0] == [""]
+
+    def py_fp(text):
+        h = 0
+        for t in text.lower().split():
+            th = int(hashlib.md5(t.encode()).hexdigest()[:12], 16)
+            h = (h * ROLL_B + th) % MINHASH_P
+        return h
+
+    assert out[1][1] == py_fp("the cat sat on the mat")
+    assert out[2][1] == py_fp("one two")
+    assert out[3][1] == 0
+    # order sensitivity: permuted tokens -> different fingerprint
+    assert py_fp("cat the sat on the mat") != out[1][1]
