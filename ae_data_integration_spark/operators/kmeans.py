@@ -86,15 +86,20 @@ def kmeans_fit(
     points = df.select(
         F.col(key_col).alias("id"), to_double(vec_col).alias("vec")
     ).persist()
-    init = (
+    # Init = the k rows with smallest md5(salt‖key): a distributed
+    # TopK (orderBy+limit is rewritten to TakeOrderedAndProject, no
+    # global sort), enumerated on the driver — k×d doubles, the same
+    # model-sized roundtrip as the per-iteration centroid collect.
+    init_rows = (
         points.withColumn("_h", md5_rank(F.col("id"), salt))
         .orderBy("_h", "id")
         .limit(k)
-        .withColumn(
-            "cluster",
-            (F.row_number().over(Window.orderBy("_h", "id")) - 1).cast("long"),
-        )
-        .select("cluster", F.col("vec").alias("centroid"))
+        .select("vec")
+        .collect()
+    )
+    init = points.sparkSession.createDataFrame(
+        [(i, r["vec"]) for i, r in enumerate(init_rows)],
+        "cluster long, centroid array<double>",
     )
     centroids = init
     for _ in range(n_iter):

@@ -16,7 +16,7 @@ one task.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ae_data_integration_spark.functions.arrays import to_double
@@ -95,9 +95,21 @@ def label_encode(df: DataFrame, label_col: str, out_col: str = "label_id") -> Da
     distinct labels ordered lexicographically (the reference's dicts
     are insertion-ordered over a fixed class list; lexicographic is
     the deterministic engine-portable equivalent)."""
-    dim = (
-        df.select(label_col).distinct()
-        .withColumn(out_col, (F.row_number().over(Window.orderBy(label_col)) - 1).cast("long"))
+    # The code table is DISTINCT labels — k rows, model-sized — so
+    # enumerate it on the driver instead of a global rank window (a
+    # lit-partitioned window still constant-folds to an unpartitioned
+    # WindowExec). Same lexicographic codes, zero single-partition
+    # stages.
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    labels = [
+        r[0] for r in df.select(label_col).distinct().orderBy(label_col).collect()
+    ]
+    schema = StructType(
+        [df.schema[label_col], StructField(out_col, LongType(), False)]
+    )
+    dim = df.sparkSession.createDataFrame(
+        [(lab, i) for i, lab in enumerate(labels)], schema
     )
     return df.join(F.broadcast(dim), on=label_col)
 
