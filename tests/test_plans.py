@@ -70,3 +70,33 @@ def test_s1_ann_is_broadcast_not_shuffle_join(spark):
     # Probe set broadcasts against the corpus scan (nested-loop cross
     # with broadcast side — no shuffle of the big side).
     plan_asserts(_df(spark, "s1_ann_bruteforce")).has_broadcast_exchange(1)
+
+
+def test_l2_batchnorm_broadcast_stats(spark):
+    # Per-dim stats attach via broadcast join with map-side partial
+    # aggregation — never a window, never a Python UDF.
+    (
+        plan_asserts(_df(spark, "l2_batchnorm"))
+        .has_broadcast_join(1)
+        .has_partial_agg()
+        .no_python_row_udf()
+    )
+
+
+def test_d5_ngram_jaccard_bucketed_not_cartesian(spark):
+    # The candidate join is band/bucket equi-join (Sigma|b|^2, not N^2):
+    # no cartesian product anywhere in the plan.
+    pa = plan_asserts(_df(spark, "d5_ngram_jaccard"))
+    assert "CartesianProduct" not in pa.plan
+    pa.no_python_row_udf()
+
+
+def test_kmeans_no_unpartitioned_window(spark):
+    # After the driver-roundtrip init, c1's plan contains no
+    # unpartitioned WindowExec (argmin window partitions by point id).
+    pa = plan_asserts(_df(spark, "c1_kmeans_relational"))
+    import re
+
+    for m in re.finditer(r"Window \[.*windowspecdefinition\(([^)]*)\)", pa.plan):
+        # every window spec must name at least one partition column
+        assert m.group(1).strip(), f"unpartitioned window:\n{m.group(0)}"
