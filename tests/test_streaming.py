@@ -220,3 +220,45 @@ def test_streaming_dedup_matches_batch_distinct(spark):
         for r in ev.select("user_id", "event_type").distinct().collect()
     )
     assert got == want
+
+
+def test_stateless_text_quality_on_stream(spark, tmp_path):
+    """Stateless text-analysis expressions (t2 quality scoring) apply
+    unchanged to a document stream, and a parquet file sink with
+    checkpoint round-trips the results — the batch/stream operator
+    surface is the same code."""
+    from ae_data_integration_spark.functions.text import quality_score, token_count
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    docs.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    scored = stream.select(
+        "doc_id",
+        token_count("text").alias("n_tok"),
+        quality_score("text").alias("q"),
+    )
+    out = str(tmp_path / "docs_out")
+    q = (
+        scored.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r["doc_id"]: (r["n_tok"], r["q"]) for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_tok"], r["q"])
+        for r in docs.select(
+            "doc_id",
+            token_count("text").alias("n_tok"),
+            quality_score("text").alias("q"),
+        ).collect()
+    }
+    assert got == want
