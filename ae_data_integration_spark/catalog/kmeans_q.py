@@ -229,3 +229,19 @@ def c2_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("cluster")
     )
+
+
+# --- C7 substitute: distributed PCA projection ------------------------------
+
+from ae_data_integration_spark.operators.cca import pca_project
+
+
+@register("z_c7_pca_projection", oracle=None,
+          doc="2-d PCA projection (C7 substitute — the reference's t-SNE is "
+              "plot-only): distributed fixed-point covariance + driver d x d "
+              "eigh + literal-matrix projection; rows-only (eigh not "
+              "SQL-replayable), numpy golden in tests/test_operators.py.",
+          tags=("clustering", "projection"))
+def c7_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return pca_project(e, "vec_id", "embedding", n_components=2).orderBy("id")

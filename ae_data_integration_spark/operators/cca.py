@@ -85,3 +85,61 @@ def cca_loss(
     sv = np.linalg.svd(t, compute_uv=False)
     k = out_dim or min(t.shape)
     return float(-np.sort(sv)[::-1][:k].sum())
+
+
+def pca_project(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_components: int = 2,
+) -> DataFrame:
+    """C7 substitute: distributed PCA projection.
+
+    The reference's C7 is t-SNE, used only to draw 2-d scatter plots
+    (mocss.py TSNE(...).fit_transform); t-SNE is inherently
+    all-pairs-iterative and not a data-processing operator. The
+    engine's projection-to-2d twin is PCA: covariance assembled
+    DISTRIBUTED (same fixed-point cross-product aggregates as
+    cca_loss — the only O(N) work), eigh on the d×d matrix driver-
+    side (L8, d = embedding width), then the projection applied as a
+    broadcast matrix literal — one narrow pass, no shuffle beyond the
+    d×d aggregation.
+
+    Deterministic sign convention: each component is flipped so its
+    largest-|coefficient| entry is positive (eigenvector sign is
+    otherwise arbitrary).
+    """
+    pts = df.select(F.col(key_col).alias("id"), F.col(vec_col).alias("_v"))
+    pts = pts.select(
+        "id", F.transform("_v", lambda x: x.cast("double")).alias("vec")
+    )
+    n = pts.count()
+    d = len(pts.select("vec").first()[0])
+    mu = np.array(
+        pts.agg(
+            *[
+                (fpsum(F.element_at("vec", i + 1), Q30) / F.lit(float(n))).alias(f"m{i}")
+                for i in range(d)
+            ]
+        ).first()
+    )
+    cov = (
+        _cross_products(pts.select("id", F.col("vec").alias("v")), "v", "v")
+        - n * np.outer(mu, mu)
+    ) / max(n - 1, 1)
+    w, v = np.linalg.eigh(cov)  # L8; ascending eigenvalues
+    comps = v[:, ::-1][:, :n_components]  # top components, d×k
+    for j in range(comps.shape[1]):
+        if comps[np.abs(comps[:, j]).argmax(), j] < 0:
+            comps[:, j] = -comps[:, j]
+
+    # Projection as literal arithmetic: y_j = Σ_i (x_i − μ_i)·C_ij —
+    # a codegen'd expression per output dim, zero Python in the pass.
+    out_cols = [
+        sum(
+            ((F.element_at("vec", i + 1) - F.lit(float(mu[i]))) * F.lit(float(comps[i, j])))
+            for i in range(d)
+        ).alias(f"pc{j + 1}")
+        for j in range(comps.shape[1])
+    ]
+    return pts.select("id", *out_cols)

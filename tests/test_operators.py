@@ -164,3 +164,33 @@ def test_word_ngrams_and_rolling_fingerprint(spark):
     assert out[3][1] == 0
     # order sensitivity: permuted tokens -> different fingerprint
     assert py_fp("cat the sat on the mat") != out[1][1]
+
+
+def test_pca_project_matches_numpy(spark):
+    """Distributed PCA == numpy eigh PCA (same sign convention)."""
+    import numpy as np
+
+    from ae_data_integration_spark.operators.cca import pca_project
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(200, 6)) @ np.diag([5, 3, 1, 0.5, 0.2, 0.1])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["id"]: (r["pc1"], r["pc2"])
+        for r in pca_project(df, "vec_id", "embedding", 2).collect()
+    }
+
+    xc = x - x.mean(axis=0)
+    cov = xc.T @ xc / (len(x) - 1)
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, ::-1][:, :2]
+    for j in range(2):
+        if comps[np.abs(comps[:, j]).argmax(), j] < 0:
+            comps[:, j] = -comps[:, j]
+    want = xc @ comps
+    for i in range(len(x)):
+        assert abs(got[i][0] - want[i, 0]) < 1e-6
+        assert abs(got[i][1] - want[i, 1]) < 1e-6
