@@ -262,3 +262,38 @@ def test_stateless_text_quality_on_stream(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_near_dup_matches_batch_lsh(spark, tmp_path):
+    """Streaming MinHash-LSH near-dup candidates == the batch band
+    self-join candidates after a full drain (identical signature
+    expressions -> identical buckets)."""
+    from ae_data_integration_spark.operators.dedup import lsh_candidate_pairs
+    from ae_data_integration_spark.streaming.dedup import near_dup_candidates_stream
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    src = str(tmp_path / "docs_dedup_src")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = near_dup_candidates_stream(stream, max_bucket=10_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_neardup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in spark.table("t_neardup").collect()
+    }
+
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(
+            docs, "doc_id", "text", k=5, num_perm=8, num_bands=2
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # corpus actually has near-dups
