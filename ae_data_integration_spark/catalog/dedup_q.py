@@ -164,12 +164,19 @@ ORDER BY doc_a, doc_b
               "of d2's char-shingle dedup.",
           tags=("dedup",))
 def d5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ae_data_integration_spark.functions.text import word_ngrams
+    from ae_data_integration_spark.functions.text import tokens, word_ngrams_from_tokens
 
     d = table(spark, sf_dir, "documents")
-    shs = d.select(
-        F.col("doc_id").alias("doc"), word_ngrams("text", 3).alias("shs")
-    ).persist()
+    # Tokens land in their own projection: interpreted HOF lambdas get
+    # no CSE, so inlining the tokenizer re-splits the text per ngram
+    # element (measured 6× slower). Then spread the md5-signature pass
+    # across all cores (the source parquet is few partitions at small
+    # SF — same fix as doc_shingles(spread=True)).
+    tok = d.select(F.col("doc_id").alias("doc"), tokens("text").alias("_toks"))
+    par = spark.sparkContext.defaultParallelism
+    if tok.rdd.getNumPartitions() < par:
+        tok = tok.repartition(par, "doc")
+    shs = tok.select("doc", word_ngrams_from_tokens("_toks", 3).alias("shs")).persist()
     pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=8, num_bands=2)
     return jaccard_verify(pairs, shs).orderBy("doc_a", "doc_b")
 

@@ -224,7 +224,7 @@ from ae_data_integration_spark.operators.dbscan import dbscan
 def c2_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     return (
-        dbscan(e, "vec_id", "embedding", eps=3.0, min_pts=4)
+        dbscan(e, "vec_id", "embedding", eps=1.15, min_pts=4)
         .groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("cluster")

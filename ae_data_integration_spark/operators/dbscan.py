@@ -56,6 +56,61 @@ def _top_variance_dims(pts: DataFrame, d: int, k: int) -> list[int]:
     return order[:k]
 
 
+def _eps_pairs_blocked(pts: DataFrame, eps: float, n_blocks: int = 16) -> DataFrame:
+    """All-pairs ε-join via BLOCKED Arrow/numpy distance kernels.
+
+    When no projection can prune (isotropic high-dim data — distance
+    concentration), an exact ε-join must examine ~all pairs; the cost
+    then is per-pair arithmetic. Interpreted per-pair array HOFs run
+    ~100ns/element; a vectorized numpy kernel over block pairs is
+    ~100× faster. Points hash into n_blocks blocks, each block packs
+    into one row, the B(B+1)/2 block pairs fan out as tasks, and each
+    task computes its dense distance sub-matrix vectorized — the
+    standard distributed blocked all-pairs. Size n_blocks so a block
+    (rows/n_blocks × d doubles) stays ~tens of MB at the target SF.
+
+    Emits ordered (ia, ib) with ia ≤ ib, exact ε predicate, identical
+    float semantics to the per-pair path (same (a−b)² sum ordering).
+    """
+    import numpy as np
+    import pandas as pd
+
+    packed = (
+        pts.select(F.pmod(F.col("id"), F.lit(n_blocks)).alias("blk"), "id", "vec")
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("id", "vec")).alias("rows"))
+    )
+    l = packed.select(F.col("blk").alias("ba"), F.col("rows").alias("ra"))
+    r = packed.select(F.col("blk").alias("bb"), F.col("rows").alias("rb"))
+    block_pairs = l.join(r, F.col("ba") <= F.col("bb"))
+    eps2 = float(eps * eps)
+
+    def kern(pdfs):
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                ids_a = np.array([x["id"] for x in row["ra"]], dtype=np.int64)
+                va = np.stack([np.asarray(x["vec"], dtype=np.float64) for x in row["ra"]])
+                ids_b = np.array([x["id"] for x in row["rb"]], dtype=np.int64)
+                vb = np.stack([np.asarray(x["vec"], dtype=np.float64) for x in row["rb"]])
+                d2 = ((va[:, None, :] - vb[None, :, :]) ** 2).sum(-1)
+                ii, jj = np.where(d2 <= eps2)
+                ia, ib = ids_a[ii], ids_b[jj]
+                if row["ba"] == row["bb"]:
+                    # diagonal block: the dense matrix holds both
+                    # orderings of each pair — keep one (plus self).
+                    keep = ia <= ib
+                    ia, ib = ia[keep], ib[keep]
+                # cross block pair: each unordered pair meets exactly
+                # once — keep all, normalize the ordering.
+                lo = np.minimum(ia, ib)
+                hi = np.maximum(ia, ib)
+                if not len(lo):
+                    continue
+                yield pd.DataFrame({"ia": lo, "ib": hi})
+
+    return block_pairs.mapInPandas(kern, "ia long, ib long")
+
+
 def candidate_pairs(
     pts: DataFrame,
     eps: float,
@@ -67,15 +122,38 @@ def candidate_pairs(
     a = pts.select(F.col("id").alias("ia"), F.col("vec").alias("va"))
     b = pts.select(F.col("id").alias("ib"), F.col("vec").alias("vb"))
     head = pts.select("vec").first()
-    if exact or head is None or head[0] is None:
-        # Exact theta join; also the empty-input path (head is None):
-        # the join over zero rows is a no-op and avoids probing a
-        # nonexistent first vector for dimensionality.
-        cand = a.join(b, F.col("ia") <= F.col("ib"))
-    else:
+    use_grid = not (exact or head is None or head[0] is None)
+    if use_grid:
         d = len(head[0])
         p = max(1, min(grid_dims, d))
         dims = _top_variance_dims(pts, d, p)
+        # Adaptive degeneracy check: grid pruning only works when the
+        # projected spread spans multiple ε-cells. On isotropic
+        # high-dim data (per-dim spread ≪ ε — distance concentration)
+        # every point lands in one cell and the 3^p replication is
+        # pure waste; the plain theta join examines 3^p× fewer
+        # candidate rows there.
+        rng = pts.agg(
+            *[F.min(F.element_at("vec", i + 1)).alias(f"lo{j}") for j, i in enumerate(dims)],
+            *[F.max(F.element_at("vec", i + 1)).alias(f"hi{j}") for j, i in enumerate(dims)],
+        ).first()
+        n_cells = 1
+        for j in range(p):
+            import math
+
+            n_cells *= max(1, math.ceil((rng[f"hi{j}"] - rng[f"lo{j}"]) / eps))
+        if n_cells <= 8:
+            use_grid = False
+    if not use_grid:
+        if exact or head is None or head[0] is None:
+            # Literal theta join: the fixture-scale cross-check path
+            # (and the empty-input no-op).
+            cand = a.join(b, F.col("ia") <= F.col("ib"))
+        else:
+            # Grid degenerate but data non-trivial: blocked numpy
+            # ε-join (already exact — no re-filter needed).
+            return _eps_pairs_blocked(pts, eps)
+    else:
         cells = pts.select(
             "id", "vec",
             *[
@@ -122,9 +200,19 @@ def dbscan(
     max_iter: int = 50,
     exact: bool = False,
     grid_dims: int = 2,
+    driver_cc_max_edges: int = 500_000,
 ) -> DataFrame:
     """Returns (id, cluster) with cluster = min core-point id of the
-    component, or -1 for noise."""
+    component, or -1 for noise.
+
+    Hybrid component solve: the ε-pair generation (the O(N²) risk)
+    is always distributed; the CORE-GRAPH connected components run
+    driver-side union-find when the core graph has ≤
+    ``driver_cc_max_edges`` edges (the contracted graph is tiny
+    relative to the corpus — a ~10-shuffle iterative solve costs
+    orders of magnitude more wall-clock than union-find on 500k
+    edges), and fall back to the distributed min-label loop above
+    that threshold."""
     pts = df.select(F.col(key_col).alias("id"), to_double(vec_col).alias("vec"))
     pairs = candidate_pairs(pts, eps, exact=exact, grid_dims=grid_dims)
     sym = pairs.union(
@@ -142,24 +230,40 @@ def dbscan(
         .persist()
     )
 
-    # Min-label propagation over core-core edges (one hop per pass).
-    # Each pass persists its result and unpersists the previous one —
-    # only the frontier generation stays cached, so a 50-pass run
-    # holds one labels DataFrame in memory, not 50.
+    n_core_edges = core_edges.count()
+    if n_core_edges <= driver_cc_max_edges:
+        labels = _driver_union_find(core, core_edges)
+        return _attach_borders(pts, sym, core, labels)
+
+    # Min-label propagation over core-core edges, accelerated with
+    # POINTER JUMPING: each pass takes (a) the min label among
+    # neighbors' labels (one hop) and (b) the label OF the node named
+    # by the current label (lbl ← labels[lbl], which halves pointer
+    # chains) — together ~O(log diameter) passes instead of
+    # O(diameter), the standard doubling trick for distributed
+    # connected components. Each pass persists its result and
+    # unpersists the previous one, so O(1) generations stay cached.
     labels = core.select("id", F.col("id").alias("lbl")).persist()
     changed = 0
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nb_min = (
             core_edges.join(labels, core_edges.ib == labels.id)
             .groupBy("ia")
             .agg(F.min("lbl").alias("nb_lbl"))
         )
-        new_labels = (
+        hop = (
             labels.join(nb_min, labels.id == nb_min.ia, "left")
             .select(
                 "id",
                 F.least(F.col("lbl"), F.coalesce(F.col("nb_lbl"), F.col("lbl"))).alias("lbl"),
             )
+        )
+        # lbl ← labels[lbl]: labels are min-ids, so labels[lbl] ≤ lbl
+        # always holds and the jump only ever tightens.
+        jump_src = labels.select(F.col("id").alias("lbl"), F.col("lbl").alias("_l2"))
+        new_labels = (
+            hop.join(jump_src, "lbl", "left")
+            .select("id", F.least(F.col("lbl"), F.coalesce(F.col("_l2"), F.col("lbl"))).alias("lbl"))
             .persist()
         )
         changed = (
@@ -172,6 +276,14 @@ def dbscan(
         labels = new_labels
         if changed == 0:
             break
+        if (it + 1) % 4 == 0:
+            # Truncate the SQL lineage: each pass references the
+            # previous generation THREE times (neighbor-min, identity,
+            # jump), so the analyzed plan grows ~3^iter and OOMs the
+            # driver around pass 15 — persist caches data but not the
+            # plan. localCheckpoint rebases the plan on the cached
+            # blocks (pure JVM, no Python roundtrip).
+            labels = labels.localCheckpoint()
     if changed:
         warnings.warn(
             f"dbscan: min-label propagation hit max_iter={max_iter} without "
@@ -179,8 +291,38 @@ def dbscan(
             "Raise max_iter.",
             stacklevel=2,
         )
+    return _attach_borders(pts, sym, core, labels)
 
-    # Border points: non-core with a core neighbor -> min core label.
+
+def _driver_union_find(core: DataFrame, core_edges: DataFrame) -> DataFrame:
+    """Exact min-label components via union-find on the driver — for
+    core graphs under the caller's edge threshold. Same label
+    convention as the distributed loop (min core id per component)."""
+    ids = [r["id"] for r in core.collect()]
+    parent = {i: i for i in ids}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for r in core_edges.select("ia", "ib").collect():
+        ra, rb = find(r["ia"]), find(r["ib"])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    spark = core.sparkSession
+    return spark.createDataFrame(
+        [(i, find(i)) for i in ids], "id long, lbl long"
+    )
+
+
+def _attach_borders(
+    pts: DataFrame, sym: DataFrame, core: DataFrame, labels: DataFrame
+) -> DataFrame:
+    """Border points (non-core with a core neighbor) take the min core
+    label among neighbors; everything else is noise (-1)."""
     core_labels = labels.select(F.col("id").alias("cid"), "lbl")
     border = (
         sym.join(core_labels, sym.ib == core_labels.cid)
@@ -189,7 +331,6 @@ def dbscan(
         .agg(F.min("lbl").alias("lbl"))
         .select(F.col("ia").alias("id"), "lbl")
     )
-
     assigned = labels.unionByName(border)
     return (
         pts.select("id")

@@ -86,16 +86,29 @@ def test_dbscan_empty_input(spark):
 
 
 def test_dbscan_iteration_cache_bounded(spark, blob_df):
-    """Regression: label propagation must not leave one persisted
-    DataFrame per iteration behind (only O(1) generations cached)."""
+    """Regression: the DISTRIBUTED label propagation (forced via
+    driver_cc_max_edges=0) must not leave one persisted DataFrame per
+    iteration behind (only O(1) generations cached)."""
     df, _ = blob_df
     jsc = spark.sparkContext._jsc.sc()
     before = jsc.getPersistentRDDs().size()
-    dbscan(df, eps=1.5, min_pts=4).collect()
+    dbscan(df, eps=1.5, min_pts=4, driver_cc_max_edges=0).collect()
     after = jsc.getPersistentRDDs().size()
-    # sym + core_edges + the final labels generation stay cached; the
+    # sym + core_edges + the final labels generation stay cached (plus
+    # at most a couple of lineage-truncation checkpoints); the
     # per-iteration generations must have been unpersisted.
-    assert after - before <= 4
+    assert after - before <= 6
+
+
+def test_dbscan_driver_and_distributed_cc_agree(spark, blob_df):
+    """The hybrid's two component solvers produce identical labels."""
+    df, _ = blob_df
+    drv = {r["id"]: r["cluster"] for r in dbscan(df, eps=1.5, min_pts=4).collect()}
+    dst = {
+        r["id"]: r["cluster"]
+        for r in dbscan(df, eps=1.5, min_pts=4, driver_cc_max_edges=0).collect()
+    }
+    assert drv == dst
 
 
 def test_grid_candidates_prune_far_pairs(spark, blob_df):
