@@ -171,7 +171,7 @@ ORDER BY vec_id
 """
 
 
-@register("j4_mean_fuse", oracle=_J4_SQL,
+@register("y_j4_mean_fuse", oracle=_J4_SQL,
           doc="(shared1+shared2)/2 fusion (ref embedding_from_retrained_models.py:73-84).",
           tags=("arrays", "fusion"))
 def j4_mean_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -143,3 +143,63 @@ def e3_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, list(EVENT_TYPES))
         .orderBy("cohort")
     )
+
+
+# --- E4: as-of join (purchases enriched with latest prior click) ------------
+
+_E4_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value FROM events
+),
+u AS (
+  SELECT user_id, event_id, ts_us, 1 AS side, event_id AS seq,
+         NULL::DOUBLE AS cv, NULL::BIGINT AS cts
+  FROM ev WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, NULL::BIGINT, ts_us, 0, event_id, value, ts_us
+  FROM ev WHERE event_type = 'click'
+),
+x AS (
+  SELECT user_id, event_id, ts_us, side,
+         last_value(cv IGNORE NULLS) OVER w AS click_value,
+         last_value(cts IGNORE NULLS) OVER w AS click_ts_us
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, side, seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, ts_us, click_value, click_ts_us
+FROM x WHERE side = 1
+ORDER BY user_id, ts_us, event_id
+"""
+
+
+@register("e4_asof_prior_click", oracle=_E4_SQL,
+          doc="As-of (backward) join: each purchase takes the latest "
+              "click at-or-before it per user, via the union + "
+              "last(IGNORE NULLS) window form (operators/asof.py) — one "
+              "key shuffle, no range-join explosion.",
+          tags=("events", "asof"))
+def e4_asof_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"),
+        "event_type", "value",
+    )
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_us"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", "event_id",
+        F.col("value").alias("click_value"),
+        F.col("ts_us").alias("click_ts_us"),
+    )
+    out = asof_join(
+        left, right, "user_id", "ts_us",
+        ["click_value", "click_ts_us"], seq_col="event_id",
+    )
+    return out.select(
+        "user_id", "event_id", "ts_us",
+        F.col("asof_click_value").alias("click_value"),
+        F.col("asof_click_ts_us").alias("click_ts_us"),
+    ).orderBy("user_id", "ts_us", "event_id")

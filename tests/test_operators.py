@@ -194,3 +194,33 @@ def test_pca_project_matches_numpy(spark):
     for i in range(len(x)):
         assert abs(got[i][0] - want[i, 0]) < 1e-6
         assert abs(got[i][1] - want[i, 1]) < 1e-6
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of join: equal-ts visibility (non-strict vs strict),
+    no-prior nulls, and tie-breaking by seq."""
+    from ae_data_integration_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 200), (1, 30, 300), (2, 40, 50)],
+        "k long, lid long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(1, 1, 100, 1.0), (1, 2, 100, 2.0), (1, 3, 250, 3.0), (3, 9, 1, 9.9)],
+        "k long, rid long, ts long, v double",
+    )
+    got = {
+        r["lid"]: r["asof_v"]
+        for r in asof_join(left, right, "k", "ts", ["v"], seq_col="rid").collect()
+    }
+    # equal-ts right rows visible non-strict; tie broken by larger seq last
+    assert got[10] == 2.0
+    assert got[20] == 2.0       # latest at-or-before 200 is ts=100
+    assert got[30] == 3.0       # ts=250 click
+    assert got[40] is None      # key 2 has no right rows
+    strict = {
+        r["lid"]: r["asof_v"]
+        for r in asof_join(left, right, "k", "ts", ["v"], seq_col="rid", strict=True).collect()
+    }
+    assert strict[10] is None   # equal-ts excluded under strict
+    assert strict[20] == 2.0
