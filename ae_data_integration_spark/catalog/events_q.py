@@ -153,10 +153,10 @@ WITH ev AS (
 ),
 u AS (
   SELECT user_id, event_id, ts_us, 1 AS side, event_id AS seq,
-         NULL::DOUBLE AS cv, NULL::BIGINT AS cts
+         NULL::DOUBLE AS cv, NULL::DOUBLE AS cts
   FROM ev WHERE event_type = 'purchase'
   UNION ALL
-  SELECT user_id, NULL::BIGINT, ts_us, 0, event_id, value, ts_us
+  SELECT user_id, NULL::BIGINT, ts_us, 0, event_id, value, CAST(ts_us AS DOUBLE)
   FROM ev WHERE event_type = 'click'
 ),
 x AS (
@@ -192,7 +192,7 @@ def e4_asof_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts_us", "event_id",
         F.col("value").alias("click_value"),
-        F.col("ts_us").alias("click_ts_us"),
+        F.col("ts_us").cast("double").alias("click_ts_us"),
     )
     out = asof_join(
         left, right, "user_id", "ts_us",
