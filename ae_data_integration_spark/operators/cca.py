@@ -114,7 +114,18 @@ def pca_project(
         "id", F.transform("_v", lambda x: x.cast("double")).alias("vec")
     )
     n = pts.count()
-    d = len(pts.select("vec").first()[0])
+    first = pts.select("vec").first()
+    if n == 0 or first is None or first[0] is None:
+        # Empty input: emit an empty (id, pc1..pck) frame with the
+        # right schema instead of crashing on first()[0].
+        return pts.select(
+            "id",
+            *[
+                F.lit(None).cast("double").alias(f"pc{j + 1}")
+                for j in range(n_components)
+            ],
+        ).limit(0)
+    d = len(first[0])
     mu = np.array(
         pts.agg(
             *[

@@ -69,8 +69,12 @@ def _eps_pairs_blocked(pts: DataFrame, eps: float, n_blocks: int = 16) -> DataFr
     standard distributed blocked all-pairs. Size n_blocks so a block
     (rows/n_blocks × d doubles) stays ~tens of MB at the target SF.
 
-    Emits ordered (ia, ib) with ia ≤ ib, exact ε predicate, identical
-    float semantics to the per-pair path (same (a−b)² sum ordering).
+    Emits ordered (ia, ib) with ia ≤ ib, exact ε predicate. Float
+    caveat: numpy's axis-sum uses pairwise summation while the
+    per-pair path's F.aggregate is a strict sequential fold, so a
+    pair whose distance sits within an ulp of ε can classify
+    differently between the two paths; agreement is exact only up to
+    that rounding-order difference.
     """
     import numpy as np
     import pandas as pd

@@ -153,7 +153,18 @@ def sessionize_stream(
         if not parts:
             return
         batch = pd.concat(parts).sort_values(["ts", "event_id"])
-        ts_us = (batch["ts"].astype("int64") // 1000).tolist()
+        # Normalize to ns explicitly: under Arrow/pandas-2.x conversion
+        # the column can arrive as datetime64[us], where a bare
+        # astype('int64') // 1000 would yield ms, not us.
+        ts_us = (batch["ts"].astype("datetime64[ns]").astype("int64") // 1000).tolist()
+        # Spark does NOT auto-filter late rows for arbitrary stateful
+        # ops (the watermark only drives timeouts) — enforce the
+        # late-data contract here: events older than the current
+        # watermark cannot extend or reopen a session.
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        ts_us = [t for t in ts_us if t >= wm_us]
+        if not ts_us:
+            return
         if state.exists:
             start_us, last_us, n = state.get
         else:
@@ -167,7 +178,12 @@ def sessionize_stream(
                 closed.append((start_us, n))
                 start_us, last_us, n = t, t, 1
             else:
-                last_us = t
+                # Late-but-within-watermark events from an earlier
+                # micro-batch can arrive with t < last_us (or even
+                # t < start_us): extend the session in BOTH directions
+                # instead of moving last_us backwards.
+                last_us = max(last_us, t)
+                start_us = min(start_us, t)
                 n += 1
         state.update((start_us, last_us, n))
         state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)

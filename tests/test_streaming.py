@@ -204,6 +204,66 @@ def test_streaming_sessionization_event_time_timeout(spark, tmp_path):
     assert (2, t0, 1) in got
 
 
+def test_streaming_sessionization_late_data(spark, tmp_path):
+    """Genuinely late, out-of-order data across micro-batches with a
+    NONZERO watermark: a late event still inside the watermark extends
+    the open session backwards (start_us lowered, last_us not moved
+    back); a late event beyond the watermark is dropped; both sessions
+    then emit at event-time timeout."""
+    import time
+
+    from ae_data_integration_spark.streaming.events import sessionize_stream
+
+    t0 = 1_700_000_000_000_000  # µs
+    m = 60 * 1_000_000  # one minute in µs
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts_us long"
+        ).select("user_id", "event_id", F.timestamp_micros("ts_us").alias("ts"))
+        df.coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    # f1: user 1 two events; user 2 one. Max event time = t0+10m, so
+    # the watermark entering the next batch is t0-20m (30m delay).
+    write_file("f1", [(1, 1, t0), (1, 2, t0 + 5 * m), (2, 1, t0 + 10 * m)])
+    time.sleep(1.1)  # file source orders by modification time
+    # f2: user 1 late-but-within-watermark (t0-10m >= t0-20m): must
+    # JOIN the open session and lower its start. user 2 late-beyond-
+    # watermark (t0-25m < t0-20m): must be DROPPED. user 3 advances
+    # the watermark far past both sessions' gap timeouts.
+    write_file("f2", [(1, 3, t0 - 10 * m), (2, 2, t0 - 25 * m),
+                      (3, 1, t0 + 180 * m)])
+    time.sleep(1.1)
+    # f3: one more batch so the timeouts (evaluated against the
+    # watermark advanced by f2) actually fire and emit.
+    write_file("f3", [(3, 2, t0 + 181 * m)])
+
+    schema = "user_id long, event_id long, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    run_available_now(
+        sessionize_stream(stream, watermark="30 minutes"),
+        "t_sess_late",
+        mode="append",
+    )
+    got = {
+        (r["user_id"], r["session_start_us"], r["n_events"])
+        for r in spark.table("t_sess_late").collect()
+    }
+    # user 1: 3 events, session extended backwards to the late event.
+    assert (1, t0 - 10 * m, 3) in got
+    # user 2: the beyond-watermark event was dropped -> 1 event, and
+    # no session anchored at the dropped timestamp.
+    assert (2, t0 + 10 * m, 1) in got
+    assert not any(s == t0 - 25 * m for (_, s, _) in got)
+
+
 def test_streaming_dedup_matches_batch_distinct(spark):
     from ae_data_integration_spark.streaming.events import dedup_keys_stream
 
