@@ -13,12 +13,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ae_data_integration_spark.catalog import register
-from ae_data_integration_spark.functions.portable import Q30, fpsum
+from ae_data_integration_spark.functions.portable import Q30, Q40, fpsum, fpsum_sql
 from ae_data_integration_spark.operators.kmeans import (
     ch_dbi,
     kmeans_mllib,
     kmeans_relational,
     silhouette_cosine,
+    silhouette_cosine_exact,
 )
 from ae_data_integration_spark.tables import table
 
@@ -209,6 +210,58 @@ FROM ab
 def c5_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     return silhouette_cosine(e, "vec_id", "label", "embedding")
+
+
+# --- C5c: EXACT cosine silhouette (normalized cluster-sum identity) ---------
+
+_C5X_SQL = f"""
+WITH pts0 AS (SELECT vec_id AS id, label AS c, {_V} AS vec FROM embeddings),
+ptsn AS (
+  SELECT id, c, vec,
+         greatest(sqrt({_DOTP.format(a='vec', b='vec')}), 1e-12) AS nrm
+  FROM pts0
+),
+pts AS (SELECT id, c, list_transform(vec, x -> x / nrm) AS vhat FROM ptsn),
+long AS (SELECT c, generate_subscripts(vhat, 1) AS dim, unnest(vhat) AS x FROM pts),
+cs AS (
+  SELECT c, dim, {fpsum_sql('x', Q40)} AS s, COUNT(*) AS n_c
+  FROM long GROUP BY c, dim
+),
+cent AS (SELECT c AS cj, list(s ORDER BY dim) AS sarr, MAX(n_c) AS n FROM cs GROUP BY c),
+pd AS (
+  SELECT p.id, p.c, ct.cj, ct.n,
+         {_DOTP.format(a='p.vhat', b='ct.sarr')} AS dt,
+         {_DOTP.format(a='p.vhat', b='p.vhat')} AS selfd
+  FROM pts p CROSS JOIN cent ct
+),
+ab AS (
+  SELECT id, c,
+         MIN(CASE WHEN cj = c THEN
+               CASE WHEN n = 1 THEN 0.0
+                    ELSE (CAST(n - 1 AS DOUBLE) - (dt - selfd)) / CAST(n - 1 AS DOUBLE) END
+             END) AS a,
+         MIN(CASE WHEN cj != c THEN (CAST(n AS DOUBLE) - dt) / CAST(n AS DOUBLE) END) AS b,
+         MAX(CASE WHEN cj = c THEN n END) AS nown
+  FROM pd GROUP BY id, c
+),
+sv AS (
+  SELECT CASE WHEN nown = 1 THEN 0.0
+              ELSE (b - a) / greatest(a, b, 1e-12) END AS s
+  FROM ab
+)
+SELECT {fpsum_sql('s', Q30)} / CAST(COUNT(*) AS DOUBLE) AS silhouette FROM sv
+"""
+
+
+@register("c5_silhouette_exact", oracle=_C5X_SQL,
+          doc="EXACT cosine silhouette via the normalized-vector "
+              "cluster-sum identity — one groupBy + broadcast join, "
+              "O(N*k*d), no all-pairs pass (ref test_metrics.py:15-17 "
+              "silhouette_score(metric='cosine'), exact semantics).",
+          tags=("clustering", "metrics", "bench"))
+def c5_silhouette_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return silhouette_cosine_exact(e, "vec_id", "label", "embedding")
 
 
 # --- C2: DBSCAN (ref mocss.py:410; no MLlib counterpart) --------------------

@@ -120,7 +120,7 @@ FROM diffs
 """
 
 
-@register("a1_frobenius_recon", oracle=_A1_SQL,
+@register("y_a1_frobenius_recon", oracle=_A1_SQL,
           doc="Frobenius recon objective over L2-normalized views "
               "(ref CNC_AE_model_selection.py:209-229).",
           tags=("linalg", "loss"))

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ae_data_integration_spark.functions.arrays import to_double
 from ae_data_integration_spark.functions.hashing import md5_rank
-from ae_data_integration_spark.functions.portable import Q30, fpsum
+from ae_data_integration_spark.functions.portable import Q30, Q40, fpsum
 
 _SQDIST = "sqdist"
 
@@ -202,6 +202,89 @@ def silhouette_cosine(
     )
     s = ab.select(
         ((F.col("b") - F.col("a")) / F.greatest("a", "b", F.lit(1e-12))).alias("s")
+    )
+    return s.agg(
+        (fpsum("s", Q30) / F.count(F.lit(1)).cast("double")).alias("silhouette")
+    )
+
+
+def silhouette_cosine_exact(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    cluster_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT mean silhouette with cosine distance — sklearn
+    ``silhouette_score(metric='cosine')`` semantics (ref
+    Simulation_Auxiliary/test_metrics.py:15-17) without the all-pairs
+    pass.
+
+    Identity: with v̂ = v/‖v‖ and S_C = Σ_{u∈C} û (per-cluster sums of
+    normalized vectors), the mean cosine distance from point i to
+    cluster C is (|C| − ⟨v̂ᵢ, S_C⟩)/|C|; for i's own cluster, subtract
+    the zero self-distance: aᵢ = ((n−1) − (⟨v̂ᵢ, S_c⟩ − ⟨v̂ᵢ, v̂ᵢ⟩))/(n−1).
+    bᵢ = min over other clusters of the first form, sᵢ = (b−a)/max(a,b)
+    (0 for singleton clusters, matching sklearn's nan_to_num).
+
+    Cost: one explode+groupBy for the k cluster-sum vectors + one
+    broadcast join — O(N·k·d), no N² pairwise work, so unlike the
+    textbook formulation this survives 100-TB inputs. Cluster sums are
+    fixed-point (Q40: |x̂| ≤ 1, so safe to ~9e6 rows per cluster per
+    dim; beyond that drop to Q30) making the whole query
+    DuckDB-replayable bit-for-bit.
+    """
+    from ae_data_integration_spark.functions.arrays import dot, l2_normalize
+
+    pts = df.select(
+        F.col(key_col).alias("id"),
+        F.col(cluster_col).alias("c"),
+        l2_normalize(to_double(vec_col)).alias("vhat"),
+    )
+    long = pts.select("c", F.posexplode("vhat").alias("dim", "x"))
+    cs = long.groupBy("c", "dim").agg(
+        fpsum("x", Q40).alias("s"), F.count(F.lit(1)).alias("n_c")
+    )
+    cent = (
+        cs.groupBy("c")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("_ds"),
+            F.max("n_c").alias("n"),
+        )
+        .select(
+            F.col("c").alias("cj"),
+            F.transform("_ds", lambda t: t["s"]).alias("sarr"),
+            "n",
+        )
+    )
+    pd_ = pts.crossJoin(F.broadcast(cent)).select(
+        "id", "c", "cj", "n",
+        dot("vhat", "sarr").alias("dt"),
+        dot("vhat", "vhat").alias("selfd"),
+    )
+    nm1 = (F.col("n") - F.lit(1)).cast("double")
+    ab = pd_.groupBy("id", "c").agg(
+        F.min(
+            F.when(
+                F.col("cj") == F.col("c"),
+                F.when(F.col("n") == 1, F.lit(0.0)).otherwise(
+                    (nm1 - (F.col("dt") - F.col("selfd"))) / nm1
+                ),
+            )
+        ).alias("a"),
+        F.min(
+            F.when(
+                F.col("cj") != F.col("c"),
+                (F.col("n").cast("double") - F.col("dt")) / F.col("n").cast("double"),
+            )
+        ).alias("b"),
+        F.max(F.when(F.col("cj") == F.col("c"), F.col("n"))).alias("nown"),
+    )
+    s = ab.select(
+        F.when(F.col("nown") == 1, F.lit(0.0))
+        .otherwise(
+            (F.col("b") - F.col("a")) / F.greatest("a", "b", F.lit(1e-12))
+        )
+        .alias("s")
     )
     return s.agg(
         (fpsum("s", Q30) / F.count(F.lit(1)).cast("double")).alias("silhouette")

@@ -224,3 +224,61 @@ def test_asof_join_semantics(spark):
     }
     assert strict[10] is None   # equal-ts excluded under strict
     assert strict[20] == 2.0
+
+
+def test_silhouette_cosine_exact_matches_bruteforce(spark):
+    """c5_silhouette_exact == the textbook all-pairs cosine silhouette
+    (sklearn silhouette_score(metric='cosine') semantics) to 1e-9."""
+    import numpy as np
+
+    from ae_data_integration_spark.operators.kmeans import silhouette_cosine_exact
+
+    e = table(spark, SF_CORRECT, "embeddings")
+    pdf = e.select("vec_id", "label", "embedding").orderBy("vec_id").toPandas()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    y = pdf["label"].to_numpy()
+    V = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    D = 1.0 - V @ V.T  # all-pairs cosine distances
+
+    svals = []
+    for i in range(len(y)):
+        own = y == y[i]
+        n_own = own.sum()
+        if n_own == 1:
+            svals.append(0.0)
+            continue
+        a = (D[i, own].sum() - D[i, i]) / (n_own - 1)
+        b = min(D[i, y == c].mean() for c in np.unique(y) if c != y[i])
+        svals.append((b - a) / max(a, b))
+    want = float(np.mean(svals))
+
+    got = silhouette_cosine_exact(e, "vec_id", "label", "embedding").first()[
+        "silhouette"
+    ]
+    assert abs(got - want) < 1e-9
+
+
+def test_silhouette_exact_handles_singleton_cluster(spark):
+    """A singleton cluster scores 0 (sklearn nan_to_num convention)."""
+    from ae_data_integration_spark.operators.kmeans import silhouette_cosine_exact
+
+    df = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [0.9, 0.1]),
+            (3, 1, [0.0, 1.0]),
+        ],
+        "vec_id long, label long, embedding array<double>",
+    )
+    got = silhouette_cosine_exact(df).first()["silhouette"]
+    # point 3 is a singleton -> s=0; points 1,2 have a tight own
+    # cluster and a distant other cluster -> s near 1.
+    import numpy as np
+
+    V = np.array([[1.0, 0.0], [0.9, 0.1], [0.0, 1.0]])
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    D = 1 - V @ V.T
+    s1 = (min(D[0, 2], 1e18) - D[0, 1]) / max(D[0, 1], D[0, 2])
+    s2 = (D[1, 2] - D[1, 0]) / max(D[1, 0], D[1, 2])
+    want = (s1 + s2 + 0.0) / 3
+    assert abs(got - want) < 1e-9
