@@ -6,14 +6,26 @@ cross_validate(GaussianNB(), cv=5)). MLlib's NaiveBayes is
 multinomial-only, so the engine implements the Gaussian variant
 natively (SURVEY §2.8 C6) — it is *trivially relational*: per
 (class, dim) mean/variance aggregates + a log-likelihood scoring
-projection + an argmax window.
+projection + an argmax aggregation.
 
-Scale design: the data is exploded to long form ONCE; per-fold
-training statistics are derived as (total − fold) on decimal partial
-sums, so 5-fold CV costs one pass over the data instead of five.
-All sums are decimal (partition-order independent); only log/ln in
-the scoring layer is sub-ulp engine-variant, which can flip an
-argmax only on near-exact score ties.
+Scale design: TWO distributed passes over the data, total.
+
+1. Sufficient statistics: one explode + groupBy producing fixed-point
+   partial sums per (fold, class, dim). The result is MODEL-sized
+   (folds × classes × dims cells — independent of row count, like a
+   kmeans centroid table), so it is collected and the per-fold
+   train statistics (total − fold), the adaptive sklearn smoothing
+   epsilon, and the class priors are assembled DRIVER-SIDE with the
+   same IEEE double ops the previous all-relational formulation ran
+   engine-side. This removes ~8 shuffle/broadcast stages over
+   1600-row relations from the critical path — at any SF the model
+   never grows, so driver assembly is scale-safe.
+2. Scoring: the model re-enters the plan as a broadcast literal
+   DataFrame; one explode + broadcast join + two hash aggregations
+   produce per-fold accuracy. Partial sums are fixed-point (decimal
+   exact, partition-order independent); only log/ln is sub-ulp
+   engine-variant, which can flip an argmax only on near-exact
+   score ties.
 """
 
 from __future__ import annotations
@@ -40,100 +52,105 @@ def gaussian_nb_cv_accuracy(
     var_smoothing: float = 1e-9,
 ) -> DataFrame:
     """Per-fold CV accuracy of Gaussian NB. Returns (fold, n_test, accuracy)."""
+    spark = df.sparkSession
     base = df.select(
         F.col(key_col).alias("id"),
         F.col(label_col).alias("y"),
         md5_bucket(key_col, n_folds, salt).alias("fold"),
         to_double(vec_col).alias("vec"),
     )
-    # `long` feeds both the training-statistics pass and the scoring
-    # join; it is recomputed rather than persisted — at corpus scale a
+    # `long` feeds both the statistics pass and the scoring join; it
+    # is recomputed rather than persisted — at corpus scale a
     # 64x-exploded cache costs more than the second scan-side explode.
     long = base.select(
         "id", "y", "fold", F.posexplode("vec").alias("dim", "x")
     )
 
-    # One-pass partial sums per (fold, class, dim), decimal-exact.
-    # part is MODEL-sized (folds × classes × dims rows) and feeds two
-    # branches (train stats and the adaptive-eps pass); persist it so
-    # the N×d explode+aggregate runs once, not once per branch —
-    # exchange reuse does not always cover both consumers under AQE.
-    part = long.groupBy("fold", "y", "dim").agg(
-        F.sum(F.round(F.col("x") * F.lit(Q40)).cast("long")).alias("s1"),
-        F.sum(F.round(F.col("x") * F.col("x") * F.lit(Q40)).cast("long")).alias("s2"),
-        F.count(F.lit(1)).alias("cnt"),
-    ).persist()
-    tot = part.groupBy("y", "dim").agg(
-        F.sum("s1").alias("t1"), F.sum("s2").alias("t2"), F.sum("cnt").alias("tc")
+    # PASS 1 — one-shuffle sufficient statistics per (fold, class,
+    # dim), fixed-point exact. cnt is constant across dims of a
+    # (fold, class), so class/fold row counts fall out of the same
+    # aggregate: no separate count pass.
+    cells = (
+        long.groupBy("fold", "y", "dim")
+        .agg(
+            F.sum(F.round(F.col("x") * F.lit(Q40)).cast("long")).alias("s1"),
+            F.sum(F.round(F.col("x") * F.col("x") * F.lit(Q40)).cast("long")).alias("s2"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .collect()
     )
-    folds = df.sparkSession.range(n_folds).select(F.col("id").alias("fold"))
+
+    # --- driver-side model assembly (pure-integer partials → the
+    # exact double expressions the engine-side plan used to run) ---
+    s1 = {(c["fold"], c["y"], c["dim"]): c["s1"] for c in cells}
+    s2 = {(c["fold"], c["y"], c["dim"]): c["s2"] for c in cells}
+    cnt = {(c["fold"], c["y"], c["dim"]): c["cnt"] for c in cells}
+    classes = sorted({k[1] for k in s1})
+    dims = sorted({k[2] for k in s1})
+    folds = range(n_folds)
+
+    # totals per (class, dim) and per dim (classes pooled), exact ints
+    t1 = {(y, d): sum(s1.get((f, y, d), 0) for f in folds) for y in classes for d in dims}
+    t2 = {(y, d): sum(s2.get((f, y, d), 0) for f in folds) for y in classes for d in dims}
+    tc = {(y, d): sum(cnt.get((f, y, d), 0) for f in folds) for y in classes for d in dims}
 
     # sklearn GaussianNB smoothing is ADAPTIVE: epsilon = var_smoothing
     # * max over dims of Var(x) on the fold's training rows (classes
     # pooled), not an absolute 1e-9 — matching the reference's
     # nb_classification.py classifier exactly.
-    dim_part = part.groupBy("fold", "dim").agg(
-        F.sum("s1").alias("ds1"), F.sum("s2").alias("ds2"), F.sum("cnt").alias("dc")
+    eps = {}
+    for f in folds:
+        vmax = None
+        for d in dims:
+            u1 = (sum(t1[(y, d)] for y in classes)
+                  - sum(s1.get((f, y, d), 0) for y in classes)) / float(Q40)
+            u2 = (sum(t2[(y, d)] for y in classes)
+                  - sum(s2.get((f, y, d), 0) for y in classes)) / float(Q40)
+            n_d = (sum(tc[(y, d)] for y in classes)
+                   - sum(cnt.get((f, y, d), 0) for y in classes))
+            if n_d <= 0:
+                continue
+            mud = u1 / n_d
+            vard = u2 / n_d - mud * mud
+            vmax = vard if vmax is None or vard > vmax else vmax
+        eps[f] = var_smoothing * (vmax or 0.0)
+
+    # train stats for test-fold f = totals − fold-f partials
+    cand_rows = []
+    for f in folds:
+        for y in classes:
+            n_tr = tc[(y, dims[0])] - cnt.get((f, y, dims[0]), 0)
+            if n_tr <= 0:
+                continue  # class absent from training split: no candidate
+            for d in dims:
+                sum1 = (t1[(y, d)] - s1.get((f, y, d), 0)) / float(Q40)
+                sum2 = (t2[(y, d)] - s2.get((f, y, d), 0)) / float(Q40)
+                mu = sum1 / n_tr
+                var = sum2 / n_tr - mu * mu + eps[f]
+                cand_rows.append((f, y, d, mu, var))
+
+    # class priors per test fold, same total-minus-fold trick
+    n_fold = {f: sum(cnt.get((f, y, dims[0]), 0) for y in classes) for f in folds}
+    n_tot = sum(n_fold.values())
+    prior_rows = []
+    for f in folds:
+        for y in classes:
+            n_tr_y = tc[(y, dims[0])] - cnt.get((f, y, dims[0]), 0)
+            if n_tr_y <= 0:
+                continue
+            prior_rows.append(
+                (f, y, math.log(n_tr_y / float(n_tot - n_fold[f])))
+            )
+
+    cand = spark.createDataFrame(
+        cand_rows, "fold int, cls long, dim int, mu double, var double"
     )
-    dim_tot = dim_part.groupBy("dim").agg(
-        F.sum("ds1").alias("dt1"), F.sum("ds2").alias("dt2"), F.sum("dc").alias("dtc")
-    )
-    dvar = (
-        folds.crossJoin(dim_tot)
-        .join(dim_part, ["fold", "dim"], "left")
-        .select(
-            "fold",
-            ((F.col("dt1") - F.coalesce(F.col("ds1"), F.lit(0))) / F.lit(float(Q40))).alias("u1"),
-            ((F.col("dt2") - F.coalesce(F.col("ds2"), F.lit(0))) / F.lit(float(Q40))).alias("u2"),
-            (F.col("dtc") - F.coalesce(F.col("dc"), F.lit(0))).alias("n_d"),
-        )
-        .withColumn("mud", F.col("u1") / F.col("n_d"))
-        .withColumn("vard", F.col("u2") / F.col("n_d") - F.col("mud") * F.col("mud"))
-    )
-    eps = dvar.groupBy("fold").agg(
-        (F.lit(var_smoothing) * F.max("vard")).alias("eps")
+    priors = spark.createDataFrame(
+        prior_rows, "fold int, cls long, log_prior double"
     )
 
-    # Train stats for test-fold f = totals − fold-f partials.
-    stats = (
-        folds.crossJoin(tot)
-        .join(part, ["fold", "y", "dim"], "left")
-        .select(
-            "fold", "y", "dim",
-            ((F.col("t1") - F.coalesce(F.col("s1"), F.lit(0))) / F.lit(float(Q40))).alias("sum1"),
-            ((F.col("t2") - F.coalesce(F.col("s2"), F.lit(0))) / F.lit(float(Q40))).alias("sum2"),
-            (F.col("tc") - F.coalesce(F.col("cnt"), F.lit(0))).alias("n_tr"),
-        )
-        .join(F.broadcast(eps), "fold")
-        .withColumn("mu", F.col("sum1") / F.col("n_tr"))
-        .withColumn(
-            "var",
-            F.col("sum2") / F.col("n_tr") - F.col("mu") * F.col("mu") + F.col("eps"),
-        )
-    )
-
-    # Class priors per test fold, same total-minus-fold trick.
-    cls_fold = base.groupBy("fold", "y").agg(F.count(F.lit(1)).alias("cn"))
-    cls_tot = cls_fold.groupBy("y").agg(F.sum("cn").alias("ct"))
-    n_tot = base.agg(F.count(F.lit(1)).alias("nt"))
-    n_fold = base.groupBy("fold").agg(F.count(F.lit(1)).alias("nf"))
-    priors = (
-        folds.crossJoin(cls_tot)
-        .join(cls_fold, ["fold", "y"], "left")
-        .join(F.broadcast(n_fold), "fold")
-        .crossJoin(F.broadcast(n_tot))
-        .select(
-            "fold", "y",
-            F.log(
-                (F.col("ct") - F.coalesce(F.col("cn"), F.lit(0))).cast("double")
-                / (F.col("nt") - F.col("nf")).cast("double")
-            ).alias("log_prior"),
-        )
-    )
-
-    # Score every test row against every class of its fold's model.
-    cand = stats.select("fold", F.col("y").alias("cls"), "dim", "mu", "var")
-    # Clamp at -1e4 so a degenerate (class, dim) variance cannot
+    # PASS 2 — score every test row against every class of its fold's
+    # model. Clamp at -1e4 so a degenerate (class, dim) variance cannot
     # overflow the fixed-point accumulator (argmax is unaffected).
     ll_dim = F.greatest(
         F.lit(-0.5) * (F.lit(_LN_2PI) + F.log(F.col("var")))
@@ -145,10 +162,7 @@ def gaussian_nb_cv_accuracy(
         long.join(F.broadcast(cand), ["fold", "dim"])
         .groupBy("id", "y", "fold", "cls")
         .agg((F.sum(F.round(ll_dim * F.lit(Q30)).cast("long")) / F.lit(float(Q30))).alias("ll"))
-        .join(
-            F.broadcast(priors.select("fold", F.col("y").alias("cls"), "log_prior")),
-            ["fold", "cls"],
-        )
+        .join(F.broadcast(priors), ["fold", "cls"])
         .withColumn("score", F.col("ll") + F.col("log_prior"))
     )
     # Argmax as a max-of-struct aggregation, not a row_number window:
