@@ -39,14 +39,31 @@ class Query:
     oracle: str | None
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # Contract for no-oracle (rows-only) queries: the local parity
+    # harness fails them unless they return at least `min_rows` rows
+    # with exactly the `columns` column set — "ran and produced >= 0
+    # rows" is not a check. Oracled queries ignore these (the value
+    # hash is strictly stronger).
+    min_rows: int = 1
+    columns: tuple[str, ...] | None = None
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()):
+def register(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+    min_rows: int = 1,
+    columns: tuple[str, ...] | None = None,
+):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc, tags=tags)
+        REGISTRY[name] = Query(
+            name=name, fn=fn, oracle=oracle, doc=doc, tags=tags,
+            min_rows=min_rows, columns=columns,
+        )
         return fn
 
     return deco

@@ -162,7 +162,7 @@ ORDER BY doc_a, doc_b
           doc="Word-3-gram Jaccard near-dup: MinHash(8)+LSH(2x4) candidates "
               "over ngram sets, exact set Jaccard verify — token-level twin "
               "of d2's char-shingle dedup.",
-          tags=("dedup",))
+          tags=("dedup", "bench"))
 def d5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ae_data_integration_spark.functions.text import tokens, word_ngrams_from_tokens
 

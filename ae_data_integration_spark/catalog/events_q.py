@@ -178,7 +178,7 @@ ORDER BY user_id, ts_us, event_id
               "click at-or-before it per user, via the union + "
               "last(IGNORE NULLS) window form (operators/asof.py) — one "
               "key shuffle, no range-join explosion.",
-          tags=("events", "asof"))
+          tags=("events", "asof", "bench"))
 def e4_asof_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ae_data_integration_spark.operators.asof import asof_join
 

@@ -98,7 +98,8 @@ def c1_kmeans_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("z_c1_kmeans_mllib", oracle=None,
           doc="MLlib KMeans (k-means||) — production path; rows-only "
               "(internal init is not SQL-replayable).",
-          tags=("clustering",))
+          tags=("clustering",),
+          min_rows=5, columns=("cluster", "n"))
 def c1_kmeans_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     return (
@@ -221,8 +222,10 @@ ptsn AS (
          greatest(sqrt({_DOTP.format(a='vec', b='vec')}), 1e-12) AS nrm
   FROM pts0
 ),
-pts AS (SELECT id, c, list_transform(vec, x -> x / nrm) AS vhat FROM ptsn),
-long AS (SELECT c, generate_subscripts(vhat, 1) AS dim, unnest(vhat) AS x FROM pts),
+long0 AS (
+  SELECT c, nrm, generate_subscripts(vec, 1) AS dim, unnest(vec) AS x0 FROM ptsn
+),
+long AS (SELECT c, dim, x0 / nrm AS x FROM long0),
 cs AS (
   SELECT c, dim, {fpsum_sql('x', Q40)} AS s, COUNT(*) AS n_c
   FROM long GROUP BY c, dim
@@ -230,9 +233,9 @@ cs AS (
 cent AS (SELECT c AS cj, list(s ORDER BY dim) AS sarr, MAX(n_c) AS n FROM cs GROUP BY c),
 pd AS (
   SELECT p.id, p.c, ct.cj, ct.n,
-         {_DOTP.format(a='p.vhat', b='ct.sarr')} AS dt,
-         {_DOTP.format(a='p.vhat', b='p.vhat')} AS selfd
-  FROM pts p CROSS JOIN cent ct
+         {_DOTP.format(a='p.vec', b='ct.sarr')} / p.nrm AS dt,
+         {_DOTP.format(a='p.vec', b='p.vec')} / p.nrm / p.nrm AS selfd
+  FROM ptsn p CROSS JOIN cent ct
 ),
 ab AS (
   SELECT id, c,
@@ -273,7 +276,8 @@ from ae_data_integration_spark.operators.dbscan import dbscan
           doc="Distributed DBSCAN: ε-pair join, core-point filter, min-label "
               "propagation components (ref mocss.py:410); iterative → "
               "rows-only, numpy golden in tests/test_dbscan.py.",
-          tags=("clustering",))
+          tags=("clustering", "bench"),
+          min_rows=2, columns=("cluster", "n"))
 def c2_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     return (
@@ -294,7 +298,8 @@ from ae_data_integration_spark.operators.cca import pca_project
               "plot-only): distributed fixed-point covariance + driver d x d "
               "eigh + literal-matrix projection; rows-only (eigh not "
               "SQL-replayable), numpy golden in tests/test_operators.py.",
-          tags=("clustering", "projection"))
+          tags=("clustering", "projection"),
+          min_rows=100, columns=("id", "pc1", "pc2"))
 def c7_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     return pca_project(e, "vec_id", "embedding", n_components=2).orderBy("id")

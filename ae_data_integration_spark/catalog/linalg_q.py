@@ -206,4 +206,6 @@ for _arch in ARCHITECTURES:
             "(ref embedding_from_retrained_models.py:7-92); golden-tested "
             "against local numpy in tests/test_inference.py.",
         tags=("linalg", "inference"),
+        min_rows=100,
+        columns=("sample_id", "embedding_dim", "recon_loss"),
     )(_make_c8(_arch))

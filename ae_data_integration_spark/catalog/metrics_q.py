@@ -110,6 +110,7 @@ def c4_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("z_c4_munkres_accuracy", oracle=None,
           doc="Hungarian-matched clustering accuracy (ref evaluation.py:34-53); "
               "k×k assignment on the driver → rows-only check.",
-          tags=("metrics",))
+          tags=("metrics",),
+          min_rows=1, columns=("munkres_accuracy",))
 def c4_munkres_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return munkres_accuracy(_pred_df(spark, sf_dir), "label", "pred")

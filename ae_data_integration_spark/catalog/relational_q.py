@@ -596,7 +596,7 @@ ORDER BY o_orderpriority
 @register("w3_median", oracle=_W3_SQL,
           doc="Exact per-group median by row_number-vs-count selection "
               "(deterministic middle elements, no percentile_approx).",
-          tags=("relational", "window"))
+          tags=("relational", "window", "bench"))
 def w3_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")

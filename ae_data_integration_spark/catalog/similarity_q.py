@@ -147,7 +147,7 @@ ORDER BY q_id, rk
           doc="IVF ANN: md5-seeded coarse KMeans quantizer, nprobe=2 probed "
               "cells, exact cosine within cells — the large-Q scale path; "
               "oracle replays quantizer+probe+rank end to end.",
-          tags=("similarity",))
+          tags=("similarity", "bench"))
 def s3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)

@@ -20,7 +20,9 @@ from ae_data_integration_spark.tables import table
           doc="One model-selection trial: 5-fold CV AE training, all folds "
               "in parallel via applyInPandas (ref CNC_AE_model_selection.py:319-381); "
               "rows-only (gradient descent is not SQL).",
-          tags=("train",))
+          tags=("train",),
+          min_rows=5,
+          columns=("fold", "n_train", "n_val", "val_loss", "last_train_loss"))
 def o3_objective_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     hyper = sample_params(0)

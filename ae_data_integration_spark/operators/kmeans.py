@@ -233,14 +233,23 @@ def silhouette_cosine_exact(
     dim; beyond that drop to Q30) making the whole query
     DuckDB-replayable bit-for-bit.
     """
-    from ae_data_integration_spark.functions.arrays import dot, l2_normalize
+    from ae_data_integration_spark.functions.arrays import dot, l2_norm
 
+    # Norm as a COLUMN, not l2_normalize's per-element lambda: a HOF
+    # lambda body re-evaluates its outer subexpressions per element
+    # (interpreted, no CSE), turning x/‖v‖ into an O(d²) fold per row.
+    # Normalizing after the explode keeps it O(d) (Generate blocks
+    # projection collapse, so nrm is computed once per input row), and
+    # the scoring join uses linearity: ⟨v̂,S⟩ = ⟨v,S⟩/nrm — the oracle
+    # replays the identical forms.
     pts = df.select(
         F.col(key_col).alias("id"),
         F.col(cluster_col).alias("c"),
-        l2_normalize(to_double(vec_col)).alias("vhat"),
+        to_double(vec_col).alias("v"),
+    ).withColumn("nrm", F.greatest(l2_norm("v"), F.lit(1e-12)))
+    long = pts.select("c", "nrm", F.posexplode("v").alias("dim", "x0")).select(
+        "c", "dim", (F.col("x0") / F.col("nrm")).alias("x")
     )
-    long = pts.select("c", F.posexplode("vhat").alias("dim", "x"))
     cs = long.groupBy("c", "dim").agg(
         fpsum("x", Q40).alias("s"), F.count(F.lit(1)).alias("n_c")
     )
@@ -258,8 +267,8 @@ def silhouette_cosine_exact(
     )
     pd_ = pts.crossJoin(F.broadcast(cent)).select(
         "id", "c", "cj", "n",
-        dot("vhat", "sarr").alias("dt"),
-        dot("vhat", "vhat").alias("selfd"),
+        (dot("v", "sarr") / F.col("nrm")).alias("dt"),
+        (dot("v", "v") / F.col("nrm") / F.col("nrm")).alias("selfd"),
     )
     nm1 = (F.col("n") - F.lit(1)).cast("double")
     ab = pd_.groupBy("id", "c").agg(

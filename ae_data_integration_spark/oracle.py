@@ -83,8 +83,26 @@ def check_query(spark, con, q: Query, sf_dir: str) -> ParityResult:
     except Exception as e:  # noqa: BLE001
         return ParityResult(q.name, False, f"spark error: {e}")
     if q.oracle is None:
-        ok = len(sdf) >= 0
-        return ParityResult(q.name, ok, "rows-only (no oracle)", len(sdf), -1)
+        # No SQL oracle: enforce the declared row-count/schema contract
+        # instead of accepting any non-crash.
+        if len(sdf) < q.min_rows:
+            return ParityResult(
+                q.name, False,
+                f"rows-only: {len(sdf)} rows < declared min_rows={q.min_rows}",
+                len(sdf), -1,
+            )
+        if q.columns is not None and sorted(sdf.columns) != sorted(q.columns):
+            return ParityResult(
+                q.name, False,
+                f"rows-only: columns {sorted(sdf.columns)} != declared {sorted(q.columns)}",
+                len(sdf), -1,
+            )
+        return ParityResult(
+            q.name, True,
+            f"rows-only (no oracle; >= {q.min_rows} rows, schema pinned)"
+            if q.columns else f"rows-only (no oracle; >= {q.min_rows} rows)",
+            len(sdf), -1,
+        )
     try:
         odf = con.execute(q.oracle).fetchdf()
     except Exception as e:  # noqa: BLE001
