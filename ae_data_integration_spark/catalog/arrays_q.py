@@ -144,7 +144,7 @@ FROM embeddings
 """
 
 
-@register("a3_ortho_mean", oracle=_A3_SQL,
+@register("y_a3_ortho_mean", oracle=_A3_SQL,
           doc="mean(z12 ⊙ z1) orthogonality (ref JISAE-O1_selection.py:281-293); "
               "fixed-point-exact global mean.",
           tags=("arrays", "loss"))

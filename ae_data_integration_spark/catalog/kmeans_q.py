@@ -290,7 +290,44 @@ def c2_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- C7 substitute: distributed PCA projection ------------------------------
 
-from ae_data_integration_spark.operators.cca import pca_project
+from ae_data_integration_spark.operators.cca import covariance_cells, pca_project
+
+# Oracle for the distributed O(N) half of PCA: the covariance cells.
+# The driver-side d×d eigh is golden-tested in pytest; this query puts
+# the data-touching part under the value-hash gate. DuckDB assembles
+# the same pairs via a keyed self-join (Spark double-posexplodes) —
+# identical multiset of products, fixed-point sums commute.
+_C7C_SQL = f"""
+WITH pts AS (SELECT vec_id AS id, {_V} AS v FROM embeddings),
+long AS (SELECT generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x FROM pts),
+mu AS (
+  SELECT i, {fpsum_sql('x', Q30)} / CAST(COUNT(*) AS DOUBLE) AS mu, COUNT(*) AS n
+  FROM long GROUP BY i
+),
+l1 AS (SELECT id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x FROM pts),
+pairs AS (
+  SELECT a.i, a.x, b.i AS j, b.x AS y FROM l1 a JOIN l1 b USING (id)
+),
+cross_p AS (
+  SELECT i, j, {fpsum_sql('x * y', Q30)} AS cp FROM pairs GROUP BY i, j
+)
+SELECT c.i, c.j,
+       (c.cp - (CAST(mi.n AS DOUBLE) * mi.mu * mj.mu)) / CAST(mi.n - 1 AS DOUBLE) AS cov
+FROM cross_p c
+JOIN mu mi ON c.i = mi.i
+JOIN mu mj ON c.j = mj.i
+ORDER BY c.i, c.j
+"""
+
+
+@register("c7_pca_covariance", oracle=_C7C_SQL,
+          doc="Distributed covariance cells (i, j, cov) — the O(N) half of "
+              "the C7 PCA substitute under the value-hash gate; fixed-point "
+              "cross-products + means, d^2-cell shuffle only.",
+          tags=("clustering", "projection"))
+def c7_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return covariance_cells(e, "vec_id", "embedding")
 
 
 @register("z_c7_pca_projection", oracle=None,

@@ -87,6 +87,54 @@ def cca_loss(
     return float(-np.sort(sv)[::-1][:k].sum())
 
 
+def covariance_cells(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed covariance matrix as (i, j, cov) cells — the O(N)
+    half of PCA (C7/L8), exposed as an oracle-able DataFrame.
+
+    Same math as pca_project's covariance assembly: fixed-point
+    cross-product sums (partition-order independent, engine-portable)
+    plus fixed-point per-dim means, combined as
+    (Σxy − n·μᵢ·μⱼ)/(n−1). The shuffle carries only d² aggregate
+    cells thanks to map-side partial aggregation; the scan-side
+    explode is d² per row, the price of exact portable sums (the
+    non-oracle scale path would accumulate per-partition Gram
+    matrices in Arrow batches instead).
+    """
+    pts = df.select(
+        F.col(key_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    )
+    long = pts.select(F.posexplode("v").alias("i", "x"))
+    mu = long.groupBy("i").agg(
+        (fpsum("x", Q30) / F.count(F.lit(1)).cast("double")).alias("mu"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    pairs = pts.select(
+        F.posexplode("v").alias("i", "x"), F.col("v").alias("_b")
+    ).select("i", "x", F.posexplode("_b").alias("j", "y"))
+    cross = pairs.groupBy("i", "j").agg(
+        fpsum(F.col("x") * F.col("y"), Q30).alias("cp")
+    )
+    mi = mu.select(F.col("i"), F.col("mu").alias("mu_i"), "n")
+    mj = mu.select(F.col("i").alias("j"), F.col("mu").alias("mu_j"))
+    return (
+        cross.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i", "j",
+            (
+                (F.col("cp") - F.col("n").cast("double") * F.col("mu_i") * F.col("mu_j"))
+                / (F.col("n") - F.lit(1)).cast("double")
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
 def pca_project(
     df: DataFrame,
     key_col: str = "vec_id",
