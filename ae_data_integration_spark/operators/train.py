@@ -41,6 +41,9 @@ SEARCH_SPACE = {
     "batch_size": [32, 64, 128],
     "epochs": [5, 10],
     "hidden": [8, 16],
+    # L3 train-time dropout (ref model_structures.py:68-69 sampled in
+    # CNC_AE_model_selection.py:331-344). Eval mode is identity.
+    "dropout": [0.0, 0.1, 0.2, 0.4, 0.6],
 }
 
 
@@ -61,6 +64,9 @@ def sample_params(trial: int, salt: str = "search") -> dict:
         "batch_size": int(rng.choice(SEARCH_SPACE["batch_size"])),
         "epochs": int(rng.choice(SEARCH_SPACE["epochs"])),
         "hidden": int(rng.choice(SEARCH_SPACE["hidden"])),
+        # drawn LAST so pre-dropout params of historical trials are
+        # unchanged by the search-space extension
+        "dropout": float(rng.choice(SEARCH_SPACE["dropout"])),
     }
 
 
@@ -80,23 +86,33 @@ def _init_ae(d_in: int, hidden: int, seed: int) -> dict:
     }
 
 
-def _forward(params: dict, x: np.ndarray):
+def _forward(params: dict, x: np.ndarray, dmask: np.ndarray | None = None):
+    """dmask is an INVERTED-dropout multiplier (0 or 1/(1−p)) on the
+    hidden layer — None in eval mode (L3: dropout = identity at eval)."""
     h = np.tanh(x @ params["W1"] + params["b1"])
-    xhat = h @ params["W2"] + params["b2"]
-    return h, xhat
+    hd = h if dmask is None else h * dmask
+    xhat = hd @ params["W2"] + params["b2"]
+    return h, hd, xhat
 
 
-def _loss_and_grads(params: dict, x: np.ndarray, l2_lambda: float):
+def _loss_and_grads(
+    params: dict,
+    x: np.ndarray,
+    l2_lambda: float,
+    dmask: np.ndarray | None = None,
+):
     """Frobenius recon loss ‖x̂−norm(x)‖_F (A1 shape) + L2 penalty."""
     xn = _l2norm_rows(x)
-    h, xhat = _forward(params, xn)
+    h, hd, xhat = _forward(params, xn, dmask)
     diff = xhat - xn
     fro = np.sqrt(max((diff * diff).sum(), 1e-24))
     # d fro / d xhat = diff / fro
     g_xhat = diff / fro
-    gW2 = h.T @ g_xhat + l2_lambda * params["W2"]
+    gW2 = hd.T @ g_xhat + l2_lambda * params["W2"]
     gb2 = g_xhat.sum(axis=0)
     g_h = g_xhat @ params["W2"].T
+    if dmask is not None:
+        g_h = g_h * dmask
     g_pre = g_h * (1.0 - h * h)
     gW1 = xn.T @ g_pre + l2_lambda * params["W1"]
     gb1 = g_pre.sum(axis=0)
@@ -126,6 +142,7 @@ def train_ae_numpy(
     v = {k: np.zeros_like(p) for k, p in params.items()}
     rng = np.random.default_rng(seed + 1)
     bs = int(hyper["batch_size"])
+    p_drop = float(hyper.get("dropout", 0.0))
     t = 0
     epoch_losses: list[float] = []
     last_batch_n = bs
@@ -135,7 +152,20 @@ def train_ae_numpy(
         for i in range(0, len(order), bs):
             xb = x_train[order[i : i + bs]]
             last_batch_n = len(xb)
-            loss, grads = _loss_and_grads(params, xb, hyper["l2_lambda"])
+            dmask = None
+            if p_drop > 0.0:
+                # md5-derived per (seed, epoch, batch) — partition-
+                # independent like every other seed in the engine (O6),
+                # so cv_loss is bit-identical under any repartitioning.
+                drng = np.random.default_rng(
+                    _seed_from(f"{seed}:do:{_epoch}:{i}")
+                )
+                dmask = (
+                    drng.random((len(xb), params["b1"].shape[0])) >= p_drop
+                ) / (1.0 - p_drop)
+            loss, grads = _loss_and_grads(
+                params, xb, hyper["l2_lambda"], dmask
+            )
             t += 1
             _adam_step(params, grads, m, v, t, hyper["lr"])
             total += loss
