@@ -39,13 +39,22 @@ def sweep_datasets(
     n_folds: int = 3,
     artifacts_root: str | None = None,
     fixture_scale: bool = False,
+    max_concurrency: int = 1,
 ) -> DataFrame:
     """Run the reference workflow for every (name, view1_path,
     view2_path) dataset and return the collated per-dataset results
     table (one row per dataset — the AE_results.ipynb summary).
+
+    ``max_concurrency > 1`` submits that many datasets' job DAGs
+    concurrently from driver threads against the shared session (the
+    FAIR-scheduler pattern from the module docstring) — results are
+    deterministic and ordered regardless, since every pipeline seed is
+    md5-derived from names/keys, never from thread timing.
     """
-    rows = []
-    for name, p1, p2 in datasets:
+    datasets = list(datasets)
+
+    def one(ds: tuple[str, str, str]):
+        name, p1, p2 = ds
         res = run_reference_pipeline(
             spark, p1, p2,
             n_trials=n_trials, n_folds=n_folds,
@@ -53,22 +62,28 @@ def sweep_datasets(
             fixture_scale=fixture_scale,
         )
         accs = [a for _, a in res.nb_accuracy]
-        rows.append(
-            (
-                name,
-                int(res.split_counts["n_train"]),
-                int(res.split_counts["n_test"]),
-                int(res.best_trial["trial"]),
-                float(res.best_trial["cv_loss"]),
-                float(res.recon_stats["mean"]),
-                float(res.recon_stats["std"]),
-                float(sum(accs) / len(accs)) if accs else float("nan"),
-                float(res.metrics["nmi"]),
-                float(res.metrics["ari"]),
-                float(res.metrics["fmi"]),
-                float(res.metrics["munkres_accuracy"]),
-            )
+        return (
+            name,
+            int(res.split_counts["n_train"]),
+            int(res.split_counts["n_test"]),
+            int(res.best_trial["trial"]),
+            float(res.best_trial["cv_loss"]),
+            float(res.recon_stats["mean"]),
+            float(res.recon_stats["std"]),
+            float(sum(accs) / len(accs)) if accs else float("nan"),
+            float(res.metrics["nmi"]),
+            float(res.metrics["ari"]),
+            float(res.metrics["fmi"]),
+            float(res.metrics["munkres_accuracy"]),
         )
+
+    if max_concurrency > 1 and len(datasets) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+            rows = list(pool.map(one, datasets))
+    else:
+        rows = [one(ds) for ds in datasets]
     return spark.createDataFrame(rows, RESULT_SCHEMA)
 
 

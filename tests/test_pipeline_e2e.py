@@ -125,3 +125,68 @@ def test_pipeline_deterministic(spark, omics_pair):
     assert r1.best_trial["cv_loss"] == r2.best_trial["cv_loss"]
     assert r1.recon_stats == r2.recon_stats
     assert r1.nb_accuracy == r2.nb_accuracy
+
+
+def test_sweep_simulation_grid_slice(spark, tmp_path):
+    """O7 at grid shape: a 2x2 simulation_grid slice (4 datasets on the
+    reference's RNA_seq/miRNA_seq path scheme) sweeps end-to-end into
+    the AE_results.ipynb summary table (cells 6-20): one row per
+    dataset, the full RESULT_SCHEMA column set, and bit-identical
+    rows across reruns."""
+    from ae_data_integration_spark.pipelines.sweep import (
+        RESULT_SCHEMA,
+        simulation_grid,
+        sweep_datasets,
+    )
+
+    root = tmp_path / "sim_data"
+    root.mkdir()
+    rng = np.random.default_rng(7)
+    groups, prop_diffs = (2, 3), (0.2, 0.4)
+    for g in groups:
+        for p in prop_diffs:
+            samples = [
+                f"Group{gi}.Time{t}.Rep{r}"
+                for gi in range(1, g + 1)
+                for t in (1, 2)
+                for r in (1, 2, 3)
+            ]
+            for prefix, n_feat in (("RNA_seq", 20), ("miRNA_seq", 8)):
+                data = {
+                    s: rng.normal(
+                        loc=(int(s[5]) - 1) * 5.0 * p, scale=0.8, size=n_feat
+                    )
+                    for s in samples
+                }
+                pd.DataFrame(
+                    data, index=[f"f{i}" for i in range(n_feat)]
+                ).to_csv(
+                    root / f"{prefix}_{g}_groups_{p}_diff.csv",
+                    sep="\t",
+                    index_label="feature",
+                )
+
+    grid = simulation_grid(str(root), groups=groups, prop_diffs=prop_diffs)
+    assert len(grid) == 4
+    out1 = sweep_datasets(
+        spark, grid, n_trials=1, n_folds=2, max_concurrency=4
+    ).collect()
+    want_cols = [c.split()[0] for c in RESULT_SCHEMA.split(", ")]
+    assert [f.name for f in sweep_datasets(spark, [], ).schema] == want_cols
+
+    rows1 = {r["dataset"]: r.asDict() for r in out1}
+    assert set(rows1) == {f"{g}_groups_{p}_diff" for g in groups for p in prop_diffs}
+    for name, r in rows1.items():
+        g = int(name.split("_")[0])
+        assert r["n_train"] + r["n_test"] == g * 6
+        assert np.isfinite(r["cv_loss"]) and r["cv_loss"] > 0
+        assert 0.0 <= r["nmi"] <= 1.0 and 0.0 <= r["munkres_accuracy"] <= 1.0
+    # determinism: the whole sweep reruns to bit-identical rows under a
+    # different thread interleaving (seeds are md5-derived, never
+    # thread-timing-dependent), plus a serial 1-dataset spot-check
+    rows2 = {r["dataset"]: r.asDict() for r in
+             sweep_datasets(spark, grid, n_trials=1, n_folds=2,
+                            max_concurrency=2).collect()}
+    assert rows1 == rows2
+    serial = sweep_datasets(spark, grid[:1], n_trials=1, n_folds=2).collect()
+    assert serial[0].asDict() == rows1[serial[0]["dataset"]]
