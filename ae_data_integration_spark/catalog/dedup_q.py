@@ -34,7 +34,7 @@ FROM (
 """
 
 
-@register("d1_exact_dup", oracle=_D1_SQL,
+@register("y_d1_exact_dup", oracle=_D1_SQL,
           doc="Exact dedup via normalized-text md5 fingerprint groupBy.",
           tags=("dedup",))
 def d1_exact_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,3 +298,92 @@ def pipe1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- D6: near-dup clusters (connected components, canonical selection) ------
+# Min-label propagation with pointer jumping, UNROLLED for a fixed 4
+# passes — every step is integer mins over joins, so the DuckDB replay
+# is trivially bit-exact; exactness of the bounded unroll vs true
+# connected components is golden-tested against union-find in
+# tests/test_operators.py.
+
+_D6_THRESH = 0.5
+
+
+def _cc_unrolled_sql(verified_cte: str, n_iters: int = 4) -> str:
+    steps = []
+    prev = "l0"
+    for i in range(1, n_iters + 1):
+        steps.append(f"""n{i} AS (
+  SELECT e.a AS id, MIN(x.lbl) AS nb
+  FROM edges e JOIN {prev} x ON e.b = x.id GROUP BY e.a
+),
+h{i} AS (
+  SELECT l.id, least(l.lbl, coalesce(n.nb, l.lbl)) AS lbl
+  FROM {prev} l LEFT JOIN n{i} n ON l.id = n.id
+),
+l{i} AS (
+  SELECT h.id, least(h.lbl, coalesce(j.l2, h.lbl)) AS lbl
+  FROM h{i} h LEFT JOIN (SELECT id AS k, lbl AS l2 FROM {prev}) j ON h.lbl = j.k
+)""")
+        prev = f"l{i}"
+    return f"""{verified_cte},
+edges0 AS (SELECT doc_a AS a, doc_b AS b FROM verified),
+edges AS (SELECT a, b FROM edges0 UNION SELECT b AS a, a AS b FROM edges0),
+l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM edges),
+{",".join(steps)}
+SELECT lbl AS cluster_root, COUNT(*) AS n_docs
+FROM {prev} GROUP BY lbl ORDER BY cluster_root"""
+
+
+_D6_VERIFIED = f"""WITH sh AS (
+  SELECT doc_id, {_SHS} AS shs FROM documents
+),
+hashed AS (
+  SELECT doc_id, shs,
+         list_transform(shs, x -> CAST(('0x' || substr(md5(x), 1, 12)) AS BIGINT)) AS hs
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, shs, {_perm_mins_sql(8)} AS sig FROM hashed
+),
+bands AS (
+  SELECT doc_id, b.b AS band,
+         md5(array_to_string(sig[b.b*4 + 1 : b.b*4 + 4], '|')) AS bucket
+  FROM sig, (SELECT unnest(range(0, 2)) AS b) b
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x
+  JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+verified AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN sh a ON p.doc_a = a.doc_id
+  JOIN sh b ON p.doc_b = b.doc_id
+  WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+          / (CAST(len(a.shs) + len(b.shs) AS DOUBLE)
+             - CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)) >= {_D6_THRESH}
+)"""
+
+_D6_SQL = _cc_unrolled_sql(_D6_VERIFIED, n_iters=4)
+
+
+@register("d6_dup_clusters", oracle=_D6_SQL,
+          doc="Near-dup clusters: connected components over the verified "
+              "MinHash-LSH pair graph (jaccard >= 0.5) via pointer-jumping "
+              "min-label propagation, fixed 4 passes — the canonical-doc "
+              "selection step of corpus curation; oracle replays the "
+              "unrolled integer fixpoint CTE-for-CTE.",
+          tags=("dedup", "graph"))
+def d6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.dedup import dup_clusters
+
+    d = table(spark, sf_dir, "documents")
+    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).persist()
+    pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=8, num_bands=2)
+    verified = jaccard_verify(pairs, shs, threshold=_D6_THRESH).select(
+        "doc_a", "doc_b"
+    )
+    return dup_clusters(verified, n_iters=4)

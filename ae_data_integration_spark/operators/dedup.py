@@ -217,3 +217,76 @@ def simhash(df: DataFrame, key_col: str, text_col: str, bits: int = 60) -> DataF
         .otherwise(F.lit(0).cast("long")),
     )
     return with_h.select("doc", sim.alias("simhash"))
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    n_iters: int = 4,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components of the verified
+    candidate-pair graph, as min-label propagation with pointer
+    jumping unrolled for a FIXED n_iters.
+
+    This is the canonical-doc-selection step of a curation pipeline
+    (cluster near-dups, keep one per cluster). A fixed iteration count
+    makes the operator deterministic and SQL-replayable (every step is
+    integer mins/joins — bit-exact on any engine); each pass takes the
+    min label over neighbors (hop) then the label of the node named by
+    the current label (jump), so label reach roughly doubles per pass:
+    exact for components whose min-label radius ≤ ~2^n_iters. Near-dup
+    graphs are unions of bucket cliques with tiny diameters, so 4
+    passes cover them with big margin (the exactness is golden-tested
+    against a union-find in tests). Cost: n_iters key-shuffles of the
+    (nodes ∪ edges)-sized relations — same shape as the DBSCAN
+    component solver (operators/dbscan.py), minus the convergence
+    loop, so the whole thing stays one static Catalyst plan.
+
+    Returns (cluster_root, n_docs) per component, smallest member id
+    as the root; singleton docs (no candidate pair) are not rows —
+    a dedup keep-list is `anti-join drops` where drops = members with
+    id != cluster_root.
+    """
+    # Materialize the graph and every label generation EAGERLY: each
+    # pass references the previous generation three times
+    # (neighbor-min, identity, jump), so a lazy unroll re-executes the
+    # upstream candidate pipeline ~3^n_iters times — and lazy persists
+    # don't save it, because the referencing stages race to compute
+    # the still-uncached parent. localCheckpoint (eager) computes each
+    # generation once and rebases the plan on the cached blocks, the
+    # same lineage-truncation discipline as the DBSCAN solver.
+    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    edges = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(n_iters):
+        nb = (
+            edges.join(labels.select(F.col("id").alias("_nid"), "lbl"),
+                       edges.b == F.col("_nid"))
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nb"))
+        )
+        hop = (
+            labels.join(nb, labels.id == nb.a, "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nb"), F.col("lbl"))).alias("lbl"),
+            )
+        )
+        jump = labels.select(F.col("id").alias("lbl"), F.col("lbl").alias("_l2"))
+        labels = hop.join(jump, "lbl", "left").select(
+            "id",
+            F.least(F.col("lbl"), F.coalesce(F.col("_l2"), F.col("lbl"))).alias("lbl"),
+        ).localCheckpoint()
+    return (
+        labels.groupBy(F.col("lbl").alias("cluster_root"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("cluster_root")
+    )

@@ -282,3 +282,44 @@ def test_silhouette_exact_handles_singleton_cluster(spark):
     s2 = (D[1, 2] - D[1, 0]) / max(D[1, 0], D[1, 2])
     want = (s1 + s2 + 0.0) / 3
     assert abs(got - want) < 1e-9
+
+
+def test_dup_clusters_match_union_find(spark):
+    """d6 bounded pointer-jumping == true connected components
+    (union-find) on the real candidate graph at fixture scale."""
+    from ae_data_integration_spark.operators.dedup import (
+        doc_shingles,
+        dup_clusters,
+        jaccard_verify,
+        lsh_candidate_pairs_from_shingles,
+    )
+
+    d = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).persist()
+    pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=8, num_bands=2)
+    verified = jaccard_verify(pairs, shs, threshold=0.5).select("doc_a", "doc_b")
+    edges = [(r["doc_a"], r["doc_b"]) for r in verified.collect()]
+    assert edges  # corpus has verified near-dups
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want: dict[int, int] = {}
+    for node in parent:
+        want[find(node)] = want.get(find(node), 0) + 1
+
+    got = {
+        r["cluster_root"]: r["n_docs"]
+        for r in dup_clusters(verified, n_iters=4).collect()
+    }
+    assert got == want
