@@ -125,7 +125,10 @@ def covariance_cells(
         cross.join(F.broadcast(mi), "i")
         .join(F.broadcast(mj), "j")
         .select(
-            "i", "j",
+            # posexplode yields int32; the oracle's generate_subscripts
+            # is int64 and the driver's schema compare is type-strict
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
             (
                 (F.col("cp") - F.col("n").cast("double") * F.col("mu_i") * F.col("mu_j"))
                 / (F.col("n") - F.lit(1)).cast("double")
