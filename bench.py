@@ -35,11 +35,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, q in bench_queries.items():
-        # min of 2 timed reps: single-rep wall time on a 32-thread
+        # min of 3 timed reps: single-rep wall time on a 32-thread
         # local JVM swings ±20% with GC/JIT; the min is the
         # reproducible steady-state throughput number.
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             q.fn(spark, sf_dir).collect()
             best = min(best, time.time() - t0)
