@@ -100,3 +100,38 @@ def test_kmeans_no_unpartitioned_window(spark):
     for m in re.finditer(r"Window \[.*windowspecdefinition\(([^)]*)\)", pa.plan):
         # every window spec must name at least one partition column
         assert m.group(1).strip(), f"unpartitioned window:\n{m.group(0)}"
+
+
+def test_c5_exact_silhouette_broadcast_clustersums(spark):
+    # k cluster-sum vectors attach via a broadcast nested-loop cross
+    # (k rows); cluster sums come from a partial-aggregated explode —
+    # no all-pairs point-point join anywhere.
+    (
+        plan_asserts(_df(spark, "c5_silhouette_exact"))
+        .has_broadcast_exchange(1)
+        .has_partial_agg()
+        .no_python_row_udf()
+    )
+
+
+def test_c6_nb_model_joins_broadcast(spark):
+    # The driver-assembled model (cand) and priors re-enter the
+    # scoring pass as broadcast literals — the exploded fact side
+    # never shuffles into a sort-merge join.
+    (
+        plan_asserts(_df(spark, "c6_gaussian_nb_cv"))
+        .has_broadcast_join(2)
+        .no_sort_merge_join()
+        .no_python_row_udf()
+    )
+
+
+def test_c7_covariance_broadcast_means(spark):
+    # d-sized mean vectors broadcast onto the d^2 covariance cells;
+    # cross-products partial-aggregate map-side.
+    (
+        plan_asserts(_df(spark, "c7_pca_covariance"))
+        .has_broadcast_join(2)
+        .has_partial_agg()
+        .no_python_row_udf()
+    )
