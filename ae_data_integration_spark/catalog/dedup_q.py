@@ -310,7 +310,7 @@ def pipe1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _D6_THRESH = 0.5
 
 
-def _cc_unrolled_sql(verified_cte: str, n_iters: int = 4) -> str:
+def _cc_unrolled_sql(verified_cte: str, n_iters: int = 4, tail: str | None = None) -> str:
     steps = []
     prev = "l0"
     for i in range(1, n_iters + 1):
@@ -327,13 +327,16 @@ l{i} AS (
   FROM h{i} h LEFT JOIN (SELECT id AS k, lbl AS l2 FROM {prev}) j ON h.lbl = j.k
 )""")
         prev = f"l{i}"
+    tail_sql = tail or (
+        f"SELECT lbl AS cluster_root, COUNT(*) AS n_docs\n"
+        f"FROM {prev} GROUP BY lbl ORDER BY cluster_root"
+    )
     return f"""{verified_cte},
 edges0 AS (SELECT doc_a AS a, doc_b AS b FROM verified),
 edges AS (SELECT a, b FROM edges0 UNION SELECT b AS a, a AS b FROM edges0),
 l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM edges),
 {",".join(steps)}
-SELECT lbl AS cluster_root, COUNT(*) AS n_docs
-FROM {prev} GROUP BY lbl ORDER BY cluster_root"""
+{tail_sql}"""
 
 
 _D6_VERIFIED = f"""WITH sh AS (
@@ -387,3 +390,62 @@ def d6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b"
     )
     return dup_clusters(verified, n_iters=4)
+
+
+# --- PIPE2: end-to-end canonical dedup (cluster → keep one → stats) ---------
+# The full curation step d6 enables: detect near-dup clusters, keep
+# the smallest-id member per cluster, and report the corpus before /
+# after. One row, every number under the value-hash gate — the oracle
+# replays candidates, verification, the CC unroll, the drop list, and
+# the survivor aggregate end-to-end.
+
+_PIPE2_TAIL = r""",
+drops AS (SELECT id AS doc_id FROM l4 WHERE id != lbl),
+surv AS (
+  SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+),
+agg1 AS (
+  SELECT COUNT(*) AS n_surviving,
+         CAST(SUM(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x != ''))) AS BIGINT)
+           AS surviving_tokens
+  FROM surv
+)
+SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       (SELECT COUNT(*) FROM drops) AS n_dropped,
+       n_surviving, surviving_tokens
+FROM agg1"""
+
+_PIPE2_SQL = _cc_unrolled_sql(_D6_VERIFIED, n_iters=4, tail=_PIPE2_TAIL)
+
+
+@register("pipe2_canonical_dedup", oracle=_PIPE2_SQL,
+          doc="End-to-end canonical dedup: verified LSH pair graph -> "
+              "connected components -> drop non-root members (anti-join) -> "
+              "survivor count + token mass; single fully-oracled row.",
+          tags=("dedup", "pipeline"))
+def pipe2_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.functions.text import token_count
+    from ae_data_integration_spark.operators.dedup import dup_labels
+
+    d = table(spark, sf_dir, "documents")
+    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).persist()
+    pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=8, num_bands=2)
+    verified = jaccard_verify(pairs, shs, threshold=_D6_THRESH).select(
+        "doc_a", "doc_b"
+    )
+    labels = dup_labels(verified, n_iters=4)
+    drops = labels.filter(F.col("id") != F.col("lbl")).select(
+        F.col("id").alias("doc_id")
+    )
+    surv = d.join(drops, "doc_id", "left_anti")
+    tot = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    ndrop = drops.agg(F.count(F.lit(1)).alias("n_dropped"))
+    agg1 = surv.agg(
+        F.count(F.lit(1)).alias("n_surviving"),
+        F.sum(token_count("text").cast("long")).alias("surviving_tokens"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(ndrop))
+        .crossJoin(F.broadcast(agg1))
+        .select("n_docs", "n_dropped", "n_surviving", "surviving_tokens")
+    )

@@ -79,7 +79,7 @@ FROM stats CROSS JOIN hu CROSS JOIN hv
 """
 
 
-@register("c3_cluster_metrics", oracle=_C3_SQL,
+@register("y_c3_cluster_metrics", oracle=_C3_SQL,
           doc="NMI/ARI/FMI from the contingency table, closed forms "
               "(ref evaluation.py:6-12; sklearn-equivalent).",
           tags=("metrics",))
@@ -97,7 +97,7 @@ FROM p
 """
 
 
-@register("c4_accuracy", oracle=_C4_SQL,
+@register("y_c4_accuracy", oracle=_C4_SQL,
           doc="accuracy_score as exact count ratio (ref evaluation.py:53).",
           tags=("metrics",))
 def c4_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:

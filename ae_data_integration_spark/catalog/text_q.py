@@ -166,3 +166,48 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count("text").cast("long").alias("n_tokens"),
         rolling_fingerprint("text").alias("fingerprint"),
     ).orderBy("doc_id")
+
+
+# --- T5: corpus-level top-k n-grams by document frequency -------------------
+# The corpus-statistics op a curation pipeline uses to spot template
+# boilerplate (an n-gram present in many documents). Distinct-per-doc
+# n-grams (the d5 dedup unit) -> explode -> count = document
+# frequency -> global top-k as a TakeOrdered (per-partition top-k +
+# driver merge of k rows, never a single-partition window sort — the
+# counts relation is vocabulary-sized and must not funnel through one
+# task at corpus scale). Ties break (df DESC, ngram ASC) on both
+# engines, so the row set is deterministic.
+
+_T5_WNG = (
+    "CASE WHEN len({t}) >= 3 THEN "
+    "list_distinct(list_transform(range(1, len({t}) - 1), "
+    "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2])) "
+    "ELSE [array_to_string({t}, ' ')] END"
+)
+
+_T5_SQL = f"""
+WITH tok AS (SELECT {_TOKS} AS t FROM documents),
+g AS (SELECT unnest({_T5_WNG.format(t='t')}) AS ngram FROM tok),
+c AS (SELECT ngram, COUNT(*) AS df FROM g GROUP BY ngram)
+SELECT ngram, df FROM c ORDER BY df DESC, ngram LIMIT 20
+"""
+
+
+@register("t5_topk_ngrams", oracle=_T5_SQL,
+          doc="Top-20 word-3-grams by document frequency (boilerplate "
+              "detector): distinct-per-doc ngrams -> count -> TakeOrdered "
+              "top-k, deterministic tie-break.",
+          tags=("text",))
+def t5_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.functions.text import (
+        tokens,
+        word_ngrams_from_tokens,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(tokens("text").alias("t"))
+    grams = toks.select(
+        F.explode(word_ngrams_from_tokens("t", 3)).alias("ngram")
+    )
+    counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("df"))
+    return counts.orderBy(F.desc("df"), "ngram").limit(20)

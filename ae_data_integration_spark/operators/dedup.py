@@ -246,8 +246,25 @@ def dup_clusters(
     Returns (cluster_root, n_docs) per component, smallest member id
     as the root; singleton docs (no candidate pair) are not rows —
     a dedup keep-list is `anti-join drops` where drops = members with
-    id != cluster_root.
+    id != cluster_root (see ``dup_labels`` for the per-member view).
     """
+    return (
+        dup_labels(pairs, a_col, b_col, n_iters)
+        .groupBy(F.col("lbl").alias("cluster_root"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("cluster_root")
+    )
+
+
+def dup_labels(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    n_iters: int = 4,
+) -> DataFrame:
+    """Per-member component labels (id, lbl) for the candidate-pair
+    graph — the raw output dup_clusters aggregates; lbl is the
+    smallest reachable member id (within the n_iters unroll)."""
     # Materialize the graph and every label generation EAGERLY: each
     # pass references the previous generation three times
     # (neighbor-min, identity, jump), so a lazy unroll re-executes the
@@ -285,8 +302,4 @@ def dup_clusters(
             "id",
             F.least(F.col("lbl"), F.coalesce(F.col("_l2"), F.col("lbl"))).alias("lbl"),
         ).localCheckpoint()
-    return (
-        labels.groupBy(F.col("lbl").alias("cluster_root"))
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("cluster_root")
-    )
+    return labels
