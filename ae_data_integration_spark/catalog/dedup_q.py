@@ -310,33 +310,7 @@ def pipe1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _D6_THRESH = 0.5
 
 
-def _cc_unrolled_sql(verified_cte: str, n_iters: int = 4, tail: str | None = None) -> str:
-    steps = []
-    prev = "l0"
-    for i in range(1, n_iters + 1):
-        steps.append(f"""n{i} AS (
-  SELECT e.a AS id, MIN(x.lbl) AS nb
-  FROM edges e JOIN {prev} x ON e.b = x.id GROUP BY e.a
-),
-h{i} AS (
-  SELECT l.id, least(l.lbl, coalesce(n.nb, l.lbl)) AS lbl
-  FROM {prev} l LEFT JOIN n{i} n ON l.id = n.id
-),
-l{i} AS (
-  SELECT h.id, least(h.lbl, coalesce(j.l2, h.lbl)) AS lbl
-  FROM h{i} h LEFT JOIN (SELECT id AS k, lbl AS l2 FROM {prev}) j ON h.lbl = j.k
-)""")
-        prev = f"l{i}"
-    tail_sql = tail or (
-        f"SELECT lbl AS cluster_root, COUNT(*) AS n_docs\n"
-        f"FROM {prev} GROUP BY lbl ORDER BY cluster_root"
-    )
-    return f"""{verified_cte},
-edges0 AS (SELECT doc_a AS a, doc_b AS b FROM verified),
-edges AS (SELECT a, b FROM edges0 UNION SELECT b AS a, a AS b FROM edges0),
-l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM edges),
-{",".join(steps)}
-{tail_sql}"""
+from ae_data_integration_spark.catalog.cc_sql import cc_unrolled_sql as _cc_unrolled_sql  # noqa: E402
 
 
 _D6_VERIFIED = f"""WITH sh AS (

@@ -340,3 +340,115 @@ def c7_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c7_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     return pca_project(e, "vec_id", "embedding", n_components=2).orderBy("id")
+
+
+# --- C2 (oracled): DBSCAN as a fixed-pass integer fixpoint ------------------
+# The converged-loop dbscan() above stays the production operator
+# (z_c2_dbscan, numpy golden). This twin re-expresses the SAME
+# algorithm with the dedup catalog's FIXED 4-pass pointer-jumping
+# unroll for the component solve, which makes every step — ε-pair
+# join, degree count, core filter, min-label propagation, border
+# attach, noise — integer-or-threshold arithmetic that DuckDB replays
+# CTE-for-CTE under the value-hash gate. Ref mocss.py:410 (sklearn
+# DBSCAN(eps, min_samples) on the fused embedding).
+
+from ae_data_integration_spark.catalog.cc_sql import cc_unrolled_sql as _cc_unrolled_sql
+from ae_data_integration_spark.functions.arrays import to_double
+from ae_data_integration_spark.operators.dbscan import candidate_pairs
+from ae_data_integration_spark.operators.dedup import dup_labels
+
+_C2_EPS, _C2_MINPTS = 1.15, 4
+
+_C2_VERIFIED = f"""WITH pts AS (
+  SELECT CAST(vec_id AS BIGINT) AS id, {_V} AS vec FROM embeddings
+),
+prs AS MATERIALIZED (
+  SELECT a.id AS ia, b.id AS ib FROM pts a JOIN pts b
+  ON a.id < b.id AND {_sqd('a.vec', 'b.vec')} <= {_C2_EPS * _C2_EPS!r}
+),
+nbr AS MATERIALIZED (SELECT ia, ib FROM prs UNION ALL SELECT ib AS ia, ia AS ib FROM prs),
+deg AS (SELECT ia, COUNT(*) + 1 AS n FROM nbr GROUP BY ia),
+core AS MATERIALIZED (SELECT ia AS id FROM deg WHERE n >= {_C2_MINPTS}),
+verified AS (
+  SELECT p.ia AS doc_a, p.ib AS doc_b FROM prs p
+  JOIN core ca ON p.ia = ca.id
+  JOIN core cb ON p.ib = cb.id
+)"""
+
+_C2_TAIL = """,
+iso AS (
+  SELECT c.id, c.id AS lbl FROM core c WHERE c.id NOT IN (SELECT id FROM l4)
+),
+core_lbl AS MATERIALIZED (SELECT id, lbl FROM l4 UNION ALL SELECT id, lbl FROM iso),
+border AS (
+  SELECT n.ia AS id, MIN(l.lbl) AS lbl
+  FROM nbr n JOIN core_lbl l ON n.ib = l.id
+  WHERE n.ia NOT IN (SELECT id FROM core)
+  GROUP BY n.ia
+),
+lab AS MATERIALIZED (SELECT * FROM core_lbl UNION ALL SELECT * FROM border),
+noise AS (
+  SELECT p.id, CAST(-1 AS BIGINT) AS lbl FROM pts p
+  WHERE p.id NOT IN (SELECT id FROM lab)
+)
+SELECT lbl AS cluster, COUNT(*) AS n
+FROM (SELECT * FROM lab UNION ALL SELECT * FROM noise)
+GROUP BY lbl ORDER BY cluster"""
+
+_C2F_SQL = _cc_unrolled_sql(_C2_VERIFIED, n_iters=4, tail=_C2_TAIL)
+
+
+@register("c2_dbscan_fixpoint", oracle=_C2F_SQL,
+          doc="DBSCAN with the component solve unrolled to a fixed 4-pass "
+              "pointer-jumping fixpoint: eps-pair grid join, core filter "
+              "(|N(p)| >= min_pts, self included), min-label components over "
+              "the core-core graph, border attach to the min core-neighbor "
+              "label, noise = -1; cluster-size histogram, fully oracled "
+              "(unroll exactness vs the converged solver is golden-tested).",
+          tags=("clustering",), min_rows=2)
+def c2_dbscan_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        F.col("vec_id").cast("long").alias("id"),
+        to_double("embedding").alias("vec"),
+    )
+    pairs = (
+        candidate_pairs(pts, _C2_EPS)
+        .filter(F.col("ia") != F.col("ib"))
+        .localCheckpoint()
+    )
+    nbr = pairs.unionByName(
+        pairs.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
+    )
+    deg = nbr.groupBy("ia").agg((F.count(F.lit(1)) + 1).alias("n"))
+    core = deg.filter(F.col("n") >= _C2_MINPTS).select("ia")
+    ce = (
+        pairs.join(core, "ia", "left_semi")
+        .join(core.select(F.col("ia").alias("ib")), "ib", "left_semi")
+        .select(F.col("ia").alias("doc_a"), F.col("ib").alias("doc_b"))
+    )
+    lbl_edges = dup_labels(ce, n_iters=4)
+    iso = (
+        core.join(lbl_edges.select(F.col("id").alias("ia")), "ia", "left_anti")
+        .select(F.col("ia").alias("id"), F.col("ia").alias("lbl"))
+    )
+    core_lbl = lbl_edges.unionByName(iso)
+    border = (
+        nbr.join(core, "ia", "left_anti")
+        .join(core_lbl.select(F.col("id").alias("ib"), "lbl"), "ib")
+        .groupBy("ia")
+        .agg(F.min("lbl").alias("lbl"))
+        .select(F.col("ia").alias("id"), "lbl")
+    )
+    lab = core_lbl.unionByName(border)
+    noise = (
+        pts.select("id")
+        .join(lab.select("id"), "id", "left_anti")
+        .select("id", F.lit(-1).cast("long").alias("lbl"))
+    )
+    return (
+        lab.unionByName(noise)
+        .groupBy(F.col("lbl").alias("cluster"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cluster")
+    )

@@ -233,7 +233,7 @@ ORDER BY c_mktsegment
 """
 
 
-@register("p4_semi_join", oracle=_P4_SQL,
+@register("y_p4_semi_join", oracle=_P4_SQL,
           doc="Left-semi join: key-membership filter (ref Data_prep.py:65-68).",
           tags=("join",))
 def p4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -137,3 +137,28 @@ def test_grid_candidates_prune_far_pairs(spark, blob_df):
         cells.alias("b"), [f"g{i}" for i in range(2)]
     ).count()
     assert same_cell < n * n / 4
+
+
+def test_fixpoint_query_matches_converged_solver(spark):
+    """c2_dbscan_fixpoint (fixed 4-pass unroll, the oracled twin) must
+    produce the same cluster-size histogram as the converged-loop
+    dbscan() at the same (eps, min_pts) — i.e. 4 pointer-jumping
+    passes fully converge on the fixture's ε-graphs."""
+    from ae_data_integration_spark.catalog import load_all
+    from ae_data_integration_spark.tables import table
+    from tests.conftest import SF_SMOKE
+
+    reg = load_all()
+    fixp = {
+        (r["cluster"], r["n"])
+        for r in reg["c2_dbscan_fixpoint"].fn(spark, SF_SMOKE).collect()
+    }
+    e = table(spark, SF_SMOKE, "embeddings")
+    conv = {
+        (r["cluster"], r["n"])
+        for r in dbscan(e, "vec_id", "embedding", eps=1.15, min_pts=4)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert fixp == conv
