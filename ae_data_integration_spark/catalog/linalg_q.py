@@ -209,3 +209,98 @@ for _arch in ARCHITECTURES:
         min_rows=100,
         columns=("sample_id", "embedding_dim", "recon_loss"),
     )(_make_c8(_arch))
+
+
+# --- L4: two-layer MLP forward chain, relationally --------------------------
+# Composes L1 (affine) + L4 (activation) into a full encoder-style
+# forward pass under the value-hash gate: y = relu(x W1 + b1) W2 + b2
+# with md5-derived weights both engines regenerate. ReLU (greatest)
+# keeps every step IEEE-exact cross-engine — tanh/sigmoid differ in
+# the last ulp between Java Math and libm, so the bit-exact catalog
+# uses the relu member of the reference's activation set (ref
+# model_structures.py activations; L5 specs use all three, golden-
+# tested in tests/test_inference.py). Same quantized-partial-sum
+# discipline as l1: bigint sums commute across any partitioning.
+
+_L4_D = (64, 8, 4)
+
+_L4_SQL = f"""
+WITH w1 AS (
+  SELECT i.i, j.j,
+         {_MD5U.format(key="'w1:' || i.i || ':' || j.j")} - 0.5 AS w
+  FROM (SELECT unnest(range(0, {_L4_D[0]})) AS i) i,
+       (SELECT unnest(range(0, {_L4_D[1]})) AS j) j
+),
+w2 AS (
+  SELECT k.k, j.j,
+         {_MD5U.format(key="'w2:' || k.k || ':' || j.j")} - 0.5 AS w
+  FROM (SELECT unnest(range(0, {_L4_D[1]})) AS k) k,
+       (SELECT unnest(range(0, {_L4_D[2]})) AS j) j
+),
+x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         unnest(list_transform(embedding, e -> CAST(e AS DOUBLE))) AS x
+  FROM embeddings
+),
+h AS (
+  SELECT x.vec_id, w1.j AS k,
+         greatest(SUM(CAST(round(x.x * w1.w * {_Q}) AS BIGINT)) / {_Q}.0
+                  + ({_MD5U.format(key="'b1:' || w1.j")} - 0.5), 0) AS h
+  FROM x JOIN w1 ON x.i = w1.i
+  GROUP BY x.vec_id, w1.j
+)
+SELECT h.vec_id, w2.j AS out_dim,
+       SUM(CAST(round(h.h * w2.w * {_Q}) AS BIGINT)) / {_Q}.0
+       + ({_MD5U.format(key="'b2:' || w2.j")} - 0.5) AS y
+FROM h JOIN w2 ON h.k = w2.k
+GROUP BY h.vec_id, w2.j
+ORDER BY vec_id, out_dim
+"""
+
+
+def _md5_weights(spark: SparkSession, prefix: str, n_in: int, n_out: int,
+                 in_col: str, out_col: str) -> DataFrame:
+    return spark.range(n_in * n_out).select(
+        (F.col("id") / n_out).cast("long").alias(in_col),
+        (F.col("id") % n_out).alias(out_col),
+    ).select(
+        in_col, out_col,
+        (
+            md5_unit(
+                F.concat(F.lit(prefix + ":"), F.col(in_col).cast("string"),
+                         F.lit(":"), F.col(out_col).cast("string"))
+            )
+            - F.lit(0.5)
+        ).alias("w"),
+    )
+
+
+@register("l4_relu_mlp", oracle=_L4_SQL,
+          doc="Two-layer MLP forward (relu(x W1 + b1) W2 + b2) as chained "
+              "explode + broadcast weight join + quantized sum-groupBy — the "
+              "encoder forward chain of SURVEY L1+L4 under the value-hash "
+              "gate; md5-derived weights.",
+          tags=("linalg",))
+def l4_relu_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    d_in, d_hid, d_out = _L4_D
+    w1 = _md5_weights(spark, "w1", d_in, d_hid, "i", "k")
+    w2 = _md5_weights(spark, "w2", d_hid, d_out, "k", "j")
+    x = e.select("vec_id", F.posexplode(to_double("embedding")).alias("i", "x"))
+    b1 = md5_unit(F.concat(F.lit("b1:"), F.col("k").cast("string"))) - F.lit(0.5)
+    h = (
+        x.join(F.broadcast(w1), "i")
+        .groupBy("vec_id", "k")
+        .agg((F.sum(F.round(F.col("x") * F.col("w") * F.lit(_Q)).cast("long"))
+              / F.lit(float(_Q))).alias("acc"))
+        .select("vec_id", "k", F.greatest(F.col("acc") + b1, F.lit(0.0)).alias("h"))
+    )
+    b2 = md5_unit(F.concat(F.lit("b2:"), F.col("j").cast("string"))) - F.lit(0.5)
+    return (
+        h.join(F.broadcast(w2), "k")
+        .groupBy("vec_id", "j")
+        .agg((F.sum(F.round(F.col("h") * F.col("w") * F.lit(_Q)).cast("long"))
+              / F.lit(float(_Q))).alias("acc"))
+        .select("vec_id", F.col("j").alias("out_dim"), (F.col("acc") + b2).alias("y"))
+        .orderBy("vec_id", "out_dim")
+    )

@@ -203,7 +203,7 @@ ORDER BY priority_rank
 """
 
 
-@register("p8_regex_dict_map", oracle=_P8_SQL,
+@register("y_p8_regex_dict_map", oracle=_P8_SQL,
           doc="regexp_replace + broadcast dim lookup (ref Data_prep.py:86-89 label dict).",
           tags=("string", "prep"))
 def p8_regex_dict_map(spark: SparkSession, sf_dir: str) -> DataFrame:
