@@ -203,3 +203,62 @@ def e4_asof_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_click_value").alias("click_value"),
         F.col("asof_click_ts_us").alias("click_ts_us"),
     ).orderBy("user_id", "ts_us", "event_id")
+
+
+# --- E5: attribution window join (batch twin of the stream-stream join) -----
+
+_E5_SQL = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, epoch_us(ts) AS c_us, value FROM events
+  WHERE event_type = 'click'
+)
+SELECT p.user_id, p.purchase_id,
+       COUNT(*) AS n_clicks,
+       (SUM(CAST(round(c.value * 1048576) AS BIGINT)) / 1048576.0) AS clicks_value,
+       MAX(c.c_us) AS last_click_us
+FROM p JOIN c
+  ON p.user_id = c.user_id
+ AND c.c_us BETWEEN p.p_us - 1800000000 AND p.p_us
+GROUP BY p.user_id, p.purchase_id
+ORDER BY p.user_id, p.purchase_id
+"""
+
+
+@register("e5_attribution_window", oracle=_E5_SQL,
+          doc="Attribution interval join: every click within the 30 min "
+              "before each purchase, per user — count/value-mass/last-click "
+              "per purchase. Equi-join on user_id (one key shuffle) with a "
+              "range residual, the batch twin of the watermarked "
+              "stream-stream interval join in streaming/events.py.",
+          tags=("events", "join", "bench"))
+def e5_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"),
+        "event_type", "value",
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("p_us"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts_us").alias("c_us"), "value",
+    )
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_us") >= F.col("p_us") - F.lit(1800000000))
+            & (F.col("c_us") <= F.col("p_us")),
+        )
+        .groupBy("user_id", "purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            fpsum("value", Q20).alias("clicks_value"),
+            F.max("c_us").alias("last_click_us"),
+        )
+        .orderBy("user_id", "purchase_id")
+    )

@@ -289,7 +289,7 @@ ORDER BY p_brand
 """
 
 
-@register("p9_top1_per_group", oracle=_P9_SQL,
+@register("y_p9_top1_per_group", oracle=_P9_SQL,
           doc="sort_values().head(1) per group (ref AE_results.ipynb cell 50).",
           tags=("window", "topk"))
 def p9_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -227,3 +227,49 @@ def dedup_keys_stream(
         .dropDuplicatesWithinWatermark(list(keys))
         .select(*keys)
     )
+
+
+def attribution_join_stream(
+    events: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join: purchases x clicks on
+    user_id where the click falls in the ``horizon`` before the
+    purchase — the streaming twin of catalog e5_attribution_window
+    (per-pair rows; the per-purchase aggregate is downstream).
+
+    State bound: both sides buffer only rows newer than
+    (watermark + horizon) — the range condition lets Spark evict
+    clicks older than any joinable purchase, so state is event-rate x
+    horizon, not the full history. Split from one events stream so a
+    single file source feeds both sides.
+    """
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+            "value",
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return p.join(
+        c,
+        F.expr(
+            f"p_user = c_user AND c_ts >= p_ts - INTERVAL {horizon}"
+            " AND c_ts <= p_ts"
+        ),
+    ).select(
+        F.col("p_user").alias("user_id"), "purchase_id", "click_id", "value",
+    )

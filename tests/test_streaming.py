@@ -357,3 +357,42 @@ def test_streaming_near_dup_matches_batch_lsh(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 0  # corpus actually has near-dups
+
+
+def test_stream_stream_attribution_join_matches_batch(spark):
+    """Watermarked stream-stream interval join (purchases x clicks in
+    the 30 min before each purchase) emits exactly the batch join's
+    pair set after an availableNow drain."""
+    from ae_data_integration_spark.streaming.events import attribution_join_stream
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    run_available_now(
+        attribution_join_stream(stream), "t_attrib", mode="append"
+    )
+    got = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in spark.table("t_attrib").collect()
+    }
+
+    ev = table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("p_us"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts_us").alias("c_us"),
+    )
+    want = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_us") >= F.col("p_us") - F.lit(1800000000))
+            & (F.col("c_us") <= F.col("p_us")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
