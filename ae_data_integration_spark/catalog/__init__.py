@@ -109,6 +109,7 @@ def load_all() -> dict[str, Query]:
             relational_q,
             report_q,
             similarity_q,
+            sketch_q,
             text_q,
             train_q,
         )

@@ -57,7 +57,7 @@ ORDER BY vec_id
 """
 
 
-@register("n2_l2_normalize", oracle=_N2_SQL,
+@register("y_n2_l2_normalize", oracle=_N2_SQL,
           doc="torch F.normalize(p=2, dim=1) parity (ref CNC_AE_model_selection.py:219-225).",
           tags=("arrays",))
 def n2_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:

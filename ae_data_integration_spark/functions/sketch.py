@@ -1,0 +1,102 @@
+"""Mergeable sketches for 100 TB-scale approximate analytics.
+
+At cluster scale, exact per-key statistics over high-cardinality
+columns cost a full key shuffle; sketches reduce that to a
+constant-size state that merges associatively (map-side combine does
+most of the work, the shuffle carries kilobytes):
+
+- **Count-Min** (`cms_build`/`cms_estimate`): d x w integer cell
+  grid; point-frequency estimates with one-sided error (never
+  under-counts, over-counts by <= 2N/w with prob 1-2^-d). Hashes are
+  md5-derived (functions/hashing.md5_bucket), so the whole sketch is
+  deterministic, partition-independent, and bit-reproducible by the
+  DuckDB oracle — the catalog's sk1 query verifies cells AND
+  estimates value-exactly.
+- **HyperLogLog** (`hll_distinct`): Spark's built-in
+  approx_count_distinct (HLL++, JVM-side, mergeable); rsd-bounded.
+- **Quantile sketch** (`approx_quantiles`): Spark's built-in
+  Greenwald-Khanna percentile_approx with an explicit accuracy knob.
+
+The built-ins are engine-internal state (not SQL-replayable), so
+their guarantees are pytest-tested against exact computations; the
+Count-Min path carries the full value-hash oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ae_data_integration_spark.functions.hashing import md5_bucket
+
+
+def cms_build(
+    df: DataFrame, key: str, d: int = 4, w: int = 64, salt: str = "cms"
+) -> DataFrame:
+    """Count-Min sketch of the frequency of ``key``: a (r, b, cnt)
+    cell table with d rows x w buckets. One narrow projection explodes
+    each input row to its d cells; the groupBy partial-aggregates
+    map-side, so the shuffle moves at most d*w*partitions cells —
+    constant in data volume."""
+    cell = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    md5_bucket(key, w, salt=f"{salt}{r}:").alias("b"),
+                )
+                for r in range(d)
+            ]
+        )
+    ).alias("cell")
+    return (
+        df.select(cell)
+        .groupBy(F.col("cell.r").alias("r"), F.col("cell.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key: str,
+    d: int = 4,
+    w: int = 64,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[key]``: min over the d
+    cells each probe hashes to. The sketch is d*w rows — broadcast it;
+    probes never shuffle."""
+    cell = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    md5_bucket(key, w, salt=f"{salt}{r}:").alias("b"),
+                )
+                for r in range(d)
+            ]
+        )
+    ).alias("cell")
+    probe_cells = probes.select(*probes.columns, cell).select(
+        *probes.columns, F.col("cell.r").alias("r"), F.col("cell.b").alias("b")
+    )
+    return (
+        probe_cells.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy(*probes.columns)
+        .agg(F.min("cnt").alias("cms_n"))
+    )
+
+
+def hll_distinct(df: DataFrame, key: str, rsd: float = 0.02) -> Column:
+    """HyperLogLog++ distinct count with relative standard deviation
+    ``rsd`` — mergeable constant-size state per group."""
+    return F.approx_count_distinct(key, rsd)
+
+
+def approx_quantiles(
+    df: DataFrame, col: str, probabilities: list[float], relative_error: float = 0.01
+) -> list[float]:
+    """Greenwald-Khanna quantile sketch (single pass, mergeable);
+    rank error <= relative_error * N."""
+    return df.approxQuantile(col, probabilities, relative_error)

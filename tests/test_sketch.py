@@ -1,0 +1,55 @@
+"""Sketch guarantees vs exact answers (CMS one-sided error, HLL rsd
+bound, GK quantile rank error)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ae_data_integration_spark.functions.sketch import (
+    approx_quantiles,
+    cms_build,
+    cms_estimate,
+    hll_distinct,
+)
+from ae_data_integration_spark.tables import table
+from tests.conftest import SF_SMOKE
+
+_D, _W = 4, 64
+
+
+def test_cms_never_undercounts_and_bounded(spark):
+    ev = table(spark, SF_SMOKE, "events").select("user_id")
+    n_total = ev.count()
+    sketch = cms_build(ev, "user_id", d=_D, w=_W)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = cms_estimate(sketch, exact, "user_id", d=_D, w=_W).collect()
+    assert len(est) == exact.count()
+    for r in est:
+        assert r.cms_n >= r.exact_n, f"CMS undercounted {r}"
+        # classic CMS additive bound, generous slack: e*N/w per row min'd over d
+        assert r.cms_n - r.exact_n <= 4 * n_total / _W
+
+
+def test_cms_is_partition_independent(spark):
+    ev = table(spark, SF_SMOKE, "events").select("user_id")
+    a = {(r.r, r.b): r.cnt for r in cms_build(ev, "user_id", d=_D, w=_W).collect()}
+    b = {
+        (r.r, r.b): r.cnt
+        for r in cms_build(ev.repartition(13), "user_id", d=_D, w=_W).collect()
+    }
+    assert a == b
+
+
+def test_hll_within_rsd(spark):
+    ev = table(spark, SF_SMOKE, "events")
+    exact = ev.select("user_id").distinct().count()
+    got = ev.agg(hll_distinct(ev, "user_id", rsd=0.02).alias("n")).first()["n"]
+    assert abs(got - exact) <= max(3, 5 * 0.02 * exact)
+
+
+def test_approx_quantiles_rank_error(spark):
+    ev = table(spark, SF_SMOKE, "events").filter(F.col("value").isNotNull())
+    n = ev.count()
+    got = approx_quantiles(ev, "value", [0.5], relative_error=0.01)[0]
+    rank = ev.filter(F.col("value") <= got).count()
+    assert abs(rank - 0.5 * n) <= 0.011 * n + 1
