@@ -46,6 +46,24 @@ def _sq_dist(a, b):
     )
 
 
+def _sq_dist_unrolled(a, b, d: int):
+    """Same left-fold float order as _sq_dist, but as a static
+    ((0+t0)+t1)+... expression over element_at terms — straight-line
+    arithmetic inside WholeStageCodegen instead of an interpreted
+    per-element lambda (~20x on wide candidate filters). Bit-identical
+    result: Python reduce(+) builds the identical left association."""
+    from functools import reduce
+
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    terms = [
+        (F.element_at(a, i + 1) - F.element_at(b, i + 1))
+        * (F.element_at(a, i + 1) - F.element_at(b, i + 1))
+        for i in range(d)
+    ]
+    return reduce(lambda acc, t: acc + t, terms, F.lit(0.0))
+
+
 def _top_variance_dims(pts: DataFrame, d: int, k: int) -> list[int]:
     """0-based indices of the k highest-variance coordinates, from one
     map-side-combined agg (no explode shuffle)."""
@@ -54,6 +72,37 @@ def _top_variance_dims(pts: DataFrame, d: int, k: int) -> list[int]:
     ).first()
     order = sorted(range(d), key=lambda i: -(row[f"v{i}"] or 0.0))
     return order[:k]
+
+
+def _grid_preflight(
+    pts: DataFrame, eps: float, p: int, sample_n: int = 4096
+) -> tuple[list[int], float]:
+    """Sample-driven planning stats for the ε-join (one small collect,
+    numpy locally — the AQE-style alternative to full-data stat aggs,
+    which cost more than the join they'd optimize on small-k plans):
+
+    returns (top-variance dims, estimated fraction of all pairs the
+    grid join would still examine). The choice only steers the
+    physical strategy — every path applies the exact ε predicate —
+    so a sampling error can cost time, never correctness."""
+    import itertools
+    from collections import Counter
+
+    import numpy as np
+
+    rows = pts.select("vec").limit(sample_n).collect()
+    x = np.asarray([r["vec"] for r in rows], dtype=np.float64)
+    if x.ndim != 2 or not len(x):
+        return list(range(p)), 1.0
+    dims = np.argsort(-x.var(axis=0))[:p].tolist()
+    cells = Counter(
+        map(tuple, np.floor(x[:, dims] / float(eps)).astype(np.int64).tolist())
+    )
+    cand = 0
+    for c, n in cells.items():
+        for off in itertools.product((-1, 0, 1), repeat=len(dims)):
+            cand += n * cells.get(tuple(a + b for a, b in zip(c, off)), 0)
+    return dims, cand / float(len(x)) ** 2
 
 
 def _eps_pairs_blocked(pts: DataFrame, eps: float, n_blocks: int = 16) -> DataFrame:
@@ -130,23 +179,15 @@ def candidate_pairs(
     if use_grid:
         d = len(head[0])
         p = max(1, min(grid_dims, d))
-        dims = _top_variance_dims(pts, d, p)
-        # Adaptive degeneracy check: grid pruning only works when the
-        # projected spread spans multiple ε-cells. On isotropic
-        # high-dim data (per-dim spread ≪ ε — distance concentration)
-        # every point lands in one cell and the 3^p replication is
-        # pure waste; the plain theta join examines 3^p× fewer
-        # candidate rows there.
-        rng = pts.agg(
-            *[F.min(F.element_at("vec", i + 1)).alias(f"lo{j}") for j, i in enumerate(dims)],
-            *[F.max(F.element_at("vec", i + 1)).alias(f"hi{j}") for j, i in enumerate(dims)],
-        ).first()
-        n_cells = 1
-        for j in range(p):
-            import math
-
-            n_cells *= max(1, math.ceil((rng[f"hi{j}"] - rng[f"lo{j}"]) / eps))
-        if n_cells <= 8:
+        # Degeneracy check: grid pruning only works when the projection
+        # actually separates points into many ε-cells. On isotropic
+        # high-dim data (distance concentration) almost everything
+        # lands in a handful of cells and the grid join degenerates to
+        # all-pairs WITH 3^p replication overhead on top. A sampled
+        # occupancy estimate decides; the blocked vectorized ε-join
+        # wins when the grid would examine ≥ half of all pairs anyway.
+        dims, cand_frac = _grid_preflight(pts, eps, p)
+        if cand_frac >= 0.5:
             use_grid = False
     if not use_grid:
         if exact or head is None or head[0] is None:
@@ -190,9 +231,13 @@ def candidate_pairs(
         cand = a_rep.join(b_home, [f"c{j}" for j in range(p)]).filter(
             F.col("ia") <= F.col("ib")
         )
-    return (
-        cand.filter(_sq_dist("va", "vb") <= F.lit(eps * eps)).select("ia", "ib")
+    d_known = len(head[0]) if head is not None and head[0] is not None else None
+    sqd = (
+        _sq_dist_unrolled("va", "vb", d_known)
+        if d_known is not None
+        else _sq_dist("va", "vb")
     )
+    return cand.filter(sqd <= F.lit(eps * eps)).select("ia", "ib")
 
 
 def dbscan(
@@ -219,11 +264,26 @@ def dbscan(
     that threshold."""
     pts = df.select(F.col(key_col).alias("id"), to_double(vec_col).alias("vec"))
     pairs = candidate_pairs(pts, eps, exact=exact, grid_dims=grid_dims)
-    sym = pairs.union(
-        pairs.filter(F.col("ia") != F.col("ib")).select(
-            F.col("ib").alias("ia"), F.col("ia").alias("ib")
+    # Symmetrize in ONE pass over the pair kernel's output (explode of
+    # both orientations; array_distinct collapses self-pairs) — a
+    # union of pairs with swapped(pairs) would evaluate the ε-join
+    # twice inside the job that materializes sym.
+    sym = (
+        pairs.select(
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.struct(F.col("ia"), F.col("ib")),
+                        F.struct(
+                            F.col("ib").alias("ia"), F.col("ia").alias("ib")
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-    ).persist()
+        .select("p.ia", "p.ib")
+        .persist()
+    )
 
     deg = sym.groupBy("ia").agg(F.count(F.lit(1)).alias("n_nb"))
     core = deg.filter(F.col("n_nb") >= min_pts).select(F.col("ia").alias("id"))
