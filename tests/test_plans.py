@@ -135,3 +135,39 @@ def test_c7_covariance_broadcast_means(spark):
         .has_partial_agg()
         .no_python_row_udf()
     )
+
+
+def test_e5_attribution_single_key_shuffle(spark):
+    # purchases x clicks is an equi-join on user_id with a range
+    # residual; the aggregate partial-combines map-side. No broadcast
+    # needed (both sides are same-table filters), but no Python and a
+    # pruned events scan.
+    (
+        plan_asserts(_df(spark, "e5_attribution_window"))
+        .reads_only("events", {"user_id", "event_id", "ts", "event_type", "value"})
+        .has_pushed_filter("event_type")
+        .has_partial_agg()
+        .no_python_row_udf()
+    )
+
+
+def test_l4_mlp_broadcasts_both_weight_layers(spark):
+    # Both weight tables attach via broadcast; the embeddings side
+    # never shuffles into a sort-merge join.
+    (
+        plan_asserts(_df(spark, "l4_relu_mlp"))
+        .has_broadcast_join(2)
+        .no_sort_merge_join()
+        .no_python_row_udf()
+    )
+
+
+def test_sk1_cms_broadcasts_sketch(spark):
+    # The d*w cell table broadcasts to the probe side; the sketch
+    # build partial-aggregates map-side.
+    (
+        plan_asserts(_df(spark, "sk1_cms_heavy_hitters"))
+        .has_broadcast_join(1)
+        .has_partial_agg()
+        .no_python_row_udf()
+    )

@@ -53,3 +53,20 @@ def test_approx_quantiles_rank_error(spark):
     got = approx_quantiles(ev, "value", [0.5], relative_error=0.01)[0]
     rank = ev.filter(F.col("value") <= got).count()
     assert abs(rank - 0.5 * n) <= 0.011 * n + 1
+
+
+def test_cms_is_mergeable(spark):
+    """CMS cells add: sketch(A ∪ B) == cellwise sum of sketch(A) and
+    sketch(B) — the property that makes the sketch shuffle-light
+    (map-side partials ARE per-partition sketches)."""
+    ev = table(spark, SF_SMOKE, "events").select("user_id", "event_id")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    full = {
+        (r.r, r.b): r.cnt for r in cms_build(ev, "user_id", d=_D, w=_W).collect()
+    }
+    merged: dict = {}
+    for part in (a, b):
+        for r in cms_build(part, "user_id", d=_D, w=_W).collect():
+            merged[(r.r, r.b)] = merged.get((r.r, r.b), 0) + r.cnt
+    assert merged == full
