@@ -207,7 +207,7 @@ ORDER BY doc_id
 """
 
 
-@register("d3_simhash", oracle=_D3_SQL,
+@register("y_d3_simhash", oracle=_D3_SQL,
           doc="60-bit SimHash fingerprint; shuffle-free per-row array folds.",
           tags=("dedup",))
 def d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -262,3 +262,39 @@ def e5_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "purchase_id")
     )
+
+
+# --- E6: semi-structured property extraction --------------------------------
+# The events table carries a JSON props column; real pipelines mine
+# such payloads constantly. get_json_object stays JVM-side (Jackson
+# path eval per row, no Python); integer sums keep the cross-engine
+# compare exact.
+
+_E6_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("e6_props_agg", oracle=_E6_SQL,
+          doc="JSON payload mining: extract props.$.k per event "
+              "(get_json_object, JVM-side) and aggregate per type — "
+              "integer-exact cross-engine.",
+          tags=("events", "json"))
+def e6_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

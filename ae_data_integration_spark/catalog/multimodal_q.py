@@ -53,7 +53,7 @@ ORDER BY doc_id, frame_idx
 """
 
 
-@register("m2_frame_samples", oracle=_M2_SQL,
+@register("y_m2_frame_samples", oracle=_M2_SQL,
           doc="Video-style frame sampling: 1 payload → 4 frame rows via "
               "mapInPandas (decode stubbed as deterministic byte slices, "
               "so the oracle verifies the whole 1→N Arrow path).",

@@ -211,3 +211,51 @@ def t5_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("df"))
     return counts.orderBy(F.desc("df"), "ngram").limit(20)
+
+
+# --- T6: intra-document repetition score ------------------------------------
+# The Gopher/C4-style repetition filter: fraction of a document's
+# overlapping word-3-grams that are duplicates of an earlier one.
+# High ratio = templated/boilerplate text. Per-row array arithmetic,
+# zero shuffle — at 100 TB this is a pure map stage.
+
+_T6_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')"
+_T6_WNG = (
+    "CASE WHEN len(t) >= 3 THEN "
+    "list_distinct(list_transform(range(1, len(t) - 1), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) "
+    "ELSE [array_to_string(t, ' ')] END"
+)
+
+_T6_SQL = f"""
+WITH tok AS (SELECT doc_id, {_T6_TOKS} AS t FROM documents)
+SELECT doc_id,
+       CAST(greatest(len(t) - 2, 1) AS BIGINT) AS n_ngrams,
+       CAST(len({_T6_WNG}) AS BIGINT) AS n_distinct,
+       1.0 - CAST(len({_T6_WNG}) AS DOUBLE)
+             / CAST(greatest(len(t) - 2, 1) AS DOUBLE) AS rep_ratio
+FROM tok
+ORDER BY doc_id
+"""
+
+
+@register("t6_repetition", oracle=_T6_SQL,
+          doc="Intra-document repetition: overlapping word-3-gram count vs "
+              "distinct count, rep_ratio = duplicate fraction (the C4/Gopher "
+              "boilerplate signal). Per-row array ops, zero shuffle.",
+          tags=("text",))
+def t6_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.functions.text import word_ngrams_from_tokens
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", tokens("text").alias("t"))
+    total = F.greatest(F.size("t") - F.lit(2), F.lit(1)).cast("long")
+    distinct = F.size(word_ngrams_from_tokens("t", 3)).cast("long")
+    return tok.select(
+        "doc_id",
+        total.alias("n_ngrams"),
+        distinct.alias("n_distinct"),
+        (
+            F.lit(1.0) - distinct.cast("double") / total.cast("double")
+        ).alias("rep_ratio"),
+    ).orderBy("doc_id")
