@@ -86,7 +86,7 @@ ORDER BY vec_id
 """
 
 
-@register("j1_slice_dot_cosine", oracle=_J1_SQL,
+@register("y_j1_slice_dot_cosine", oracle=_J1_SQL,
           doc="Column-range slice (ref mocss.py:465-478) + row dot/cosine (L6/L9).",
           tags=("arrays",))
 def j1_slice_dot_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

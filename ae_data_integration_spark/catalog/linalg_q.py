@@ -280,7 +280,7 @@ def _md5_weights(spark: SparkSession, prefix: str, n_in: int, n_out: int,
               "explode + broadcast weight join + quantized sum-groupBy — the "
               "encoder forward chain of SURVEY L1+L4 under the value-hash "
               "gate; md5-derived weights.",
-          tags=("linalg",))
+          tags=("linalg", "bench"))
 def l4_relu_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     d_in, d_hid, d_out = _L4_D

@@ -30,7 +30,7 @@ ORDER BY doc_id
 """
 
 
-@register("m1_binary_features", oracle=_M1_SQL,
+@register("y_m1_binary_features", oracle=_M1_SQL,
           doc="Binary payload → mapInPandas feature extraction (multimodal "
               "plumbing; decode kernels stubbed, Arrow round-trip real).",
           tags=("multimodal",))

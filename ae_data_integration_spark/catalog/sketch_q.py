@@ -53,7 +53,7 @@ SELECT user_id, exact_n, cms_n FROM est ORDER BY exact_n DESC, user_id
               "both engines reproduce bit-exactly. Sketch build = one "
               "map-side-combined agg to d*w cells; estimate = broadcast "
               "join of the cell table.",
-          tags=("sketch",))
+          tags=("sketch", "bench"))
 def sk1_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("user_id")
     sketch = cms_build(ev, "user_id", d=_D, w=_W)

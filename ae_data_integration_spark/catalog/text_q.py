@@ -197,7 +197,7 @@ SELECT ngram, df FROM c ORDER BY df DESC, ngram LIMIT 20
           doc="Top-20 word-3-grams by document frequency (boilerplate "
               "detector): distinct-per-doc ngrams -> count -> TakeOrdered "
               "top-k, deterministic tie-break.",
-          tags=("text",))
+          tags=("text", "bench"))
 def t5_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ae_data_integration_spark.functions.text import (
         tokens,
@@ -243,7 +243,7 @@ ORDER BY doc_id
           doc="Intra-document repetition: overlapping word-3-gram count vs "
               "distinct count, rep_ratio = duplicate fraction (the C4/Gopher "
               "boilerplate signal). Per-row array ops, zero shuffle.",
-          tags=("text",))
+          tags=("text", "bench"))
 def t6_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ae_data_integration_spark.functions.text import word_ngrams_from_tokens
 
@@ -259,3 +259,86 @@ def t6_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - distinct.cast("double") / total.cast("double")
         ).alias("rep_ratio"),
     ).orderBy("doc_id")
+
+
+# --- T7/T8: chunking + sequence packing (LLM data-prep stages) --------------
+
+_T7_CHUNK, _T7_OVER = 32, 8
+_T7_STRIDE = _T7_CHUNK - _T7_OVER
+
+_T7_BASE = f"""WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS t
+  FROM documents
+),
+nc AS (
+  SELECT doc_id, t,
+         greatest((len(t) - {_T7_OVER} + {_T7_STRIDE - 1}) // {_T7_STRIDE}, 1) AS n_chunks
+  FROM tok
+),
+ch AS (
+  SELECT doc_id, i.i AS chunk_id,
+         CAST(len(t[i.i * {_T7_STRIDE} + 1 : i.i * {_T7_STRIDE} + {_T7_CHUNK}]) AS BIGINT) AS n_tokens,
+         md5(array_to_string(t[i.i * {_T7_STRIDE} + 1 : i.i * {_T7_STRIDE} + {_T7_CHUNK}], ' ')) AS chunk_hash
+  FROM nc, LATERAL (SELECT unnest(range(0, nc.n_chunks)) AS i) i
+)"""
+
+_T7_SQL = _T7_BASE + """
+SELECT doc_id, chunk_id, n_tokens, chunk_hash FROM ch
+ORDER BY doc_id, chunk_id
+"""
+
+
+@register("t7_chunking", oracle=_T7_SQL,
+          doc="Sliding-window token chunking (chunk=32, overlap=8): per-row "
+              "array slices + generator explode, zero shuffle — the "
+              "tokenize-and-chunk stage of LLM data prep. chunk_hash "
+              "fingerprints each chunk's content.",
+          tags=("text", "chunking"))
+def t7_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.chunking import chunk_tokens
+
+    d = table(spark, sf_dir, "documents")
+    return chunk_tokens(d, "doc_id", "text", chunk=_T7_CHUNK, overlap=_T7_OVER).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+_T8_CTX, _T8_SHARDS = 512, 16
+
+_T8_SQL = _T7_BASE + f""",
+sh AS (
+  SELECT *,
+         CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+           % {_T8_SHARDS} AS shard
+  FROM ch
+),
+binned AS (
+  SELECT shard, doc_id, chunk_id, n_tokens,
+         (SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+           // {_T8_CTX} AS bin
+  FROM sh
+)
+SELECT shard, bin, COUNT(*) AS n_chunks,
+       SUM(n_tokens) AS bin_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / {_T8_CTX}.0 AS fill
+FROM binned GROUP BY shard, bin
+ORDER BY shard, bin
+"""
+
+
+@register("t8_packing", oracle=_T8_SQL,
+          doc="Sequence packing: chunks pack into ctx=512 bins by running "
+              "token count WITHIN md5-derived shards (a global packing "
+              "order would be one giant window — the shard layout is what "
+              "a distributed packer actually uses). One key shuffle; "
+              "integer-exact cross-engine.",
+          tags=("text", "chunking"))
+def t8_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.chunking import chunk_tokens, pack_chunks
+
+    d = table(spark, sf_dir, "documents")
+    ch = chunk_tokens(d, "doc_id", "text", chunk=_T7_CHUNK, overlap=_T7_OVER)
+    return pack_chunks(ch, "doc_id", ctx=_T8_CTX, n_shards=_T8_SHARDS).orderBy(
+        "shard", "bin"
+    )
