@@ -314,13 +314,13 @@ sh AS (
 ),
 binned AS (
   SELECT shard, doc_id, chunk_id, n_tokens,
-         (SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id
+         CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
-           // {_T8_CTX} AS bin
+           // {_T8_CTX} AS BIGINT) AS bin
   FROM sh
 )
 SELECT shard, bin, COUNT(*) AS n_chunks,
-       SUM(n_tokens) AS bin_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
        CAST(SUM(n_tokens) AS DOUBLE) / {_T8_CTX}.0 AS fill
 FROM binned GROUP BY shard, bin
 ORDER BY shard, bin
