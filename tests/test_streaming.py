@@ -396,3 +396,70 @@ def test_stream_stream_attribution_join_matches_batch(spark):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """Restarting a checkpointed file-source query must be exactly-
+    once: a restart with no new data appends nothing; newly arrived
+    source files are processed exactly once on the next restart."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    first = docs.filter(F.col("doc_id") < 100)
+    rest = docs.filter(F.col("doc_id") >= 100)
+    first.write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.schema(docs.schema)
+            .parquet(src)
+            .select("doc_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).count()
+
+    n1 = run_once()
+    assert n1 == first.count()
+    # restart, no new data: nothing re-emitted
+    assert run_once() == n1
+    # new files arrive; restart processes exactly the delta
+    rest.write.mode("append").parquet(src)
+    assert run_once() == docs.count()
+    # and no doc was ever duplicated
+    dups = (
+        spark.read.parquet(out)
+        .groupBy("doc_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dups == 0
+
+
+def test_streaming_chunking_matches_batch(spark, tmp_path):
+    """chunk_tokens (t7) is a stateless generator — the same operator
+    code runs on a document stream and emits the batch chunk set."""
+    from ae_data_integration_spark.operators.chunking import chunk_tokens
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    run_available_now(chunk_tokens(stream), "t_chunks", mode="append")
+    got = {
+        (r.doc_id, r.chunk_id, r.n_tokens, r.chunk_hash)
+        for r in spark.table("t_chunks").collect()
+    }
+    want = {
+        (r.doc_id, r.chunk_id, r.n_tokens, r.chunk_hash)
+        for r in chunk_tokens(docs).collect()
+    }
+    assert got == want and len(got) > 0
