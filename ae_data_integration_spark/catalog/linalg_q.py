@@ -59,7 +59,7 @@ ORDER BY vec_id, out_dim
 """
 
 
-@register("l1_affine_relational", oracle=_L1_SQL,
+@register("y_l1_affine_relational", oracle=_L1_SQL,
           doc="nn.Linear as explode + weight join + decimal sum-groupBy "
               "(SURVEY L1 relational fallback; weights md5-derived).",
           tags=("linalg",))

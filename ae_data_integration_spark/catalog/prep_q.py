@@ -271,7 +271,7 @@ ORDER BY o_orderpriority
 """
 
 
-@register("n5_dispersion", oracle=_N5_SQL,
+@register("y_n5_dispersion", oracle=_N5_SQL,
           doc="Portable mean/stddev_pop from fixed-point moments "
               "(np.std ddof=0 convention, ref AE_results.ipynb cells 26-32).",
           tags=("prep", "agg"))

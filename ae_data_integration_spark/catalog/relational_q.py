@@ -616,3 +616,73 @@ def w3_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum("o_totalprice") / F.count(F.lit(1))).alias("median_price"))
         .orderBy("o_orderpriority")
     )
+
+
+# --- W4: RANGE-frame window (trailing 1h per-user value mass) ---------------
+
+_W4_SQL = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       SUM(CAST(round(value * 1048576) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         / 1048576.0 AS trailing_1h
+FROM events
+ORDER BY user_id, ts_us, event_id
+"""
+
+
+@register("w4_range_window", oracle=_W4_SQL,
+          doc="RANGE-frame window: per-user trailing-1-hour value sum over "
+              "event time (microsecond range frame, fixed-point sum). "
+              "Complements the rows-frame (w2) and rank-selection (w3) "
+              "window coverage.",
+          tags=("window", "events"))
+def w4_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3600000000, Window.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id", "ts_us",
+        (F.sum(fp("value", Q20)).over(w) / F.lit(float(Q20))).alias("trailing_1h"),
+    ).orderBy("user_id", "ts_us", "event_id")
+
+
+# --- Q16-style: distinct-aggregate over a dimension join --------------------
+
+_Q16_SQL = """
+SELECT p.p_brand,
+       COUNT(DISTINCT l.l_suppkey) AS n_suppliers,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_type NOT LIKE 'MEDIUM%'
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+"""
+
+
+@register("q16_brand_supplier_counts", oracle=_Q16_SQL,
+          doc="Distinct-aggregate over a broadcast dimension join with a "
+              "NOT-LIKE predicate pushed to the part scan (TPC-H q16 "
+              "shape on the available tables).",
+          tags=("relational", "agg"))
+def q16_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(~F.col("p_type").startswith("MEDIUM"))
+        .select("p_partkey", "p_brand")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
