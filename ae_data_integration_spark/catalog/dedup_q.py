@@ -233,7 +233,7 @@ ORDER BY vec_id
 """
 
 
-@register("d4_embedding_neardup", oracle=_D4_SQL,
+@register("y_d4_embedding_neardup", oracle=_D4_SQL,
           doc="Embedding-cosine near-dedup: LSH-bucketed pairs at cosine ≥ "
               "0.35, keep-first survivor policy (drop list + canonical id).",
           tags=("dedup", "similarity"))
@@ -423,3 +423,56 @@ def pipe2_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(agg1))
         .select("n_docs", "n_dropped", "n_surviving", "surviving_tokens")
     )
+
+
+# --- G3: PageRank over the verified near-dup graph --------------------------
+# Which documents sit at the CENTER of near-duplicate neighborhoods
+# (template sources, boilerplate hubs)? Fixed 3-iteration PageRank
+# over the same verified pair graph d6 clusters — every step a
+# quantized contribution sum the oracle replays generation for
+# generation.
+
+_G3_DAMP, _G3_ITERS, _G3_Q = 0.85, 3, 1 << 40
+
+
+def _g3_sql() -> str:
+    steps = []
+    for i in range(1, _G3_ITERS + 1):
+        steps.append(f""",
+r{i} AS MATERIALIZED (
+  SELECT e.b AS id,
+         ({repr(1.0 - _G3_DAMP)} / CAST((SELECT n FROM nn) AS DOUBLE))
+         + {_G3_DAMP!r} * (SUM(CAST(round((r.pr / CAST(d.deg AS DOUBLE)) * {_G3_Q}) AS BIGINT)) / {_G3_Q}.0)
+           AS pr
+  FROM edges e JOIN r{i - 1} r ON e.a = r.id JOIN deg d ON e.a = d.a
+  GROUP BY e.b
+)""")
+    return f"""{_D6_VERIFIED},
+edges0 AS (SELECT doc_a AS a, doc_b AS b FROM verified),
+edges AS MATERIALIZED (SELECT a, b FROM edges0 UNION SELECT b AS a, a AS b FROM edges0),
+deg AS MATERIALIZED (SELECT a, COUNT(*) AS deg FROM edges GROUP BY a),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS MATERIALIZED (
+  SELECT a AS id, 1.0 / CAST((SELECT n FROM nn) AS DOUBLE) AS pr FROM deg
+){"".join(steps)}
+SELECT id, pr FROM r{_G3_ITERS} ORDER BY id"""
+
+
+@register("g3_pagerank", oracle=_g3_sql(),
+          doc="Fixed 3-iteration PageRank over the verified near-dup pair "
+              "graph (boilerplate-hub detection): per iteration one "
+              "edges-vs-ranks key join + a 2^-40-quantized contribution "
+              "sum — order/partition-independent, replayed CTE-for-CTE.",
+          tags=("dedup", "graph"))
+def g3_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.graph import pagerank_fixed
+
+    d = table(spark, sf_dir, "documents")
+    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).persist()
+    pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=8, num_bands=2)
+    verified = jaccard_verify(pairs, shs, threshold=_D6_THRESH).select(
+        "doc_a", "doc_b"
+    )
+    return pagerank_fixed(
+        verified, n_iters=_G3_ITERS, damping=_G3_DAMP
+    ).orderBy("id")

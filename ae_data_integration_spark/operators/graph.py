@@ -1,0 +1,74 @@
+"""Graph analytics over pair relations (beyond the connected-
+components solver in operators/dedup.py).
+
+`pagerank_fixed`: PageRank with a FIXED iteration count over an
+undirected pair graph — every step is a key-shuffled join + a
+fixed-point contribution sum, so the whole run is one static plan
+per generation and the DuckDB oracle replays it CTE-for-CTE
+bit-exactly (catalog g3). Fixed iterations instead of a convergence
+loop for the same reason as dup_clusters: determinism and
+SQL-replayability; rank ordering stabilizes in a few passes on the
+small-diameter graphs dedup produces.
+
+Scale shape: per iteration, one join of edges against the rank
+vector (both partitioned by node key) and one groupBy — O(E) shuffle
+rows, the standard distributed PageRank layout. Generations are
+localCheckpointed: each is referenced by the next join AND the final
+select, and an unbounded lineage would re-run the upstream candidate
+pipeline per generation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Q40 = 1 << 40
+
+
+def pagerank_fixed(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    n_iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(id, pr) after ``n_iters`` synchronous PageRank updates on the
+    symmetrized pair graph (nodes = pair members). Contributions are
+    quantized to 2^-40 before summation, so the sum is order- and
+    partition-independent and any engine reproduces it."""
+    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    edges = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    n = deg.count()
+    if n == 0:
+        return deg.select(F.col("a").alias("id"), F.lit(0.0).alias("pr"))
+    init = 1.0 / n
+    base = (1.0 - damping) / n
+    r = deg.select(F.col("a").alias("id"), F.lit(init).alias("pr")).localCheckpoint()
+    for _ in range(n_iters):
+        share = (
+            edges.join(r.withColumnRenamed("id", "a"), "a")
+            .join(deg, "a")
+            .select(
+                F.col("b").alias("id"),
+                F.round((F.col("pr") / F.col("deg").cast("double")) * F.lit(Q40))
+                .cast("long")
+                .alias("c"),
+            )
+        )
+        r = (
+            share.groupBy("id")
+            .agg(
+                (
+                    F.lit(base)
+                    + F.lit(damping) * (F.sum("c") / F.lit(float(Q40)))
+                ).alias("pr")
+            )
+            .localCheckpoint()
+        )
+    return r
