@@ -32,7 +32,7 @@ ORDER BY hour_epoch, event_type
 """
 
 
-@register("e1_hourly_rollup", oracle=_E1_SQL,
+@register("y_e1_hourly_rollup", oracle=_E1_SQL,
           doc="Tumbling 1h window agg — batch twin of the streaming rollup.",
           tags=("events", "bench"))
 def e1_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,4 +297,94 @@ def e6_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(k).alias("max_k"),
         )
         .orderBy("event_type")
+    )
+
+
+# --- E7: conversion funnel via chained as-of joins --------------------------
+# view -> click (within 30 min) -> purchase (within 30 min): the
+# sequential-pattern query behind funnel dashboards, expressed as two
+# backward as-of joins (each one key shuffle, no range-join blowup).
+
+_E7_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
+),
+p AS (SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'click'),
+v AS (SELECT user_id, ts_us FROM ev WHERE event_type = 'view'),
+pc AS (
+  SELECT p.user_id, p.event_id, p.ts_us,
+         (SELECT MAX(c.ts_us) FROM c
+          WHERE c.user_id = p.user_id AND c.ts_us <= p.ts_us) AS click_us
+  FROM p
+),
+pcv AS (
+  SELECT pc.*,
+         (SELECT MAX(v.ts_us) FROM v
+          WHERE v.user_id = pc.user_id AND v.ts_us <= pc.click_us) AS view_us
+  FROM pc
+)
+SELECT user_id,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CASE WHEN click_us IS NOT NULL
+                      AND ts_us - click_us <= 1800000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_click,
+       CAST(SUM(CASE WHEN click_us IS NOT NULL AND ts_us - click_us <= 1800000000
+                      AND view_us IS NOT NULL AND click_us - view_us <= 1800000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+FROM pcv
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("e7_funnel", oracle=_E7_SQL,
+          doc="view->click->purchase funnel (30-min hops) as two chained "
+              "backward as-of joins (operators/asof.py) — one key shuffle "
+              "each, no range-join explosion; per-user conversion counts.",
+          tags=("events", "asof"))
+def e7_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_us"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", F.col("ts_us").alias("click_us")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts_us", F.col("ts_us").alias("view_us")
+    )
+    pc = asof_join(p, c, "user_id", "ts_us", ["click_us"]).select(
+        "user_id", "event_id", "ts_us", F.col("asof_click_us").alias("click_us")
+    )
+    # second hop anchors on the CLICK time
+    pc2 = pc.withColumn("_anchor", F.coalesce("click_us", F.lit(-1)))
+    vc = asof_join(
+        pc2.withColumnRenamed("ts_us", "p_us").withColumnRenamed("_anchor", "ts_us"),
+        v,
+        "user_id",
+        "ts_us",
+        ["view_us"],
+    ).select(
+        "user_id", "event_id", F.col("p_us").alias("ts_us"), "click_us",
+        F.col("asof_view_us").alias("view_us"),
+    )
+    clicked = F.col("click_us").isNotNull() & (
+        F.col("ts_us") - F.col("click_us") <= 1800000000
+    )
+    full = clicked & F.col("view_us").isNotNull() & (
+        F.col("click_us") - F.col("view_us") <= 1800000000
+    )
+    return (
+        vc.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(clicked.cast("int")).cast("long").alias("n_with_click"),
+            F.sum(full.cast("int")).cast("long").alias("n_full_funnel"),
+        )
+        .orderBy("user_id")
     )

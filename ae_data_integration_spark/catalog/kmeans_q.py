@@ -156,7 +156,7 @@ FROM bdf CROSS JOIN wtot CROSS JOIN tot CROSS JOIN pair
 """
 
 
-@register("c5_ch_dbi", oracle=_C5_SQL,
+@register("y_c5_ch_dbi", oracle=_C5_SQL,
           doc="Calinski-Harabasz + Davies-Bouldin via centroid aggregates "
               "(ref test_metrics.py:15-17).",
           tags=("clustering", "metrics"))

@@ -118,7 +118,7 @@ ORDER BY c_custkey
 """
 
 
-@register("n1_minmax_scale", oracle=_N1_SQL,
+@register("y_n1_minmax_scale", oracle=_N1_SQL,
           doc="MinMaxScaler as groupBy-agg + broadcast join (ref Data_prep.py:72-76).",
           tags=("prep", "scale"))
 def n1_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:

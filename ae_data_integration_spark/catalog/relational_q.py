@@ -686,3 +686,50 @@ def q16_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# --- DQ1: constraint report (dbt-style data-quality tests as one query) -----
+
+_DQ1_SQL = """
+SELECT
+  (SELECT COUNT(*) FROM orders) AS n_orders,
+  (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS null_custkeys,
+  (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS dup_orderkeys,
+  (SELECT COUNT(*) FROM orders o
+   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    AS orphan_orders,
+  (SELECT COUNT(*) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    AS orphan_lineitems,
+  (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0 OR l_extendedprice < 0)
+    AS bad_lineitem_values
+"""
+
+
+@register("dq1_constraints", oracle=_DQ1_SQL,
+          doc="Data-quality constraint report (dbt-test shapes as one "
+              "query): null keys, duplicate primary keys, referential "
+              "orphans via anti-joins, domain violations. Each check is a "
+              "broadcast-anti-join or partial agg — no full-table shuffle.",
+          tags=("relational", "quality"))
+def dq1_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    c = table(spark, sf_dir, "customer")
+    n_orders = o.count()
+    null_ck = o.filter(F.col("o_custkey").isNull()).count()
+    dup_ok = n_orders - o.select("o_orderkey").distinct().count()
+    orphan_o = o.join(
+        c.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_anti"
+    ).count()
+    orphan_l = l.join(
+        o.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_anti"
+    ).count()
+    bad_l = l.filter(
+        (F.col("l_quantity") <= 0) | (F.col("l_extendedprice") < 0)
+    ).count()
+    return spark.createDataFrame(
+        [(n_orders, null_ck, dup_ok, orphan_o, orphan_l, bad_l)],
+        "n_orders long, null_custkeys long, dup_orderkeys long, "
+        "orphan_orders long, orphan_lineitems long, bad_lineitem_values long",
+    )

@@ -342,3 +342,51 @@ def t8_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(ch, "doc_id", ctx=_T8_CTX, n_shards=_T8_SHARDS).orderBy(
         "shard", "bin"
     )
+
+
+# --- T9: distinctive terms per document (TF-IDF-shaped, integer-exact) ------
+# Rank each document's terms by (term frequency DESC, document
+# frequency ASC, term) — the TF-IDF ordering without the log(): the
+# idf log is monotone in df, so ranking by df directly gives the
+# same per-doc ordering while staying integer/string-exact
+# cross-engine (Java Math.log vs libm differ in the last ulp).
+
+_T9_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rk
+  FROM tf JOIN df ON tf.term = df.term
+)
+SELECT doc_id, term, tf, df, rk FROM ranked WHERE rk <= 3
+ORDER BY doc_id, rk
+"""
+
+
+@register("t9_distinctive_terms", oracle=_T9_SQL,
+          doc="Top-3 distinctive terms per document: rank by (tf DESC, "
+              "df ASC, term) — the TF-IDF ordering with the monotone log "
+              "dropped, so it stays integer-exact. One explode + two "
+              "partial-agg shuffles + a per-doc top-k window.",
+          tags=("text",))
+def t9_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(df_, "term")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", F.col("rk").cast("long").alias("rk"))
+        .orderBy("doc_id", "rk")
+    )
