@@ -1,0 +1,62 @@
+"""Empty-input robustness: operators must return empty results with
+the right schema, not crash, when a filter upstream leaves nothing
+(a daily occurrence in scheduled pipelines)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _empty(spark, schema: str):
+    return spark.createDataFrame([], schema)
+
+
+def test_dbscan_stack_on_empty(spark):
+    from ae_data_integration_spark.operators.dbscan import candidate_pairs, dbscan
+
+    pts = _empty(spark, "id long, vec array<double>")
+    assert candidate_pairs(pts, 1.0).count() == 0
+    out = dbscan(
+        _empty(spark, "vec_id long, embedding array<double>"), "vec_id", "embedding"
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "cluster"}
+
+
+def test_graph_ops_on_empty(spark):
+    from ae_data_integration_spark.operators.dedup import dup_clusters, dup_labels
+    from ae_data_integration_spark.operators.graph import pagerank_fixed
+
+    pairs = _empty(spark, "doc_a long, doc_b long")
+    assert dup_labels(pairs).count() == 0
+    assert dup_clusters(pairs).count() == 0
+    assert pagerank_fixed(pairs).count() == 0
+
+
+def test_chunking_on_empty(spark):
+    from ae_data_integration_spark.operators.chunking import chunk_tokens, pack_chunks
+
+    docs = _empty(spark, "doc_id long, text string")
+    ch = chunk_tokens(docs)
+    assert ch.count() == 0
+    assert pack_chunks(ch).count() == 0
+
+
+def test_cms_on_empty(spark):
+    from ae_data_integration_spark.functions.sketch import cms_build, cms_estimate
+
+    ev = _empty(spark, "user_id long")
+    sk = cms_build(ev, "user_id")
+    assert sk.count() == 0
+    probes = spark.createDataFrame([(1,)], "user_id long")
+    # empty sketch: no cells to join -> no estimates (not a crash)
+    assert cms_estimate(sk, probes, "user_id").count() == 0
+
+
+def test_asof_join_on_empty_right(spark):
+    from ae_data_integration_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, 100)], "user_id long, event_id long, ts_us long")
+    right = _empty(spark, "user_id long, ts_us long, v double")
+    out = asof_join(left, right, "user_id", "ts_us", ["v"]).collect()
+    assert len(out) == 1 and out[0]["asof_v"] is None
