@@ -85,7 +85,7 @@ ORDER BY user_id
 """
 
 
-@register("e2_sessionize", oracle=_E2_SQL,
+@register("y_e2_sessionize", oracle=_E2_SQL,
           doc="Gap-based sessionization via lag + running sum windows; exact "
               "microsecond arithmetic.",
           tags=("events", "window", "bench"))

@@ -66,3 +66,50 @@ def sk1_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, top, "user_id", d=_D, w=_W).orderBy(
         F.desc("exact_n"), "user_id"
     )
+
+
+# --- SK2: K-minimum-values distinct estimation ------------------------------
+
+_K2 = 32
+
+_SK2_SQL = f"""
+WITH d AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT)
+           / 281474976710656.0 AS h
+  FROM d
+),
+ranked AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM h
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n_exact,
+         MAX(CASE WHEN rk = {_K2} THEN h END) AS hk
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type, n_exact,
+       CASE WHEN hk IS NOT NULL THEN {float(_K2 - 1)!r} / hk
+            ELSE CAST(n_exact AS DOUBLE) END AS kmv_est
+FROM agg
+ORDER BY event_type
+"""
+
+
+@register("sk2_kmv_distinct", oracle=_SK2_SQL,
+          doc="K-minimum-values distinct-user estimate per event type "
+              "(k=32) next to the exact count — an md5-deterministic "
+              "distinct sketch whose estimate both engines reproduce "
+              "bit-exactly (HLL++ gives the same bound but engine-internal "
+              "state; KMV puts the sketch itself under the value-hash "
+              "gate). One distinct + one per-group hash window.",
+          tags=("sketch",))
+def sk2_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.functions.sketch import kmv_distinct
+
+    ev = table(spark, sf_dir, "events")
+    return kmv_distinct(ev, "user_id", "event_type", k=_K2).orderBy("event_type")

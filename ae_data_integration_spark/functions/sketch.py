@@ -100,3 +100,43 @@ def approx_quantiles(
     """Greenwald-Khanna quantile sketch (single pass, mergeable);
     rank error <= relative_error * N."""
     return df.approxQuantile(col, probabilities, relative_error)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key: str,
+    group: str,
+    k: int = 32,
+    salt: str = "kmv",
+) -> DataFrame:
+    """K-minimum-values distinct-count estimate per group:
+    md5-normalize each distinct key into [0,1); with h_(k) the k-th
+    smallest hash, estimate = (k-1)/h_(k) (exact count when a group
+    has < k distinct keys — the standard KMV fallback).
+
+    Unlike HLL++ the whole sketch state is md5-derived, so the
+    estimate is deterministic, partition-independent, and
+    bit-reproducible by any engine (the catalog's sk2 query verifies
+    it value-exactly). Mergeable: union the k-minima sets and re-take
+    the k smallest. Shuffle: one distinct + one k-row-per-group
+    window over hashes."""
+    from pyspark.sql import Window
+
+    from ae_data_integration_spark.functions.hashing import md5_unit
+
+    d = df.select(group, key).distinct().select(
+        group, md5_unit(key, salt=f"{salt}:").alias("h")
+    )
+    w = Window.partitionBy(group).orderBy("h")
+    ranked = d.select(group, "h", F.row_number().over(w).alias("rk"))
+    agg = ranked.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.max(F.when(F.col("rk") == k, F.col("h"))).alias("hk"),
+    )
+    return agg.select(
+        group,
+        "n_exact",
+        F.when(
+            F.col("hk").isNotNull(), F.lit(float(k - 1)) / F.col("hk")
+        ).otherwise(F.col("n_exact").cast("double")).alias("kmv_est"),
+    )

@@ -70,3 +70,21 @@ def test_cms_is_mergeable(spark):
         for r in cms_build(part, "user_id", d=_D, w=_W).collect():
             merged[(r.r, r.b)] = merged.get((r.r, r.b), 0) + r.cnt
     assert merged == full
+
+
+def test_kmv_estimate_reasonable_and_deterministic(spark):
+    from ae_data_integration_spark.functions.sketch import kmv_distinct
+
+    ev = table(spark, SF_SMOKE, "events")
+    rows = kmv_distinct(ev, "user_id", "event_type", k=32).collect()
+    assert len(rows) > 0
+    for r in rows:
+        if r.n_exact < 32:
+            assert r.kmv_est == float(r.n_exact)
+        else:
+            # KMV rel. error ~ 1/sqrt(k-2); allow 4 sigma
+            assert abs(r.kmv_est - r.n_exact) <= 4 * r.n_exact / (30 ** 0.5)
+    again = kmv_distinct(ev.repartition(11), "user_id", "event_type", k=32).collect()
+    assert sorted((r.event_type, r.n_exact, r.kmv_est) for r in again) == sorted(
+        (r.event_type, r.n_exact, r.kmv_est) for r in rows
+    )
