@@ -99,7 +99,7 @@ ORDER BY doc_a, doc_b
 """
 
 
-@register("d2_minhash_lsh", oracle=_D2_SQL,
+@register("y_d2_minhash_lsh", oracle=_D2_SQL,
           doc="MinHash(8) + LSH(2 bands × 4 rows) candidates, exact shingle Jaccard.",
           tags=("dedup", "bench"))
 def d2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -476,3 +476,117 @@ def g3_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed(
         verified, n_iters=_G3_ITERS, damping=_G3_DAMP
     ).orderBy("id")
+
+
+# --- PIPE3: end-to-end LLM training-data prep -------------------------------
+# The full chain a pretraining corpus goes through: exact dedup ->
+# quality + repetition gates -> sliding-window chunking -> sharded
+# sequence packing; one summary row with every number under the
+# value-hash gate. Composes d1 (fingerprint), t2 (quality), t6
+# (repetition), t7 (chunking), t8 (packing) — same constants, same
+# SQL fragments.
+
+_P3_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')"
+_P3_WNG = (
+    "CASE WHEN len(t) >= 3 THEN "
+    "list_distinct(list_transform(range(1, len(t) - 1), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) "
+    "ELSE [array_to_string(t, ' ')] END"
+)
+_P3_PUNCT = r"[!-/:-@\[-`{-~]"
+
+_PIPE3_SQL = f"""
+WITH keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents
+  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+),
+surv AS (
+  SELECT d.doc_id, d.text, {_P3_TOKS} AS t
+  FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+),
+gated AS (
+  SELECT doc_id, t FROM surv
+  WHERE (least(CAST(len(t) AS DOUBLE) / 64.0, 1.0)
+         + CASE WHEN (list_reduce(list_transform(t, w -> CAST(length(w) AS DOUBLE)), (a,b) -> a+b)
+                      / CAST(greatest(len(t), 1) AS DOUBLE)) >= 2.0
+                 AND (list_reduce(list_transform(t, w -> CAST(length(w) AS DOUBLE)), (a,b) -> a+b)
+                      / CAST(greatest(len(t), 1) AS DOUBLE)) <= 12.0
+                THEN 1.0 ELSE 0.0 END
+         + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '{_P3_PUNCT}', '', 'g')) AS DOUBLE)
+                         / greatest(length(text), 1)) * 4.0, 1.0))
+        ) / 3.0 >= 0.5
+    AND 1.0 - CAST(len({_P3_WNG}) AS DOUBLE)
+              / CAST(greatest(len(t) - 2, 1) AS DOUBLE) <= 0.5
+),
+nc AS (
+  SELECT doc_id, t, greatest((len(t) - 8 + 23) // 24, 1) AS n_chunks FROM gated
+),
+ch AS (
+  SELECT doc_id, i.i AS chunk_id,
+         CAST(len(t[i.i * 24 + 1 : i.i * 24 + 32]) AS BIGINT) AS n_tokens
+  FROM nc, LATERAL (SELECT unnest(range(0, nc.n_chunks)) AS i) i
+),
+sh AS (
+  SELECT *, CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 16 AS shard
+  FROM ch
+),
+binned AS (
+  SELECT shard, n_tokens,
+         CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+           // 512 AS BIGINT) AS bin
+  FROM sh
+),
+bins AS (SELECT shard, bin, CAST(SUM(n_tokens) AS BIGINT) AS bt FROM binned GROUP BY shard, bin)
+SELECT (SELECT COUNT(*) FROM documents) AS n_docs_in,
+       (SELECT COUNT(*) FROM gated) AS n_docs_kept,
+       (SELECT COUNT(*) FROM ch) AS n_chunks,
+       (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM ch) AS total_tokens,
+       (SELECT COUNT(*) FROM bins) AS n_bins,
+       (SELECT CAST(SUM(bt) AS DOUBLE) / (COUNT(*) * 512.0) FROM bins) AS mean_fill
+"""
+
+
+@register("pipe3_training_prep", oracle=_PIPE3_SQL,
+          doc="End-to-end LLM training-data prep: exact dedup (d1 "
+              "fingerprint) -> quality >= 0.5 AND repetition <= 0.5 gates "
+              "(t2/t6) -> sliding-window chunking (t7) -> sharded sequence "
+              "packing (t8); one summary row, every number value-hashed.",
+          tags=("dedup", "text", "chunking", "pipeline", "bench"))
+def pipe3_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.functions.text import (
+        quality_score,
+        tokens,
+        word_ngrams_from_tokens,
+    )
+    from ae_data_integration_spark.operators.chunking import chunk_tokens, pack_chunks
+
+    d = table(spark, sf_dir, "documents")
+    keep = d.groupBy(fingerprint("text").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    surv = d.join(keep.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id", "text", tokens("text").alias("t")
+    )
+    rep = F.lit(1.0) - F.size(word_ngrams_from_tokens("t", 3)).cast("double") / (
+        F.greatest(F.size("t") - F.lit(2), F.lit(1)).cast("double")
+    )
+    gated = surv.filter(
+        (quality_score("text") >= 0.5) & (rep <= 0.5)
+    ).select("doc_id", "text")
+    ch = chunk_tokens(gated, "doc_id", "text", chunk=32, overlap=8)
+    bins = pack_chunks(ch, "doc_id", ctx=512, n_shards=16)
+    n_docs_in = d.count()
+    g = gated.count()
+    cstat = ch.agg(
+        F.count(F.lit(1)).alias("nc"), F.sum("n_tokens").alias("tt")
+    ).first()
+    bstat = bins.agg(
+        F.count(F.lit(1)).alias("nb"),
+        (F.sum("bin_tokens").cast("double") / (F.count(F.lit(1)) * F.lit(512.0))).alias("fill"),
+    ).first()
+    return spark.createDataFrame(
+        [(n_docs_in, g, cstat["nc"], cstat["tt"], bstat["nb"], bstat["fill"])],
+        "n_docs_in long, n_docs_kept long, n_chunks long, total_tokens long, "
+        "n_bins long, mean_fill double",
+    )
