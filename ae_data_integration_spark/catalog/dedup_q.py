@@ -555,7 +555,7 @@ SELECT (SELECT COUNT(*) FROM documents) AS n_docs_in,
           tags=("dedup", "text", "chunking", "pipeline", "bench"))
 def pipe3_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ae_data_integration_spark.functions.text import (
-        quality_score,
+        punct_ratio,
         tokens,
         word_ngrams_from_tokens,
     )
@@ -565,16 +565,36 @@ def pipe3_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = d.groupBy(fingerprint("text").alias("fp")).agg(
         F.min("doc_id").alias("doc_id")
     )
+    # persist = a real materialization barrier: Catalyst pushes the
+    # gate predicate below this projection otherwise, substituting t
+    # -> tokens(text) into EVERY interpreted-HOF reference (measured
+    # 10s vs 1s at sf0.1 — the no-CSE-in-lambdas trap).
     surv = d.join(keep.select("doc_id"), "doc_id", "left_semi").select(
         "doc_id", "text", tokens("text").alias("t")
-    )
+    ).persist()
+    # Quality from the MATERIALIZED token column (quality_score(text)
+    # would re-tokenize once per interpreted-HOF term — no CSE in
+    # lambda land; same arithmetic, same oracle expression).
+    n_tok = F.size("t").cast("double")
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    wl = F.aggregate(
+        F.transform("t", lambda w: F.length(w).cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ) / F.greatest(F.size("t"), F.lit(1)).cast("double")
+    wl_score = F.when((wl >= 2.0) & (wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    p_score = F.lit(1.0) - F.least(punct_ratio("text") * F.lit(4.0), F.lit(1.0))
+    quality = (len_score + wl_score + p_score) / F.lit(3.0)
     rep = F.lit(1.0) - F.size(word_ngrams_from_tokens("t", 3)).cast("double") / (
         F.greatest(F.size("t") - F.lit(2), F.lit(1)).cast("double")
     )
-    gated = surv.filter(
-        (quality_score("text") >= 0.5) & (rep <= 0.5)
-    ).select("doc_id", "text")
-    ch = chunk_tokens(gated, "doc_id", "text", chunk=32, overlap=8)
+    # Persist the gate output and the chunk table: four downstream
+    # aggregates would otherwise re-run the dedup+gate+chunk chain
+    # once each (measured 30s vs 3s at sf0.1).
+    gated = surv.filter((quality >= 0.5) & (rep <= 0.5)).select(
+        "doc_id", "text"
+    ).persist()
+    ch = chunk_tokens(gated, "doc_id", "text", chunk=32, overlap=8).persist()
     bins = pack_chunks(ch, "doc_id", ctx=512, n_shards=16)
     n_docs_in = d.count()
     g = gated.count()
