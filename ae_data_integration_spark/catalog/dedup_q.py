@@ -273,7 +273,7 @@ FROM surv GROUP BY lang ORDER BY lang
 """
 
 
-@register("pipe1_corpus_curation", oracle=_PIPE1_SQL,
+@register("y_pipe1_corpus_curation", oracle=_PIPE1_SQL,
           doc="Corpus curation end-to-end: exact dedup (keep-first), "
               "quality gate, embedding near-dup removal, per-lang stats.",
           tags=("dedup", "text", "pipeline", "bench"))

@@ -390,3 +390,51 @@ def t9_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", F.col("rk").cast("long").alias("rk"))
         .orderBy("doc_id", "rk")
     )
+
+
+# --- T10: inverted index (term -> posting list) -----------------------------
+# The search-engine primitive: per term, document frequency and the
+# sorted posting list (fingerprinted with md5 so the compare stays
+# scalar; the list itself is array_join of sorted doc ids). Capped to
+# terms with df >= 5 — at 100 TB the long tail is partition-local and
+# this query's shuffle carries only (term, doc_id) pairs.
+
+_T10_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS term
+  FROM documents
+),
+p AS (
+  SELECT term, COUNT(*) AS df,
+         md5(array_to_string(list_sort(array_agg(doc_id)), ',')) AS postings_fp,
+         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+  FROM tok GROUP BY term
+)
+SELECT term, df, postings_fp, first_doc, last_doc
+FROM p WHERE df >= 5
+ORDER BY term
+"""
+
+
+@register("t10_inverted_index", oracle=_T10_SQL,
+          doc="Inverted index: per term the document frequency and the "
+              "sorted posting list (md5-fingerprinted for scalar compare). "
+              "One distinct + one groupBy shuffle of (term, doc_id) pairs.",
+          tags=("text",))
+def t10_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term")).distinct()
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.md5(
+                F.array_join(F.sort_array(F.collect_list("doc_id")), ",")
+            ).alias("postings_fp"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("df") >= 5)
+        .orderBy("term")
+    )
