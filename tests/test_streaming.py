@@ -463,3 +463,37 @@ def test_streaming_chunking_matches_batch(spark, tmp_path):
         for r in chunk_tokens(docs).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_incremental_cms_maintenance_matches_batch(spark, tmp_path):
+    """Maintain a Count-Min sketch incrementally over a stream
+    (foreachBatch: per-batch partial sketch merged by cell addition —
+    CMS mergeability makes the incremental state equal the one-shot
+    batch sketch regardless of micro-batch boundaries)."""
+    from ae_data_integration_spark.functions.sketch import cms_build
+
+    ev = table(spark, SF_SMOKE, "events").select("user_id")
+    src = str(tmp_path / "src")
+    # two source files -> at least two micro-batches with maxFilesPerTrigger=1
+    ev.filter(F.col("user_id") % 2 == 0).write.mode("overwrite").parquet(src)
+    ev.filter(F.col("user_id") % 2 == 1).write.mode("append").parquet(src)
+
+    state: dict = {}
+
+    def merge_batch(batch_df, batch_id):
+        for r in cms_build(batch_df, "user_id", d=4, w=64).collect():
+            state[(r.r, r.b)] = state.get((r.r, r.b), 0) + r.cnt
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    want = {(r.r, r.b): r.cnt for r in cms_build(ev, "user_id", d=4, w=64).collect()}
+    assert state == want
