@@ -78,7 +78,7 @@ FROM a3 GROUP BY cluster ORDER BY cluster
 """
 
 
-@register("c1_kmeans_relational", oracle=_C1_SQL,
+@register("y_c1_kmeans_relational", oracle=_C1_SQL,
           doc="Lloyd's KMeans unrolled as DataFrame ops (md5 init, 2 iters); "
               "oracle replays the whole algorithm (ref mocss.py:409).",
           tags=("clustering", "bench"))

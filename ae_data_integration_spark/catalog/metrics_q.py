@@ -114,3 +114,87 @@ def c4_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
           min_rows=1, columns=("munkres_accuracy",))
 def c4_munkres_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return munkres_accuracy(_pred_df(spark, sf_dir), "label", "pred")
+
+
+# --- C4b (oracled): assignment-exact matched accuracy for small k -----------
+# The Hungarian step (z_c4) is driver-side for general k; for the
+# small cluster counts the reference actually evaluates (k<=5,
+# mocss.py), the optimal assignment is computable RELATIONALLY by
+# enumerating all injective pred->label maps (P(5,4) = 120 rows from
+# nested self-joins of the label set) and taking the max matched
+# mass — integer arithmetic end to end, so the optimum itself sits
+# under the value-hash gate.
+
+_C4B_PRED = """
+  SELECT label,
+         CAST(CAST(('0x' || substr(md5('alt4' || CAST(vec_id AS VARCHAR)), 1, 12)) AS BIGINT) % 4 AS INT) AS pred
+  FROM embeddings
+"""
+
+_C4B_SQL = f"""
+WITH p AS ({_C4B_PRED}),
+ct AS (SELECT label, pred, COUNT(*) AS n_ij FROM p GROUP BY label, pred),
+labs AS (SELECT DISTINCT label AS m FROM p),
+inj AS (
+  SELECT a.m AS m0, b.m AS m1, c.m AS m2, d.m AS m3
+  FROM labs a, labs b, labs c, labs d
+  WHERE b.m != a.m AND c.m != a.m AND c.m != b.m
+    AND d.m != a.m AND d.m != b.m AND d.m != c.m
+),
+scored AS (
+  SELECT coalesce(c0.n_ij, 0) + coalesce(c1.n_ij, 0)
+       + coalesce(c2.n_ij, 0) + coalesce(c3.n_ij, 0) AS s
+  FROM inj
+  LEFT JOIN ct c0 ON c0.pred = 0 AND c0.label = inj.m0
+  LEFT JOIN ct c1 ON c1.pred = 1 AND c1.label = inj.m1
+  LEFT JOIN ct c2 ON c2.pred = 2 AND c2.label = inj.m2
+  LEFT JOIN ct c3 ON c3.pred = 3 AND c3.label = inj.m3
+)
+SELECT CAST(MAX(s) AS BIGINT) AS matched,
+       CAST(MAX(s) AS DOUBLE) / (SELECT COUNT(*) FROM p) AS matched_accuracy
+FROM scored
+"""
+
+
+@register("c4b_matched_exact", oracle=_C4B_SQL,
+          doc="Assignment-exact matched clustering accuracy for small k: "
+              "enumerate all injective pred->label maps (nested self-joins "
+              "of the label set, P(5,4)=120 rows) and take the max matched "
+              "mass — the Hungarian optimum as pure relational integer "
+              "arithmetic (ref evaluation.py:34-53; z_c4 stays the "
+              "general-k scipy-checked path).",
+          tags=("metrics",))
+def c4b_matched_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    p = e.select(
+        "label", md5_bucket("vec_id", 4, salt="alt4").cast("int").alias("pred")
+    )
+    ct = (
+        p.groupBy("label", "pred").agg(F.count(F.lit(1)).alias("n_ij")).persist()
+    )
+    labs = ct.select(F.col("label").alias("m")).distinct()
+    inj = (
+        labs.select(F.col("m").alias("m0"))
+        .crossJoin(labs.select(F.col("m").alias("m1")))
+        .filter(F.col("m1") != F.col("m0"))
+        .crossJoin(labs.select(F.col("m").alias("m2")))
+        .filter((F.col("m2") != F.col("m0")) & (F.col("m2") != F.col("m1")))
+        .crossJoin(labs.select(F.col("m").alias("m3")))
+        .filter(
+            (F.col("m3") != F.col("m0"))
+            & (F.col("m3") != F.col("m1"))
+            & (F.col("m3") != F.col("m2"))
+        )
+    )
+    scored = inj
+    for i in range(4):
+        ci = ct.filter(F.col("pred") == i).select(
+            F.col("label").alias(f"m{i}"), F.col("n_ij").alias(f"n{i}")
+        )
+        scored = scored.join(F.broadcast(ci), f"m{i}", "left")
+    s = sum(F.coalesce(F.col(f"n{i}"), F.lit(0)) for i in range(4))
+    n_total = p.count()
+    return scored.agg(
+        F.max(s).cast("long").alias("matched"),
+        (F.max(s).cast("double") / F.lit(float(n_total))).alias("matched_accuracy"),
+    )

@@ -88,3 +88,20 @@ def test_kmv_estimate_reasonable_and_deterministic(spark):
     assert sorted((r.event_type, r.n_exact, r.kmv_est) for r in again) == sorted(
         (r.event_type, r.n_exact, r.kmv_est) for r in rows
     )
+
+
+def test_c4b_exact_assignment_matches_hungarian(spark):
+    """The 120-injection relational optimum (c4b) equals the scipy
+    Hungarian optimum on the same contingency matrix."""
+    from ae_data_integration_spark.catalog import load_all
+    from ae_data_integration_spark.functions.hashing import md5_bucket
+    from ae_data_integration_spark.operators.metrics import munkres_accuracy
+
+    reg = load_all()
+    got = reg["c4b_matched_exact"].fn(spark, SF_SMOKE).first()
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    p = e.select(
+        "label", md5_bucket("vec_id", 4, salt="alt4").cast("int").alias("pred")
+    )
+    want = munkres_accuracy(p, "label", "pred").first()["munkres_accuracy"]
+    assert abs(got["matched_accuracy"] - want) < 1e-12
