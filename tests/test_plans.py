@@ -14,7 +14,9 @@ REGISTRY = load_all()
 
 
 def _df(spark, name):
-    return REGISTRY[name].fn(spark, SF_CORRECT)
+    from ae_data_integration_spark.catalog import resolve
+
+    return REGISTRY[resolve(name)].fn(spark, SF_CORRECT)
 
 
 def test_q1_pushdown_and_pruning(spark):
