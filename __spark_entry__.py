@@ -14,7 +14,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ae_data_integration_spark.catalog import load_all
+from ae_data_integration_spark.catalog import load_all, oracle_for
+
+# The driver's correctness gate runs Spark + DuckDB side-by-side at
+# this scale; callable oracles (data-derived literals) resolve here.
+_CORRECTNESS_SF_DIR = "/root/testdata/sf0.01"
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -30,4 +34,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible catalog query."""
-    return {name: q.oracle for name, q in sorted(load_all().items()) if q.oracle is not None}
+    return {
+        name: oracle_for(q, _CORRECTNESS_SF_DIR)
+        for name, q in sorted(load_all().items())
+        if q.oracle is not None
+    }

@@ -31,6 +31,17 @@ the authoritative full-registry oracle check is local —
 ``scripts/driver_sim.py`` / ``scripts/check_parity.py`` /
 ``tests/test_parity.py`` run every registered query (y_ and z_
 included) against its oracle or its row/schema contract each round.
+
+ROTATION IS FROZEN as of round 6: no further renames. Renaming a
+query changes its position in the bench run order, which confounds
+cross-round per-query bench comparisons (a renamed query's delta
+partly measures warm-up/GC position, not plan changes), and pushes
+externally-verified names out of the external sample permanently.
+Registry keys are now permanent; new queries get stable unprefixed
+names. Bench-trend claims only compare a query against runs under
+the SAME key (scripts/bench_trend.py matches on key), and bench.py
+re-times its most expensive queries in an isolated fresh session so
+reported numbers reflect plans, not shared-JVM pressure.
 """
 
 from __future__ import annotations
@@ -45,7 +56,11 @@ from pyspark.sql import DataFrame, SparkSession
 class Query:
     name: str
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None
+    # ANSI-SQL oracle: a static string, or a callable(sf_dir) -> str
+    # for oracles whose text embeds data-derived literals (e.g. the
+    # PCA projection embeds eigenvectors of the covariance at that
+    # scale). Resolve with `oracle_for(q, sf_dir)`.
+    oracle: str | Callable[[str], str] | None
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
     # Contract for no-oracle (rows-only) queries: the local parity
@@ -55,11 +70,28 @@ class Query:
     # hash is strictly stronger).
     min_rows: int = 1
     columns: tuple[str, ...] | None = None
+    # Optional SEMANTIC contract, run by the local parity harness
+    # after the structural checks: fn(result_pandas, spark, sf_dir)
+    # -> "" if the invariant holds, else a failure description. This
+    # is how no-oracle queries whose internals are engine-opaque
+    # (MLlib init, gradient descent) still get checked against an
+    # independently-computed quantity (e.g. MLlib KMeans WCSS vs the
+    # oracled relational twin's; CV fold sizes vs a DuckDB md5
+    # replay) instead of only row counts.
+    check: Callable[..., str] | None = None
 
 
 REGISTRY: dict[str, Query] = {}
 # unprefixed historical name -> current (possibly y_/z_-rotated) key
 ALIASES: dict[str, str] = {}
+
+
+def oracle_for(q: Query, sf_dir: str) -> str | None:
+    """The query's oracle SQL for a given data directory (resolves
+    callable oracles; None when the query has no oracle)."""
+    if q.oracle is None or isinstance(q.oracle, str):
+        return q.oracle
+    return q.oracle(sf_dir)
 
 
 def resolve(name: str) -> str:
@@ -76,11 +108,12 @@ def register(
     tags: tuple[str, ...] = (),
     min_rows: int = 1,
     columns: tuple[str, ...] | None = None,
+    check: Callable[..., str] | None = None,
 ):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         REGISTRY[name] = Query(
             name=name, fn=fn, oracle=oracle, doc=doc, tags=tags,
-            min_rows=min_rows, columns=columns,
+            min_rows=min_rows, columns=columns, check=check,
         )
         if name[:2] in ("y_", "z_"):
             ALIASES[name[2:]] = name

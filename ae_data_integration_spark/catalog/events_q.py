@@ -361,10 +361,17 @@ def e7_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = asof_join(p, c, "user_id", "ts_us", ["click_us"]).select(
         "user_id", "event_id", "ts_us", F.col("asof_click_us").alias("click_us")
     )
-    # second hop anchors on the CLICK time
-    pc2 = pc.withColumn("_anchor", F.coalesce("click_us", F.lit(-1)))
+    # Second hop anchors on the CLICK time. Purchases with no prior
+    # click skip the join entirely and union back with a null view —
+    # matching the oracle's NULL-anchor semantics exactly (a "-1
+    # sentinel anchor" would wrongly attach any view with ts_us <= -1,
+    # i.e. pre-1970 data, where the SQL comparison against NULL
+    # matches nothing).
+    pc_clicked = pc.filter(F.col("click_us").isNotNull())
+    pc_noclick = pc.filter(F.col("click_us").isNull())
     vc = asof_join(
-        pc2.withColumnRenamed("ts_us", "p_us").withColumnRenamed("_anchor", "ts_us"),
+        pc_clicked.withColumnRenamed("ts_us", "p_us")
+        .withColumn("ts_us", F.col("click_us")),
         v,
         "user_id",
         "ts_us",
@@ -372,6 +379,11 @@ def e7_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id", "event_id", F.col("p_us").alias("ts_us"), "click_us",
         F.col("asof_view_us").alias("view_us"),
+    ).unionByName(
+        pc_noclick.select(
+            "user_id", "event_id", "ts_us", "click_us",
+            F.lit(None).cast("long").alias("view_us"),
+        )
     )
     clicked = F.col("click_us").isNotNull() & (
         F.col("ts_us") - F.col("click_us") <= 1800000000

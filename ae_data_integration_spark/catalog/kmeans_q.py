@@ -95,17 +95,50 @@ def c1_kmeans_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _check_mllib_wcss(sdf, spark, sf_dir: str) -> str:
+    """Semantic contract: MLlib's clustering quality must bracket the
+    oracled relational twin's near-converged WCSS at the same k.
+    k-means|| + full Lloyd convergence can't be much worse than the
+    md5-seeded 8-iteration unroll (both minimize WCSS on the same
+    data), and can't be dramatically better either — a violation on
+    either side means the MLlib path clustered something else
+    (wrong column, wrong k, degenerate fit)."""
+    from ae_data_integration_spark.operators.kmeans import kmeans_fit
+
+    if len(sdf) != _K:
+        return f"expected exactly k={_K} clusters, got {len(sdf)}"
+    mllib_wcss = float(sdf["wcss"].sum())
+    e = table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_fit(e, k=_K, n_iter=8, salt="km")
+    rel_wcss = assigned.agg(fpsum(_SQD_COL, Q30).alias("w")).first()["w"]
+    if not (0.3 * rel_wcss <= mllib_wcss <= 1.1 * rel_wcss):
+        return (
+            f"MLlib WCSS {mllib_wcss:.4f} outside [0.3x, 1.1x] of the "
+            f"relational twin's converged WCSS {rel_wcss:.4f}"
+        )
+    return ""
+
+
+_SQD_COL = "sqdist"
+
+
 @register("z_c1_kmeans_mllib", oracle=None,
-          doc="MLlib KMeans (k-means||) — production path; rows-only "
-              "(internal init is not SQL-replayable).",
+          doc="MLlib KMeans (k-means||) — production path; no SQL oracle "
+              "(internal init is not SQL-replayable) but semantically "
+              "contracted: exactly k clusters whose total WCSS brackets "
+              "the oracled relational twin's converged WCSS.",
           tags=("clustering",),
-          min_rows=5, columns=("cluster", "n"))
+          min_rows=5, columns=("cluster", "n", "wcss"),
+          check=_check_mllib_wcss)
 def c1_kmeans_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     return (
-        kmeans_mllib(e, k=_K, seed=42)
+        kmeans_mllib(e, k=_K, seed=42, with_sqdist=True)
         .groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            fpsum(_SQD_COL, Q30).alias("wcss"),
+        )
         .orderBy("cluster")
     )
 
@@ -290,7 +323,7 @@ def c2_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- C7 substitute: distributed PCA projection ------------------------------
 
-from ae_data_integration_spark.operators.cca import covariance_cells, pca_project
+from ae_data_integration_spark.operators.cca import covariance_cells
 
 # Oracle for the distributed O(N) half of PCA: the covariance cells.
 # The driver-side d×d eigh is golden-tested in pytest; this query puts
@@ -330,34 +363,146 @@ def c7_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covariance_cells(e, "vec_id", "embedding")
 
 
-@register("z_c7_pca_projection", oracle=None,
+# --- C7b: the projection itself, fully oracled ------------------------------
+# eigh is not SQL-replayable, but it doesn't have to be: both engines
+# derive the covariance through the SAME fixed-point aggregation
+# (bit-identical — c7_pca_covariance proves it under the value hash),
+# the d×d eigh runs driver-side on that identical matrix, and the
+# resulting eigenvectors are embedded as ROUNDED LITERALS in both the
+# Spark plan and the generated SQL. The projection arithmetic
+# (identical left-fold order over identical literals) is then
+# bit-exact cross-engine, which puts the whole covariance→eigh→
+# project pipeline under the value-hash gate. The oracle is a
+# callable (sf_dir -> SQL) because its text depends on the data.
+
+_C7_DECIMALS = 12
+_C7_NCOMP = 2
+
+
+def _c7_mu_sql(from_clause: str) -> str:
+    return f"""WITH pts AS (SELECT {_V} AS v FROM {from_clause}),
+long AS (SELECT generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x FROM pts)
+SELECT i, {fpsum_sql('x', Q30)} / CAST(COUNT(*) AS DOUBLE) AS mu
+FROM long GROUP BY i ORDER BY i"""
+
+
+def _c7b_oracle(sf_dir: str) -> str:
+    """Literal-projection SQL: DuckDB recomputes the fixed-point
+    covariance + means from the parquet, eigh + sign + rounding go
+    through the shared pca_literals, and the projection is emitted as
+    straight-line arithmetic (the exact left-fold order the Spark
+    plan uses)."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from ae_data_integration_spark.operators.cca import pca_literals
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    con = duckdb.connect()
+    src = f"read_parquet('{path}')"
+    cells = con.execute(
+        _C7C_SQL.replace("FROM embeddings", f"FROM {src}")
+    ).fetchall()
+    mu_rows = con.execute(_c7_mu_sql(src)).fetchall()
+    con.close()
+    d = max(c[0] for c in cells) + 1
+    cov = np.zeros((d, d))
+    for i, j, v in cells:
+        cov[int(i), int(j)] = v
+    mu = np.round(np.array([m for _, m in sorted(mu_rows)]), _C7_DECIMALS)
+    comps = pca_literals(cov, _C7_NCOMP, _C7_DECIMALS)
+    proj = ",\n       ".join(
+        "0.0"
+        + "".join(
+            f" + ((v[{i + 1}] - {float(mu[i])!r}) * {float(comps[i, j])!r})"
+            for i in range(d)
+        )
+        + f" AS pc{j + 1}"
+        for j in range(_C7_NCOMP)
+    )
+    return f"""WITH pts AS (SELECT vec_id AS id, {_V} AS v FROM embeddings)
+SELECT id,
+       {proj}
+FROM pts"""
+
+
+@register("c7b_pca_projection", oracle=_c7b_oracle,
           doc="2-d PCA projection (C7 substitute — the reference's t-SNE is "
-              "plot-only): distributed fixed-point covariance + driver d x d "
-              "eigh + literal-matrix projection; rows-only (eigh not "
-              "SQL-replayable), numpy golden in tests/test_operators.py.",
-          tags=("clustering", "projection"),
-          min_rows=100, columns=("id", "pc1", "pc2"))
-def c7_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+              "plot-only, mocss.py TSNE scatter): distributed fixed-point "
+              "covariance (the c7_pca_covariance pipeline), driver d x d "
+              "eigh, projection applied as a broadcast literal matrix; "
+              "FULLY oracled — the SQL twin recomputes the identical "
+              "covariance, runs the identical eigh+rounding, and replays "
+              "the projection arithmetic bit-exactly.",
+          tags=("clustering", "projection"))
+def c7b_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from functools import reduce
+
+    from ae_data_integration_spark.operators.cca import pca_literals
+
     e = table(spark, sf_dir, "embeddings")
-    return pca_project(e, "vec_id", "embedding", n_components=2).orderBy("id")
+    pts = e.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cells = covariance_cells(e, "vec_id", "embedding").collect()
+    long = pts.select(F.posexplode("v").alias("i", "x"))
+    mu_rows = (
+        long.groupBy("i")
+        .agg((fpsum("x", Q30) / F.count(F.lit(1)).cast("double")).alias("mu"))
+        .collect()
+    )
+    d = max(c["i"] for c in cells) + 1
+    cov = np.zeros((d, d))
+    for c in cells:
+        cov[int(c["i"]), int(c["j"])] = c["cov"]
+    mu = np.round(
+        np.array([m for _, m in sorted((r["i"], r["mu"]) for r in mu_rows)]),
+        _C7_DECIMALS,
+    )
+    comps = pca_literals(cov, _C7_NCOMP, _C7_DECIMALS)
+    proj = [
+        reduce(
+            lambda acc, i: acc
+            + (F.element_at("v", i + 1) - F.lit(float(mu[i])))
+            * F.lit(float(comps[i, j])),
+            range(d),
+            F.lit(0.0),
+        ).alias(f"pc{j + 1}")
+        for j in range(_C7_NCOMP)
+    ]
+    return pts.select("id", *proj)
 
 
-# --- C2 (oracled): DBSCAN as a fixed-pass integer fixpoint ------------------
-# The converged-loop dbscan() above stays the production operator
-# (z_c2_dbscan, numpy golden). This twin re-expresses the SAME
-# algorithm with the dedup catalog's FIXED 4-pass pointer-jumping
-# unroll for the component solve, which makes every step — ε-pair
-# join, degree count, core filter, min-label propagation, border
-# attach, noise — integer-or-threshold arithmetic that DuckDB replays
-# CTE-for-CTE under the value-hash gate. Ref mocss.py:410 (sklearn
-# DBSCAN(eps, min_samples) on the fused embedding).
+# --- C2 (oracled): converged DBSCAN vs a deep-unrolled SQL fixpoint ---------
+# z_c2_dbscan above is the scale path (may route eps-pairs through the
+# blocked numpy kernel, numpy golden). This twin runs the SAME
+# converged solver but pins portable=True so the ε predicate is the
+# fold-exact expression DuckDB evaluates; the oracle replays every
+# step — ε-pair join, degree count, core filter, min-label component
+# fixpoint (unrolled deep enough to converge on this data), border
+# attach, noise — CTE-for-CTE under the value-hash gate. Ref
+# mocss.py:410 (sklearn DBSCAN(eps, min_samples) on the fused
+# embedding).
 
 from ae_data_integration_spark.catalog.cc_sql import cc_unrolled_sql as _cc_unrolled_sql
-from ae_data_integration_spark.functions.arrays import to_double
-from ae_data_integration_spark.operators.dbscan import candidate_pairs
-from ae_data_integration_spark.operators.dedup import dup_labels
 
 _C2_EPS, _C2_MINPTS = 1.15, 4
+# Unroll depth for the ORACLE's component solve. The hop+jump pass
+# guarantees only +1 reach per pass on adversarial id layouts (the
+# jump shortcuts only when the current label-node itself knows a
+# smaller label — no doubling guarantee; see operators/dedup.py), and
+# the sf0.01 core graph is chain-like (68 edges / 69 nodes): measured
+# convergence is 14 passes. 16 = measured + margin; the [SF_CORRECT]
+# parity + pytest equality checks fail loudly if the data ever needs
+# more. (The round-5 depth of 4 silently split 5 true components
+# into 10, reporting 26 'DBSCAN' clusters instead of the true 21 —
+# self-consistently wrong on both engines.)
+_C2_CC_ITERS = 16
 
 _C2_VERIFIED = f"""WITH pts AS (
   SELECT CAST(vec_id AS BIGINT) AS id, {_V} AS vec FROM embeddings
@@ -375,11 +520,11 @@ verified AS (
   JOIN core cb ON p.ib = cb.id
 )"""
 
-_C2_TAIL = """,
+_C2_TAIL = f""",
 iso AS (
-  SELECT c.id, c.id AS lbl FROM core c WHERE c.id NOT IN (SELECT id FROM l4)
+  SELECT c.id, c.id AS lbl FROM core c WHERE c.id NOT IN (SELECT id FROM l{_C2_CC_ITERS})
 ),
-core_lbl AS MATERIALIZED (SELECT id, lbl FROM l4 UNION ALL SELECT id, lbl FROM iso),
+core_lbl AS MATERIALIZED (SELECT id, lbl FROM l{_C2_CC_ITERS} UNION ALL SELECT id, lbl FROM iso),
 border AS (
   SELECT n.ia AS id, MIN(l.lbl) AS lbl
   FROM nbr n JOIN core_lbl l ON n.ib = l.id
@@ -395,60 +540,29 @@ SELECT lbl AS cluster, COUNT(*) AS n
 FROM (SELECT * FROM lab UNION ALL SELECT * FROM noise)
 GROUP BY lbl ORDER BY cluster"""
 
-_C2F_SQL = _cc_unrolled_sql(_C2_VERIFIED, n_iters=4, tail=_C2_TAIL)
+_C2F_SQL = _cc_unrolled_sql(_C2_VERIFIED, n_iters=_C2_CC_ITERS, tail=_C2_TAIL)
 
 
 @register("c2_dbscan_fixpoint", oracle=_C2F_SQL,
-          doc="DBSCAN with the component solve unrolled to a fixed 4-pass "
-              "pointer-jumping fixpoint: eps-pair grid join, core filter "
-              "(|N(p)| >= min_pts, self included), min-label components over "
-              "the core-core graph, border attach to the min core-neighbor "
-              "label, noise = -1; cluster-size histogram, fully oracled "
-              "(unroll exactness vs the converged solver is golden-tested).",
+          doc="Fully-oracled DBSCAN: the Spark side runs the production "
+              "CONVERGED solver (hybrid union-find / min-label loop) over "
+              "fold-exact portable eps-pairs; the DuckDB oracle replays the "
+              "same semantics with the min-label fixpoint unrolled to "
+              f"{_C2_CC_ITERS} passes — a depth measured to converge on "
+              "this data (14 needed, sf0.01), so oracle == true DBSCAN. "
+              "Core filter |N(p)| >= min_pts (self included), border attach "
+              "to min core-neighbor label, noise = -1; cluster-size "
+              "histogram (ref mocss.py:410).",
           tags=("clustering",), min_rows=2)
 def c2_dbscan_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
-    pts = e.select(
-        F.col("vec_id").cast("long").alias("id"),
-        to_double("embedding").alias("vec"),
-    )
-    pairs = (
-        candidate_pairs(pts, _C2_EPS)
-        .filter(F.col("ia") != F.col("ib"))
-        .localCheckpoint()
-    )
-    nbr = pairs.unionByName(
-        pairs.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
-    )
-    deg = nbr.groupBy("ia").agg((F.count(F.lit(1)) + 1).alias("n"))
-    core = deg.filter(F.col("n") >= _C2_MINPTS).select("ia")
-    ce = (
-        pairs.join(core, "ia", "left_semi")
-        .join(core.select(F.col("ia").alias("ib")), "ib", "left_semi")
-        .select(F.col("ia").alias("doc_a"), F.col("ib").alias("doc_b"))
-    )
-    lbl_edges = dup_labels(ce, n_iters=4)
-    iso = (
-        core.join(lbl_edges.select(F.col("id").alias("ia")), "ia", "left_anti")
-        .select(F.col("ia").alias("id"), F.col("ia").alias("lbl"))
-    )
-    core_lbl = lbl_edges.unionByName(iso)
-    border = (
-        nbr.join(core, "ia", "left_anti")
-        .join(core_lbl.select(F.col("id").alias("ib"), "lbl"), "ib")
-        .groupBy("ia")
-        .agg(F.min("lbl").alias("lbl"))
-        .select(F.col("ia").alias("id"), "lbl")
-    )
-    lab = core_lbl.unionByName(border)
-    noise = (
-        pts.select("id")
-        .join(lab.select("id"), "id", "left_anti")
-        .select("id", F.lit(-1).cast("long").alias("lbl"))
+    lab = dbscan(
+        e.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding"),
+        "vec_id", "embedding",
+        eps=_C2_EPS, min_pts=_C2_MINPTS, portable=True,
     )
     return (
-        lab.unionByName(noise)
-        .groupBy(F.col("lbl").alias("cluster"))
+        lab.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("cluster")
     )

@@ -107,11 +107,55 @@ def c4_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- C4b: Munkres-matched accuracy (driver-side Hungarian; no SQL oracle) ---
 
 
+def _check_munkres_vs_bruteforce(sdf, spark, sf_dir: str) -> str:
+    """Semantic contract: the scipy-Hungarian accuracy must equal an
+    INDEPENDENT brute-force assignment optimum — contingency rebuilt
+    by a DuckDB md5 replay of the pred column (no Spark involved),
+    optimum by enumerating every injective label->pred map. Exact
+    float equality: both sides compute matched/n from the same
+    integers."""
+    import itertools
+    import os
+
+    import duckdb
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    con = duckdb.connect()
+    rows = con.execute(f"""
+        WITH p AS (
+          SELECT label,
+                 CASE WHEN CAST(('0x' || substr(md5('noise' || CAST(vec_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                           / 281474976710656.0 < 0.3
+                      THEN CAST(CAST(('0x' || substr(md5('alt' || CAST(vec_id AS VARCHAR)), 1, 12)) AS BIGINT) % 10 AS INT)
+                      ELSE label END AS pred
+          FROM read_parquet('{path}')
+        )
+        SELECT label, pred, COUNT(*) AS n FROM p GROUP BY 1, 2
+    """).fetchall()
+    con.close()
+    ct = {(lab, pr): n for lab, pr, n in rows}
+    labels = sorted({lab for lab, _, _ in rows})
+    preds = sorted({pr for _, pr, _ in rows})
+    n_total = sum(ct.values())
+    best = max(
+        sum(ct.get((lab, pr), 0) for lab, pr in zip(labels, perm))
+        for perm in itertools.permutations(preds, len(labels))
+    )
+    want = best / n_total
+    got = float(sdf["munkres_accuracy"].iloc[0])
+    if got != want:
+        return f"scipy Hungarian accuracy {got!r} != brute-force optimum {want!r}"
+    return ""
+
+
 @register("z_c4_munkres_accuracy", oracle=None,
           doc="Hungarian-matched clustering accuracy (ref evaluation.py:34-53); "
-              "k×k assignment on the driver → rows-only check.",
+              "k×k assignment on the driver; no SQL oracle but semantically "
+              "contracted: must equal a brute-force assignment optimum over "
+              "a DuckDB md5-replayed contingency.",
           tags=("metrics",),
-          min_rows=1, columns=("munkres_accuracy",))
+          min_rows=1, columns=("munkres_accuracy",),
+          check=_check_munkres_vs_bruteforce)
 def c4_munkres_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return munkres_accuracy(_pred_df(spark, sf_dir), "label", "pred")
 

@@ -37,9 +37,9 @@ ex AS (
   ORDER BY exact_n DESC, user_id LIMIT 10
 ),
 est AS (
-  SELECT e.user_id, e.exact_n, MIN(c.cnt) AS cms_n
+  SELECT e.user_id, e.exact_n, MIN(COALESCE(c.cnt, 0)) AS cms_n
   FROM ex e CROSS JOIN rs r
-  JOIN cells c ON c.r = r.r AND c.b = {_B.format(key="e.user_id", w=_W)}
+  LEFT JOIN cells c ON c.r = r.r AND c.b = {_B.format(key="e.user_id", w=_W)}
   GROUP BY e.user_id, e.exact_n
 )
 SELECT user_id, exact_n, cms_n FROM est ORDER BY exact_n DESC, user_id

@@ -66,7 +66,11 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-frequency estimates for ``probes[key]``: min over the d
     cells each probe hashes to. The sketch is d*w rows — broadcast it;
-    probes never shuffle."""
+    probes never shuffle.
+
+    Cells the sketch never populated count as 0 (left join +
+    coalesce), so a probe key outside the build set gets the correct
+    CMS point-query answer of 0 instead of being dropped."""
     cell = F.explode(
         F.array(
             *[
@@ -82,9 +86,9 @@ def cms_estimate(
         *probes.columns, F.col("cell.r").alias("r"), F.col("cell.b").alias("b")
     )
     return (
-        probe_cells.join(F.broadcast(sketch), ["r", "b"])
+        probe_cells.join(F.broadcast(sketch), ["r", "b"], "left")
         .groupBy(*probes.columns)
-        .agg(F.min("cnt").alias("cms_n"))
+        .agg(F.min(F.coalesce("cnt", F.lit(0).cast("long"))).alias("cms_n"))
     )
 
 

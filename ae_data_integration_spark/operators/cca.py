@@ -138,6 +138,29 @@ def covariance_cells(
     )
 
 
+def pca_literals(
+    cov: np.ndarray, n_components: int, decimals: int = 12
+) -> np.ndarray:
+    """Top-k eigenvectors of ``cov`` as a d×k literal matrix, with the
+    deterministic sign convention (largest-|coeff| entry positive) and
+    rounded to ``decimals`` decimals.
+
+    Shared by the Spark plan builder AND the SQL-oracle generator for
+    the oracled projection query: both sides derive their covariance
+    through the SAME fixed-point aggregation (bit-identical across
+    engines, proven by the c7_pca_covariance value hash), call eigh on
+    the identical matrix in the same process, and round through this
+    one function — so the embedded literals are equal and the
+    projection arithmetic (identical left-fold order) is bit-exact.
+    The rounding absorbs any low-bit eigh jitter between calls."""
+    _, v = np.linalg.eigh(cov)
+    comps = v[:, ::-1][:, :n_components].copy()
+    for j in range(comps.shape[1]):
+        if comps[np.abs(comps[:, j]).argmax(), j] < 0:
+            comps[:, j] = -comps[:, j]
+    return np.round(comps, decimals)
+
+
 def pca_project(
     df: DataFrame,
     key_col: str = "vec_id",

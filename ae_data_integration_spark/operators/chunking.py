@@ -41,6 +41,13 @@ def chunk_tokens(
     arithmetic; every document yields at least one chunk. chunk_hash
     is md5 of the space-rejoined token slice (stable fingerprint of
     the chunk content — the content itself stays an array)."""
+    if chunk <= 0:
+        raise ValueError(f"chunk must be positive, got {chunk}")
+    if overlap < 0 or overlap >= chunk:
+        raise ValueError(
+            f"overlap must satisfy 0 <= overlap < chunk, got "
+            f"overlap={overlap}, chunk={chunk} (stride would be <= 0)"
+        )
     stride = chunk - overlap
     tok = df.select(F.col(id_col), tokens(text_col).alias("t"))
     n = F.size("t")

@@ -84,13 +84,26 @@ def _grid_preflight(
     returns (top-variance dims, estimated fraction of all pairs the
     grid join would still examine). The choice only steers the
     physical strategy — every path applies the exact ε predicate —
-    so a sampling error can cost time, never correctness."""
+    so a sampling error can cost time, never correctness.
+
+    The sample is an md5-ranked top-k (TakeOrdered: per-partition
+    heap + driver merge, no full sort) — uniform over the whole
+    input, unlike a limit() partition-prefix, which on spatially
+    sorted data would bias the cell-occupancy estimate toward one
+    region and misroute the join strategy."""
     import itertools
     from collections import Counter
 
     import numpy as np
 
-    rows = pts.select("vec").limit(sample_n).collect()
+    from ae_data_integration_spark.functions.hashing import md5_rank
+
+    rows = (
+        pts.select("vec", md5_rank("id", salt="dbscan-preflight:").alias("_rk"))
+        .orderBy("_rk")
+        .limit(sample_n)
+        .collect()
+    )
     x = np.asarray([r["vec"] for r in rows], dtype=np.float64)
     if x.ndim != 2 or not len(x):
         return list(range(p)), 1.0
@@ -169,9 +182,18 @@ def candidate_pairs(
     eps: float,
     exact: bool = False,
     grid_dims: int = 2,
+    portable: bool = True,
 ) -> DataFrame:
     """Ordered (ia, ib) candidate pairs with ia ≤ ib, superset-filtered
-    down to true ε-pairs. ``pts`` must have (id, vec) columns."""
+    down to true ε-pairs. ``pts`` must have (id, vec) columns.
+
+    ``portable=True`` (default) forbids the blocked-numpy fallback:
+    numpy's pairwise axis-sum can classify a pair within an ulp of ε
+    differently from the sequential left fold a SQL oracle evaluates,
+    so oracled catalog queries must stay on the grid/theta paths whose
+    ε predicate is the fold-exact expression. Set ``portable=False``
+    to allow the vectorized kernel when the grid degenerates
+    (isotropic high-dim data) and no cross-engine replay is needed."""
     a = pts.select(F.col("id").alias("ia"), F.col("vec").alias("va"))
     b = pts.select(F.col("id").alias("ib"), F.col("vec").alias("vb"))
     head = pts.select("vec").first()
@@ -190,9 +212,10 @@ def candidate_pairs(
         if cand_frac >= 0.5:
             use_grid = False
     if not use_grid:
-        if exact or head is None or head[0] is None:
-            # Literal theta join: the fixture-scale cross-check path
-            # (and the empty-input no-op).
+        if exact or portable or head is None or head[0] is None:
+            # Literal theta join: the fixture-scale cross-check path,
+            # the empty-input no-op, and the portable fallback when
+            # the grid degenerates (keeps the fold-exact ε predicate).
             cand = a.join(b, F.col("ia") <= F.col("ib"))
         else:
             # Grid degenerate but data non-trivial: blocked numpy
@@ -250,6 +273,7 @@ def dbscan(
     exact: bool = False,
     grid_dims: int = 2,
     driver_cc_max_edges: int = 500_000,
+    portable: bool = False,
 ) -> DataFrame:
     """Returns (id, cluster) with cluster = min core-point id of the
     component, or -1 for noise.
@@ -263,7 +287,9 @@ def dbscan(
     edges), and fall back to the distributed min-label loop above
     that threshold."""
     pts = df.select(F.col(key_col).alias("id"), to_double(vec_col).alias("vec"))
-    pairs = candidate_pairs(pts, eps, exact=exact, grid_dims=grid_dims)
+    pairs = candidate_pairs(
+        pts, eps, exact=exact, grid_dims=grid_dims, portable=portable
+    )
     # Symmetrize in ONE pass over the pair kernel's output (explode of
     # both orientations; array_distinct collapses self-pairs) — a
     # union of pairs with swapped(pairs) would evaluate the ε-join
@@ -299,14 +325,17 @@ def dbscan(
         labels = _driver_union_find(core, core_edges)
         return _attach_borders(pts, sym, core, labels)
 
-    # Min-label propagation over core-core edges, accelerated with
-    # POINTER JUMPING: each pass takes (a) the min label among
-    # neighbors' labels (one hop) and (b) the label OF the node named
-    # by the current label (lbl ← labels[lbl], which halves pointer
-    # chains) — together ~O(log diameter) passes instead of
-    # O(diameter), the standard doubling trick for distributed
-    # connected components. Each pass persists its result and
-    # unpersists the previous one, so O(1) generations stay cached.
+    # Min-label propagation over core-core edges, accelerated with a
+    # label JUMP: each pass takes (a) the min label among neighbors'
+    # labels (one hop) and (b) the label OF the node named by the
+    # current label (lbl ← labels[lbl]). The jump often shortcuts
+    # long chains but guarantees nothing beyond the +1 hop on
+    # adversarial id layouts (a chain whose min id sits mid-path gets
+    # no doubling), so convergence is bounded by the max
+    # distance-to-component-min — the loop runs to a fixpoint
+    # (changed == 0), which is what makes it exact regardless. Each
+    # pass persists its result and unpersists the previous one, so
+    # O(1) generations stay cached.
     labels = core.select("id", F.col("id").alias("lbl")).persist()
     changed = 0
     for it in range(max_iter):

@@ -234,11 +234,17 @@ def dup_clusters(
     makes the operator deterministic and SQL-replayable (every step is
     integer mins/joins — bit-exact on any engine); each pass takes the
     min label over neighbors (hop) then the label of the node named by
-    the current label (jump), so label reach roughly doubles per pass:
-    exact for components whose min-label radius ≤ ~2^n_iters. Near-dup
-    graphs are unions of bucket cliques with tiny diameters, so 4
-    passes cover them with big margin (the exactness is golden-tested
-    against a union-find in tests). Cost: n_iters key-shuffles of the
+    the current label (jump). GUARANTEED reach is only +1 per pass
+    (the jump shortcuts only when the current label-node itself
+    already knows a smaller label — on adversarial id layouts, e.g. a
+    chain whose min id sits mid-path, there is NO doubling), so size
+    n_iters to the worst-case distance-to-component-min of the graphs
+    at hand, not to log2(diameter). Near-dup graphs are unions of
+    bucket cliques with tiny diameters, so 4 passes cover them with
+    big margin (the exactness is golden-tested against a union-find
+    in tests, and the DBSCAN catalog twin — whose chain-like core
+    graphs needed 14 passes at sf0.01 — unrolls 16).
+    Cost: n_iters key-shuffles of the
     (nodes ∪ edges)-sized relations — same shape as the DBSCAN
     component solver (operators/dbscan.py), minus the convergence
     loop, so the whole thing stays one static Catalyst plan.

@@ -132,19 +132,36 @@ def kmeans_relational(
 
 def kmeans_mllib(
     df: DataFrame, key_col: str = "vec_id", vec_col: str = "embedding",
-    k: int = 5, seed: int = 42,
+    k: int = 5, seed: int = 42, with_sqdist: bool = False,
 ) -> DataFrame:
-    """MLlib KMeans (k-means|| init) — the production-scale path."""
+    """MLlib KMeans (k-means|| init) — the production-scale path.
+
+    ``with_sqdist=True`` adds the squared distance to the assigned
+    centroid (the WCSS contribution), computed against the fitted
+    model's centroids as a broadcast k×d literal table — this is what
+    lets the no-oracle MLlib path be semantically checked against the
+    oracled relational twin's converged WCSS."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    arr = to_double(vec_col)
     feats = df.select(
         F.col(key_col).alias("id"),
-        array_to_vector(to_double(vec_col)).alias("features"),
+        array_to_vector(arr).alias("features"),
+        arr.alias("vec"),
     )
     model = KMeans(k=k, seed=seed, featuresCol="features").fit(feats)
-    return model.transform(feats).select(
-        "id", F.col("prediction").alias("cluster")
+    out = model.transform(feats).select(
+        "id", "vec", F.col("prediction").cast("long").alias("cluster")
+    )
+    if not with_sqdist:
+        return out.select("id", "cluster")
+    cents = df.sparkSession.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster long, centroid array<double>",
+    )
+    return out.join(F.broadcast(cents), "cluster").select(
+        "id", "cluster", _sq_dist("vec", "centroid").alias(_SQDIST)
     )
 
 

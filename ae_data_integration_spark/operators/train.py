@@ -343,7 +343,13 @@ def random_search(
             }
             return run_trial(trial.number, hyper)
 
-        study = optuna.create_study(direction="minimize")
+        # Seeded TPE sampler: the study must be as reproducible as the
+        # md5 fallback (the reference seeds its optuna runs the same
+        # way, CNC_AE_model_selection.py setup_seed(21)).
+        study = optuna.create_study(
+            direction="minimize",
+            sampler=optuna.samplers.TPESampler(seed=21),
+        )
         study.optimize(objective, n_trials=n_trials)
         return [(t.number, t.params, t.value) for t in study.trials]
 

@@ -17,7 +17,7 @@ from dataclasses import dataclass
 import duckdb
 import pandas as pd
 
-from ae_data_integration_spark.catalog import Query, load_all, resolve
+from ae_data_integration_spark.catalog import Query, load_all, oracle_for, resolve
 from ae_data_integration_spark.tables import TABLES
 
 
@@ -97,14 +97,26 @@ def check_query(spark, con, q: Query, sf_dir: str) -> ParityResult:
                 f"rows-only: columns {sorted(sdf.columns)} != declared {sorted(q.columns)}",
                 len(sdf), -1,
             )
+        if q.check is not None:
+            try:
+                msg = q.check(sdf, spark, sf_dir)
+            except Exception as e:  # noqa: BLE001
+                msg = f"check hook raised: {e}"
+            if msg:
+                return ParityResult(
+                    q.name, False, f"semantic check failed: {msg}", len(sdf), -1
+                )
+        kind = (
+            "rows+semantic contract" if q.check is not None else "rows-only"
+        )
         return ParityResult(
             q.name, True,
-            f"rows-only (no oracle; >= {q.min_rows} rows, schema pinned)"
-            if q.columns else f"rows-only (no oracle; >= {q.min_rows} rows)",
+            f"{kind} (no oracle; >= {q.min_rows} rows, schema pinned)"
+            if q.columns else f"{kind} (no oracle; >= {q.min_rows} rows)",
             len(sdf), -1,
         )
     try:
-        odf = con.execute(q.oracle).fetchdf()
+        odf = con.execute(oracle_for(q, sf_dir)).fetchdf()
     except Exception as e:  # noqa: BLE001
         return ParityResult(q.name, False, f"oracle error: {e}", len(sdf))
     rel_tol = 1e-9 if "approx" in q.tags else 0.0

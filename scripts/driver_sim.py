@@ -16,7 +16,7 @@ sys.path.insert(0, ".")
 
 from pyspark.sql import SparkSession
 
-from ae_data_integration_spark.catalog import load_all
+from ae_data_integration_spark.catalog import load_all, oracle_for
 from ae_data_integration_spark.oracle import check_query, duck_connection
 
 
@@ -41,7 +41,7 @@ def main() -> int:
         n_ok += r.ok
         if q.oracle is not None and r.ok:
             sdf = q.fn(spark, sf_dir).limit(0).toPandas()
-            odf = con.execute(q.oracle).fetchdf().head(0)
+            odf = con.execute(oracle_for(q, sf_dir)).fetchdf().head(0)
             for c in sdf.columns:
                 st, ot = str(sdf[c].dtype), str(odf[c].dtype)
                 if st != ot:

@@ -139,26 +139,51 @@ def test_grid_candidates_prune_far_pairs(spark, blob_df):
     assert same_cell < n * n / 4
 
 
-def test_fixpoint_query_matches_converged_solver(spark):
-    """c2_dbscan_fixpoint (fixed 4-pass unroll, the oracled twin) must
-    produce the same cluster-size histogram as the converged-loop
-    dbscan() at the same (eps, min_pts) — i.e. 4 pointer-jumping
-    passes fully converge on the fixture's ε-graphs."""
+@pytest.mark.parametrize("sf_name", ["SF_SMOKE", "SF_CORRECT"])
+def test_c2_catalog_query_is_true_dbscan(spark, sf_name):
+    """c2_dbscan_fixpoint (the oracled twin, converged solver over
+    portable fold-exact ε-pairs) must produce the same cluster-size
+    histogram as the exact=True theta-join dbscan() at the same
+    (eps, min_pts) — i.e. the catalog query's routing and solver
+    really compute DBSCAN, at the driver's correctness SF and not
+    just the smoke fixture. Regression guard: in round 5 a fixed
+    4-pass component unroll silently split chain-like sf0.01 core
+    components and reported 26 'DBSCAN' clusters instead of the true
+    21 (self-consistently on both engines)."""
+    import tests.conftest as cf
     from ae_data_integration_spark.catalog import load_all
     from ae_data_integration_spark.tables import table
-    from tests.conftest import SF_SMOKE
 
+    sf = getattr(cf, sf_name)
     reg = load_all()
     fixp = {
         (r["cluster"], r["n"])
-        for r in reg["c2_dbscan_fixpoint"].fn(spark, SF_SMOKE).collect()
+        for r in reg["c2_dbscan_fixpoint"].fn(spark, sf).collect()
     }
-    e = table(spark, SF_SMOKE, "embeddings")
+    e = table(spark, sf, "embeddings")
     conv = {
         (r["cluster"], r["n"])
-        for r in dbscan(e, "vec_id", "embedding", eps=1.15, min_pts=4)
+        for r in dbscan(e, "vec_id", "embedding", eps=1.15, min_pts=4, exact=True)
         .groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
     assert fixp == conv
+
+
+def test_fixed_unroll_truncates_on_long_chain(spark):
+    """Documents the failure mode behind the round-5 truncation bug:
+    a fixed-pass min-label unroll splits long-chain components when
+    the pass count is too small for the distance-to-component-min
+    (reach is at best 2^n even with the label jump, and only ~n on
+    adversarial id layouts). A 31-edge chain provably splits at 4
+    passes and must converge at the catalog's 16."""
+    from ae_data_integration_spark.operators.dedup import dup_labels
+
+    # path ordered 31-30-...-1-0 by construction: distance-to-min up
+    # to 31 from the far end
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(31)], "doc_a long, doc_b long"
+    )
+    assert dup_labels(chain, n_iters=4).select("lbl").distinct().count() > 1
+    assert dup_labels(chain, n_iters=16).select("lbl").distinct().count() == 1

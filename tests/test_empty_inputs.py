@@ -42,6 +42,22 @@ def test_chunking_on_empty(spark):
     assert pack_chunks(ch).count() == 0
 
 
+def test_chunking_rejects_degenerate_stride(spark):
+    import pytest
+
+    from ae_data_integration_spark.operators.chunking import chunk_tokens
+
+    docs = _empty(spark, "doc_id long, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_tokens(docs, chunk=32, overlap=32)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_tokens(docs, chunk=32, overlap=40)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_tokens(docs, chunk=32, overlap=-1)
+    with pytest.raises(ValueError, match="chunk"):
+        chunk_tokens(docs, chunk=0, overlap=0)
+
+
 def test_cms_on_empty(spark):
     from ae_data_integration_spark.functions.sketch import cms_build, cms_estimate
 
@@ -49,8 +65,24 @@ def test_cms_on_empty(spark):
     sk = cms_build(ev, "user_id")
     assert sk.count() == 0
     probes = spark.createDataFrame([(1,)], "user_id long")
-    # empty sketch: no cells to join -> no estimates (not a crash)
-    assert cms_estimate(sk, probes, "user_id").count() == 0
+    # empty sketch: every probe cell is absent -> the correct CMS
+    # point-query answer is 0 (a key the sketch never saw), not a
+    # silently dropped row
+    rows = cms_estimate(sk, probes, "user_id").collect()
+    assert len(rows) == 1 and rows[0]["cms_n"] == 0
+
+
+def test_cms_probe_outside_build_set(spark):
+    from ae_data_integration_spark.functions.sketch import cms_build, cms_estimate
+
+    ev = spark.createDataFrame([(1,), (1,), (2,)], "user_id long")
+    sk = cms_build(ev, "user_id")
+    # a probe key never seen at build time: CMS answers with its
+    # one-sided overestimate (>= 0), never drops the probe
+    probes = spark.createDataFrame([(1,), (999,)], "user_id long")
+    est = {r["user_id"]: r["cms_n"] for r in cms_estimate(sk, probes, "user_id").collect()}
+    assert set(est) == {1, 999}
+    assert est[1] >= 2 and est[999] >= 0
 
 
 def test_asof_join_on_empty_right(spark):
