@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""Generate a 10x-scaled copy of the sf0.1 testdata ("sf1") for the
+bench's scale-growth leg, under .benchdata/sf1 (gitignored).
+
+Replication preserves the star schema's referential integrity: every
+fact table is replicated 10x with each key domain shifted by
+i * (max_key + 1), so joins fan out exactly as they would on 10x real
+data (no accidental key collisions, no broken FKs). Dimension tables
+(region, nation) stay as-is — at any scale they remain broadcast-side.
+
+Two deliberate perturbations keep SIMILARITY semantics comparable
+across scales (without them, every replica would be a byte-identical
+near-duplicate of the original, and LSH bucket joins would grow
+quadratically in the replication factor — a data artifact, not an
+engine property):
+- documents.text gets a per-replica suffix token, so cross-replica
+  texts are NOT near-duplicates;
+- embeddings get a large per-replica offset on the first coordinate,
+  so cross-replica vectors are far apart in L2.
+
+Deterministic (pure arithmetic over the seeded source data).
+Usage: python scripts/make_scale_data.py [src_sf_dir] [out_dir] [factor]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_SRC = "/root/testdata/sf0.1"
+DEFAULT_OUT = os.path.join(REPO, ".benchdata", "sf1")
+
+
+def generate(src: str = DEFAULT_SRC, out: str = DEFAULT_OUT, factor: int = 10) -> str:
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+
+    def rp(t: str) -> str:
+        return f"read_parquet('{os.path.join(src, t)}.parquet')"
+
+    def copy(t: str, select_sql: str) -> None:
+        con.execute(
+            f"COPY ({select_sql}) TO '{os.path.join(out, t)}.parquet' (FORMAT PARQUET)"
+        )
+
+    def key_span(t: str, col: str) -> int:
+        return con.execute(f"SELECT MAX({col}) + 1 FROM {rp(t)}").fetchone()[0]
+
+    c_span = key_span("customer", "c_custkey")
+    s_span = key_span("supplier", "s_suppkey")
+    p_span = key_span("part", "p_partkey")
+    o_span = key_span("orders", "o_orderkey")
+    e_span = key_span("events", "event_id")
+    u_span = key_span("events", "user_id")
+    d_span = key_span("documents", "doc_id")
+    v_span = key_span("embeddings", "vec_id")
+    reps = f"(SELECT unnest(range({factor})) AS i)"
+
+    # dimensions: pass through unchanged
+    for t in ("region", "nation"):
+        copy(t, f"SELECT * FROM {rp(t)}")
+
+    copy("customer", f"""
+        SELECT c_custkey + i * {c_span} AS c_custkey, c_name, c_nationkey,
+               c_acctbal, c_mktsegment
+        FROM {rp('customer')}, {reps}""")
+    copy("supplier", f"""
+        SELECT s_suppkey + i * {s_span} AS s_suppkey, s_name, s_nationkey, s_acctbal
+        FROM {rp('supplier')}, {reps}""")
+    copy("part", f"""
+        SELECT p_partkey + i * {p_span} AS p_partkey, p_name, p_brand, p_type,
+               p_size, p_retailprice
+        FROM {rp('part')}, {reps}""")
+    copy("orders", f"""
+        SELECT o_orderkey + i * {o_span} AS o_orderkey,
+               o_custkey + i * {c_span} AS o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM {rp('orders')}, {reps}""")
+    copy("lineitem", f"""
+        SELECT l_orderkey + i * {o_span} AS l_orderkey,
+               l_partkey + i * {p_span} AS l_partkey,
+               l_suppkey + i * {s_span} AS l_suppkey,
+               l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+               l_returnflag, l_linestatus, l_shipdate
+        FROM {rp('lineitem')}, {reps}""")
+    copy("events", f"""
+        SELECT event_id + i * {e_span} AS event_id, ts,
+               user_id + i * {u_span} AS user_id,
+               event_type, value, props
+        FROM {rp('events')}, {reps}""")
+    copy("documents", f"""
+        SELECT doc_id + i * {d_span} AS doc_id,
+               CASE WHEN i = 0 THEN text
+                    ELSE text || ' zrep' || CAST(i AS VARCHAR) END AS text,
+               lang, source, n_chars
+        FROM {rp('documents')}, {reps}""")
+    copy("embeddings", f"""
+        SELECT vec_id + i * {v_span} AS vec_id,
+               CASE WHEN i = 0 THEN embedding
+                    ELSE list_prepend(embedding[1] + CAST(i * 50 AS FLOAT),
+                                      embedding[2:]) END AS embedding,
+               label
+        FROM {rp('embeddings')}, {reps}""")
+    con.close()
+    return out
+
+
+if __name__ == "__main__":
+    src = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_SRC
+    out = sys.argv[2] if len(sys.argv) > 2 else DEFAULT_OUT
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    print(generate(src, out, factor))

@@ -1,0 +1,65 @@
+"""Partition-independence as a TESTED invariant (not just a design
+discipline): every oracled query must produce value-identical results
+when its parquet inputs arrive under a completely different
+partitioning.
+
+Mechanism: patch DataFrameReader.parquet to append .repartition(7) —
+a round-robin redistribution that changes partition count, row
+placement, AND intra-partition order for every scan — then re-run the
+query and require exact frame equality (the same bit-level compare
+the DuckDB parity gate uses). This would catch any order-dependent
+double sum, any first()/limit() that silently depends on partition
+layout, and any non-deterministic tie-break that slipped past the
+md5/fixed-point discipline.
+
+The query list spans every catalog family (relational agg, window,
+as-of, sketch, dedup, text chunking, clustering, scaling, projection,
+splits) rather than sampling randomly — deterministic CI beats
+roulette."""
+
+from __future__ import annotations
+
+import pytest
+
+from ae_data_integration_spark.catalog import load_all, resolve
+from ae_data_integration_spark.oracle import compare_frames
+from tests.conftest import SF_SMOKE
+
+QUERIES = [
+    "q1_pricing_summary",        # relational aggregate
+    "e1_hourly_rollup",          # time-window rollup
+    "e4_asof_prior_click",       # as-of join (union + last ignorenulls)
+    "e7_funnel",                 # chained as-of + conditional aggs
+    "sk1_cms_heavy_hitters",     # count-min sketch cells + estimates
+    "sk2_kmv_distinct",          # KMV order statistics per group
+    "d2_minhash_lsh",            # shingle → minhash → band join
+    "d5_ngram_jaccard",          # n-gram set similarity
+    "t7_chunking",               # sliding-window token chunking
+    "c5_silhouette_exact",       # normalized cluster-sum silhouette
+    "c1_kmeans_relational",      # iterative Lloyd's with md5 init
+    "c7b_pca_projection",        # covariance → eigh → literal project
+    "r1_stratified_split",       # md5-ranked per-class split
+    "n1_minmax_scale",           # per-feature min-max fold-back
+]
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_result_invariant_under_repartition(spark, monkeypatch, name):
+    registry = load_all()
+    q = registry[resolve(name)]
+    base = q.fn(spark, SF_SMOKE).toPandas()
+    assert len(base) > 0, f"{name}: empty baseline defeats the test"
+
+    import pyspark.sql.readwriter as rw
+
+    orig = rw.DataFrameReader.parquet
+
+    def parquet_repartitioned(self, *paths):
+        return orig(self, *paths).repartition(7)
+
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", parquet_repartitioned)
+    shuffled = q.fn(spark, SF_SMOKE).toPandas()
+    monkeypatch.undo()
+
+    diff = compare_frames(base, shuffled, rel_tol=0.0)
+    assert diff == "", f"{name} not partition-independent: {diff}"

@@ -127,22 +127,10 @@ def test_pipeline_deterministic(spark, omics_pair):
     assert r1.nb_accuracy == r2.nb_accuracy
 
 
-def test_sweep_simulation_grid_slice(spark, tmp_path):
-    """O7 at grid shape: a 2x2 simulation_grid slice (4 datasets on the
-    reference's RNA_seq/miRNA_seq path scheme) sweeps end-to-end into
-    the AE_results.ipynb summary table (cells 6-20): one row per
-    dataset, the full RESULT_SCHEMA column set, and bit-identical
-    rows across reruns."""
-    from ae_data_integration_spark.pipelines.sweep import (
-        RESULT_SCHEMA,
-        simulation_grid,
-        sweep_datasets,
-    )
-
-    root = tmp_path / "sim_data"
-    root.mkdir()
+def _write_simulation_grid(root, groups, prop_diffs):
+    """Simulation_Data-shaped fixture files for a (groups x prop_diffs)
+    grid on the reference's RNA_seq/miRNA_seq path scheme."""
     rng = np.random.default_rng(7)
-    groups, prop_diffs = (2, 3), (0.2, 0.4)
     for g in groups:
         for p in prop_diffs:
             samples = [
@@ -165,6 +153,24 @@ def test_sweep_simulation_grid_slice(spark, tmp_path):
                     sep="\t",
                     index_label="feature",
                 )
+
+
+def test_sweep_simulation_grid_slice(spark, tmp_path):
+    """O7 at grid shape: a 2x2 simulation_grid slice (4 datasets on the
+    reference's RNA_seq/miRNA_seq path scheme) sweeps end-to-end into
+    the AE_results.ipynb summary table (cells 6-20): one row per
+    dataset, the full RESULT_SCHEMA column set, and bit-identical
+    rows across reruns."""
+    from ae_data_integration_spark.pipelines.sweep import (
+        RESULT_SCHEMA,
+        simulation_grid,
+        sweep_datasets,
+    )
+
+    root = tmp_path / "sim_data"
+    root.mkdir()
+    groups, prop_diffs = (2, 3), (0.2, 0.4)
+    _write_simulation_grid(root, groups, prop_diffs)
 
     grid = simulation_grid(str(root), groups=groups, prop_diffs=prop_diffs)
     assert len(grid) == 4
@@ -190,3 +196,50 @@ def test_sweep_simulation_grid_slice(spark, tmp_path):
     assert rows1 == rows2
     serial = sweep_datasets(spark, grid[:1], n_trials=1, n_folds=2).collect()
     assert serial[0].asDict() == rows1[serial[0]["dataset"]]
+
+
+def test_sweep_full_20_dataset_grid(spark, tmp_path):
+    """O7 at the reference's FULL scale: the complete 4x5 simulation
+    grid (groups x {2,3,4,5}, prop_diff x {0.2..1} — the reference's
+    CNC_AE_model_selection.py:557-582 loop) sweeps end-to-end through
+    model selection, retraining, embedding, NB CV, and clustering
+    metrics, producing the 20-row AE_results.ipynb summary (cells
+    6-20). Rows are deterministic: a concurrent rerun of a grid
+    subset reproduces its rows bit-identically (md5-derived seeds,
+    never thread timing)."""
+    from ae_data_integration_spark.pipelines.sweep import (
+        simulation_grid,
+        sweep_datasets,
+    )
+
+    root = tmp_path / "sim_data_full"
+    root.mkdir()
+    groups, prop_diffs = (2, 3, 4, 5), (0.2, 0.4, 0.6, 0.8, 1)
+    _write_simulation_grid(root, groups, prop_diffs)
+    grid = simulation_grid(str(root), groups=groups, prop_diffs=prop_diffs)
+    assert len(grid) == 20
+
+    out = sweep_datasets(
+        spark, grid, n_trials=1, n_folds=2, max_concurrency=4
+    ).collect()
+    rows = {r["dataset"]: r.asDict() for r in out}
+    assert set(rows) == {
+        f"{g}_groups_{p}_diff" for g in groups for p in prop_diffs
+    }
+    for name, r in rows.items():
+        g = int(name.split("_")[0])
+        assert r["n_train"] + r["n_test"] == g * 6
+        assert np.isfinite(r["cv_loss"]) and r["cv_loss"] > 0
+        assert np.isfinite(r["recon_mean"]) and r["recon_mean"] > 0
+        assert 0.0 <= r["nmi"] <= 1.0 and 0.0 <= r["munkres_accuracy"] <= 1.0
+    # group separation grows with prop_diff: the strongest-separated
+    # dataset should cluster at least as well as the weakest
+    assert rows["2_groups_1_diff"]["nmi"] >= rows["2_groups_0.2_diff"]["nmi"] - 0.25
+    # determinism across reruns + thread interleavings: re-sweep a
+    # 3-dataset subset concurrently and require bit-identical rows
+    subset = [d for d in grid if d[0] in
+              ("2_groups_0.2_diff", "4_groups_0.6_diff", "5_groups_1_diff")]
+    rerun = {r["dataset"]: r.asDict() for r in
+             sweep_datasets(spark, subset, n_trials=1, n_folds=2,
+                            max_concurrency=3).collect()}
+    assert rerun == {k: rows[k] for k in rerun}
