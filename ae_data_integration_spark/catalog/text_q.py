@@ -438,3 +438,44 @@ def t10_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") >= 5)
         .orderBy("term")
     )
+
+
+# --- T11: benchmark decontamination -----------------------------------------
+# The training-data hygiene step every LLM pipeline runs: flag corpus
+# documents sharing word-n-grams with the eval/benchmark set. The
+# synthetic corpus's 'src0' slice plays the benchmark; n=3 is sized to
+# its short texts (production uses 8..13 — a knob on the operator).
+# Scale shape in functions/text.contamination_hits: the benchmark
+# n-gram set broadcasts, the corpus side is map + broadcast semi join
+# + one combinable count — no corpus-sized shuffle.
+
+_T11_SQL = f"""
+WITH tok AS (SELECT doc_id, source, {_T6_TOKS} AS t FROM documents),
+g AS (SELECT doc_id, source, unnest({_T6_WNG}) AS ngram FROM tok),
+ev AS (SELECT DISTINCT ngram FROM g WHERE source = 'src0'),
+hits AS (
+  SELECT g.doc_id, COUNT(*) AS n_overlapping
+  FROM g JOIN ev USING (ngram)
+  WHERE g.source != 'src0'
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_overlapping FROM hits ORDER BY doc_id
+"""
+
+
+@register("t11_decontaminate", oracle=_T11_SQL,
+          doc="Benchmark decontamination: corpus documents sharing any "
+              "word-3-gram with the eval slice (source='src0'), with the "
+              "per-doc overlapping-ngram count — broadcast the benchmark "
+              "ngram set, semi-join the corpus, one combinable count; the "
+              "training keep-list is an anti-join against this result.",
+          tags=("text", "dedup"))
+def t11_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.functions.text import contamination_hits
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("source") != "src0")
+    eval_docs = d.filter(F.col("source") == "src0")
+    return contamination_hits(corpus, eval_docs, "doc_id", "text", n=3).orderBy(
+        "doc_id"
+    )

@@ -154,3 +154,42 @@ def lang_marker_table(spark: SparkSession) -> DataFrame:
     """(lang, word) dimension for the broadcast-join language ID."""
     rows = [(lang, w) for lang, ws in LANG_MARKERS.items() for w in ws]
     return spark.createDataFrame(rows, "lang_pred string, marker string")
+
+
+def contamination_hits(
+    corpus: "DataFrame",
+    eval_docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+):
+    """Benchmark decontamination screen: per corpus document, how many
+    of its distinct word n-grams also occur anywhere in the eval set.
+
+    The standard training-data hygiene step (strip eval-set overlap
+    before training; production pipelines use n=8..13 — n is a knob,
+    sized here to the synthetic corpus's short texts). Scale shape:
+    the eval set is benchmarks — always tiny relative to a 100 TB
+    corpus — so its distinct n-gram set BROADCASTS; the corpus side is
+    a map (per-row distinct n-grams, already deduped in-array) + a
+    broadcast-hash semi join + one map-side-combinable count per doc.
+    No corpus-sized shuffle anywhere.
+
+    Returns (id, n_overlapping) for contaminated documents only
+    (n_overlapping >= 1); the keep-list is an anti-join against it.
+    """
+
+    def grams(df):
+        return df.select(
+            F.col(id_col), tokens(text_col).alias("_t")
+        ).select(
+            id_col, F.explode(word_ngrams_from_tokens("_t", n)).alias("ngram")
+        )
+
+    eval_grams = grams(eval_docs).select("ngram").distinct()
+    return (
+        grams(corpus)
+        .join(F.broadcast(eval_grams), "ngram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlapping"))
+    )

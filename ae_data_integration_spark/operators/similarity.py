@@ -21,7 +21,69 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ae_data_integration_spark.functions.arrays import cosine, to_double
+from ae_data_integration_spark.functions.arrays import (
+    _unrolled_fold,
+    dot,
+    dot_unrolled,
+    l2_norm,
+    to_double,
+)
+
+
+_DIM_CACHE: dict[tuple, int | None] = {}
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Vector width probed at plan time (None on empty input). Lets
+    every distance/cosine expression use the unrolled codegen form —
+    interpreted HOF folds in join residuals were measured at ~1 µs per
+    element, which turns a bucketed candidate join into the job
+    bottleneck at 10x scale.
+
+    The probe is one first() job; for file-backed inputs the result is
+    cached by the scan's file set (inputFiles() is a driver-side
+    metadata listing, no job), so repeated plan builds — bench reps,
+    parity reruns — pay it once per dataset per process."""
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:  # noqa: BLE001 - e.g. streaming/planless inputs
+        files = ()
+    key = (files, vec_col)
+    if files and key in _DIM_CACHE:
+        return _DIM_CACHE[key]
+    head = df.select(vec_col).first()
+    dim = None if head is None or head[0] is None else len(head[0])
+    if files:
+        _DIM_CACHE[key] = dim
+    return dim
+
+
+def _dot(a, b, d: int | None):
+    return dot_unrolled(a, b, d) if d is not None else dot(a, b)
+
+
+def _cos_with_norms(a, b, nrm_a, nrm_b, d: int | None):
+    """Cosine from a codegen'd dot product and PRE-MATERIALIZED row
+    norms. The norms are computed once per row (O(N·d)), not once per
+    candidate pair (O(pairs·d)) — and the join-side expression tree
+    shrinks from 3d to d terms, which also cuts Catalyst
+    analysis/codegen time on wide vectors. Bit-identical to the
+    inline form: sqrt-per-row then multiply is the exact same op
+    sequence the SQL oracle evaluates."""
+    return _dot(a, b, d) / F.greatest(
+        (F.col(nrm_a) if isinstance(nrm_a, str) else nrm_a)
+        * (F.col(nrm_b) if isinstance(nrm_b, str) else nrm_b),
+        F.lit(1e-12),
+    )
+
+
+def _widen(df: DataFrame) -> DataFrame:
+    """Spread a compute-dense side across the cluster. Columnar
+    vector data compresses ~50x, so a scan split sized for IO (128 MB)
+    carries hours of per-pair arithmetic — one round-robin shuffle of
+    the raw rows buys full parallelism for the join/window that
+    follows."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def brute_force_topk(
@@ -36,14 +98,18 @@ def brute_force_topk(
     `queries` is broadcast (small probe set); the corpus is scanned
     once, no shuffle until the per-query top-k window.
     """
+    d = _vec_dim(emb, vec_col)
     q = queries.select(
-        F.col(key_col).alias("q_id"), to_double(vec_col).alias("q_vec")
-    )
-    c = emb.select(F.col(key_col).alias("n_id"), to_double(vec_col).alias("n_vec"))
+        F.col(key_col).alias("q_id"),
+        to_double(vec_col).alias("q_vec"),
+    ).withColumn("q_nrm", l2_norm("q_vec"))
+    c = _widen(
+        emb.select(F.col(key_col).alias("n_id"), to_double(vec_col).alias("n_vec"))
+    ).withColumn("n_nrm", l2_norm("n_vec"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("n_id") != F.col("q_id"))
-        .withColumn("cos", cosine("q_vec", "n_vec"))
+        .withColumn("cos", _cos_with_norms("q_vec", "n_vec", "q_nrm", "n_nrm", d))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "n_id")
     return (
@@ -81,6 +147,12 @@ def hyperplane_signature(vec_col, bits: int = 8, salt: str = "hp", dim: int = 64
     """
     vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
 
+    # Deliberately the compact HOF fold, NOT an unrolled expression:
+    # the signature is O(N) row work (bits x dim interpreted ops per
+    # ROW, never per pair) — negligible next to the pair-level joins —
+    # while an unrolled bits*dim-term tree costs Catalyst/codegen
+    # seconds of PLAN time per query. Unrolling pays only in per-PAIR
+    # expressions (see _cos_with_norms).
     def proj(j: int):
         plane = F.array(*[F.lit(_plane_component(j, d, salt)) for d in range(dim)])
         return F.aggregate(
@@ -108,10 +180,13 @@ def lsh_near_dup_pairs(
 
     The bucket self-join replaces the N² crossJoin with Σ_b |b|² work.
     """
-    sig = emb.select(
-        F.col(key_col).alias("id"),
-        to_double(vec_col).alias("vec"),
-        hyperplane_signature(to_double(vec_col), bits).alias("bucket"),
+    d = _vec_dim(emb, vec_col)
+    sig = _widen(
+        emb.select(F.col(key_col).alias("id"), to_double(vec_col).alias("vec"))
+    ).select(
+        "id", "vec",
+        l2_norm("vec").alias("nrm"),
+        hyperplane_signature("vec", bits, dim=d or 64).alias("bucket"),
     )
     a, b = sig.alias("a"), sig.alias("b")
     return (
@@ -120,7 +195,7 @@ def lsh_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine("a.vec", "b.vec").alias("cos"),
+            _cos_with_norms("a.vec", "b.vec", "a.nrm", "b.nrm", d).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -151,10 +226,13 @@ def ivf_topk(
         emb, key_col, vec_col, k=k_clusters, n_iter=n_iter, salt=salt
     )
     data = assigned.select("id", "vec", "cluster")
+    d = _vec_dim(emb, vec_col)
 
     q = queries.select(
         F.col(key_col).alias("q_id"), to_double(vec_col).alias("q_vec")
     )
+    # Q x k_clusters rows only — the compact HOF fold keeps the plan
+    # tree small; unrolling is reserved for per-candidate expressions.
     qd = q.crossJoin(F.broadcast(centroids)).withColumn(
         "cdist",
         F.aggregate(
@@ -167,10 +245,21 @@ def ivf_topk(
     probes = (
         qd.withColumn("_rk", F.row_number().over(wq))
         .filter(F.col("_rk") <= nprobe)
-        .select("q_id", "q_vec", "cluster")
+        .select("q_id", F.col("q_vec"), "cluster")
+        .withColumn("q_nrm", l2_norm("q_vec"))
     )
-    cand = probes.join(data, "cluster").filter(F.col("id") != F.col("q_id"))
-    scored = cand.withColumn("cos", cosine("q_vec", "vec"))
+    # probes is Q*nprobe rows — BROADCAST it against the (widened)
+    # data side: zero shuffle of the corpus, and parallelism is the
+    # corpus partition count instead of k_clusters join partitions
+    # (with a small fixed k the cluster-key shuffle caps the job at k
+    # tasks — the 10x-scale leg exposed exactly that).
+    cand = (
+        _widen(data)
+        .withColumn("n_nrm", l2_norm("vec"))
+        .join(F.broadcast(probes), "cluster")
+        .filter(F.col("id") != F.col("q_id"))
+    )
+    scored = cand.withColumn("cos", _cos_with_norms("q_vec", "vec", "q_nrm", "n_nrm", d))
     wt = Window.partitionBy("q_id").orderBy(F.desc("cos"), "id")
     return (
         scored.withColumn("rk", F.row_number().over(wt))

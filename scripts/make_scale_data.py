@@ -15,8 +15,16 @@ quadratically in the replication factor — a data artifact, not an
 engine property):
 - documents.text gets a per-replica suffix token, so cross-replica
   texts are NOT near-duplicates;
-- embeddings get a large per-replica offset on the first coordinate,
-  so cross-replica vectors are far apart in L2.
+- embeddings get a per-replica md5-derived coordinate SIGN-FLIP
+  pattern: intra-replica norms, pairwise cosines, and distances are
+  EXACTLY preserved (dot(s.a, s.b) = dot(a, b) for a shared flip
+  pattern s), while cross-replica cosines decorrelate to ~0 — so
+  near-dup/ANN/DBSCAN structure per replica matches the original
+  corpus and nothing quadratic appears across replicas. (A naive
+  +offset shift instead makes every vector in a replica point the
+  same way: all-pairs cosine ~0.99, one LSH bucket per replica, and
+  any near-dup screen is forced quadratic — a data artifact this
+  generator must not create.)
 
 Deterministic (pure arithmetic over the seeded source data).
 Usage: python scripts/make_scale_data.py [src_sf_dir] [out_dir] [factor]
@@ -97,11 +105,18 @@ def generate(src: str = DEFAULT_SRC, out: str = DEFAULT_OUT, factor: int = 10) -
                     ELSE text || ' zrep' || CAST(i AS VARCHAR) END AS text,
                lang, source, n_chars
         FROM {rp('documents')}, {reps}""")
+    # sign(i, d) = +1 / -1 from md5('rep{i}:{d}') parity; i=0 keeps the
+    # original vectors bit-for-bit (all +1).
+    flip = (
+        "CASE WHEN i = 0 THEN embedding ELSE "
+        "list_transform(list_zip(embedding, range(0, 64)), p -> "
+        "CAST(p[1] * (CASE WHEN CAST(('0x' || substr(md5('rep' || CAST(i AS VARCHAR)"
+        " || ':' || CAST(p[2] AS VARCHAR)), 1, 2)) AS INT) % 2 = 0"
+        " THEN 1 ELSE -1 END) AS FLOAT)) END"
+    )
     copy("embeddings", f"""
         SELECT vec_id + i * {v_span} AS vec_id,
-               CASE WHEN i = 0 THEN embedding
-                    ELSE list_prepend(embedding[1] + CAST(i * 50 AS FLOAT),
-                                      embedding[2:]) END AS embedding,
+               {flip} AS embedding,
                label
         FROM {rp('embeddings')}, {reps}""")
     con.close()

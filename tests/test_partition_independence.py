@@ -40,6 +40,7 @@ QUERIES = [
     "c7b_pca_projection",        # covariance → eigh → literal project
     "r1_stratified_split",       # md5-ranked per-class split
     "n1_minmax_scale",           # per-feature min-max fold-back
+    "t11_decontaminate",         # broadcast eval-ngram semi join
 ]
 
 
