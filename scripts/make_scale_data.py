@@ -13,8 +13,14 @@ across scales (without them, every replica would be a byte-identical
 near-duplicate of the original, and LSH bucket joins would grow
 quadratically in the replication factor — a data artifact, not an
 engine property):
-- documents.text gets a per-replica suffix token, so cross-replica
-  texts are NOT near-duplicates;
+- documents.text goes through a per-replica CHARACTER ROTATION (a
+  bijection on [a-z], caesar-style): shingle sets map bijectively, so
+  intra-replica Jaccard/minhash/near-dup structure is EXACTLY the
+  original corpus's, while cross-replica shingle sets are disjoint.
+  (A suffix token instead leaves cross-replica Jaccard ~1: every text
+  then has 10 near-copies, LSH buckets grow 10x, and the bucketed
+  dedup join inflates ~replication^2 — a data artifact the round-6
+  scale leg caught as a 19.9x growth ratio.)
 - embeddings get a per-replica md5-derived coordinate SIGN-FLIP
   pattern: intra-replica norms, pairwise cosines, and distances are
   EXACTLY preserved (dot(s.a, s.b) = dot(a, b) for a shared flip
@@ -99,10 +105,15 @@ def generate(src: str = DEFAULT_SRC, out: str = DEFAULT_OUT, factor: int = 10) -
                user_id + i * {u_span} AS user_id,
                event_type, value, props
         FROM {rp('events')}, {reps}""")
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    rot_cases = " ".join(
+        f"WHEN {i} THEN translate(text, '{alpha}', "
+        f"'{alpha[(3 * i) % 26:] + alpha[:(3 * i) % 26]}')"
+        for i in range(1, factor)
+    )
     copy("documents", f"""
         SELECT doc_id + i * {d_span} AS doc_id,
-               CASE WHEN i = 0 THEN text
-                    ELSE text || ' zrep' || CAST(i AS VARCHAR) END AS text,
+               CASE i WHEN 0 THEN text {rot_cases} ELSE text END AS text,
                lang, source, n_chars
         FROM {rp('documents')}, {reps}""")
     # sign(i, d) = +1 / -1 from md5('rep{i}:{d}') parity; i=0 keeps the
