@@ -305,12 +305,39 @@ def c5_silhouette_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ae_data_integration_spark.operators.dbscan import dbscan
 
 
+def _check_c2_partition(sdf, spark, sf_dir: str) -> str:
+    """Semantic contract (exact labels are numpy-golden in
+    tests/test_dbscan.py; the blocked-numpy ε-kernel may differ from
+    the fold-exact twin by an ulp at the eps boundary, so no value
+    hash): the histogram must PARTITION the input — cluster sizes sum
+    to the row count, every cluster id is -1 (noise) or a point id,
+    and every non-noise cluster has at least 1 member."""
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        "SELECT COUNT(*) FROM read_parquet("
+        f"'{os.path.join(sf_dir, 'embeddings.parquet')}')"
+    ).fetchone()[0]
+    con.close()
+    if int(sdf["n"].sum()) != n:
+        return f"cluster sizes sum to {int(sdf['n'].sum())} != {n} input rows"
+    if (sdf["cluster"] < -1).any():
+        return "cluster id below -1"
+    if (sdf["n"] <= 0).any():
+        return "non-positive cluster size"
+    return ""
+
+
 @register("z_c2_dbscan", oracle=None,
           doc="Distributed DBSCAN: ε-pair join, core-point filter, min-label "
-              "propagation components (ref mocss.py:410); iterative → "
-              "rows-only, numpy golden in tests/test_dbscan.py.",
+              "propagation components (ref mocss.py:410); numpy golden in "
+              "tests/test_dbscan.py + partition contract (sizes sum to N).",
           tags=("clustering", "bench"),
-          min_rows=2, columns=("cluster", "n"))
+          min_rows=2, columns=("cluster", "n"),
+          check=_check_c2_partition)
 def c2_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     return (

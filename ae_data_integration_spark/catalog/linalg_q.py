@@ -198,16 +198,49 @@ def _make_c8(arch: str):
     return c8
 
 
+def _check_c8_contract(sdf, spark, sf_dir: str) -> str:
+    """Semantic contract for the inference queries (exact values are
+    golden-tested vs local numpy in tests/test_inference.py): exactly
+    one output row per input vector (no silent drops/duplicates from
+    the Arrow batching), a constant positive embedding width, and
+    finite non-negative reconstruction losses."""
+    import math
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        "SELECT COUNT(*) FROM read_parquet("
+        f"'{os.path.join(sf_dir, 'embeddings.parquet')}')"
+    ).fetchone()[0]
+    con.close()
+    if len(sdf) != n:
+        return f"{len(sdf)} rows != embeddings count {n}"
+    if sdf["sample_id"].duplicated().any():
+        return "duplicate sample_ids in inference output"
+    dims = set(sdf["embedding_dim"])
+    if len(dims) != 1 or next(iter(dims)) <= 0:
+        return f"embedding_dim not a positive constant: {sorted(dims)[:5]}"
+    losses = [float(v) for v in sdf["recon_loss"]]
+    if not all(math.isfinite(v) and v >= 0 for v in losses):
+        return "non-finite or negative recon_loss values"
+    return ""
+
+
 for _arch in ARCHITECTURES:
     register(
         f"z_c8_infer_{_arch.lower().replace('-', '_')}",
         oracle=None,
         doc=f"Batched {_arch} AE inference via numpy mapInPandas "
             "(ref embedding_from_retrained_models.py:7-92); golden-tested "
-            "against local numpy in tests/test_inference.py.",
+            "against local numpy in tests/test_inference.py; semantically "
+            "contracted (exactly one row per input vector, constant "
+            "positive width, finite non-negative losses).",
         tags=("linalg", "inference"),
         min_rows=100,
         columns=("sample_id", "embedding_dim", "recon_loss"),
+        check=_check_c8_contract,
     )(_make_c8(_arch))
 
 
