@@ -479,3 +479,145 @@ def t11_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_hits(corpus, eval_docs, "doc_id", "text", n=3).orderBy(
         "doc_id"
     )
+
+
+# --- T12: domain-mixing weights ---------------------------------------------
+# Data-mixture planning: per-source token mass -> temperature-scaled
+# sampling weights w_s = n_s^alpha / sum(n^alpha) (alpha = 0.5 keeps
+# the power an EXACT IEEE sqrt; the normalizing sum goes through the
+# fixed-point grid so the 20-term reduction is order-independent).
+# The shuffle carries one row per source — map-side combined.
+
+from ae_data_integration_spark.functions.portable import Q30, fpsum_sql  # noqa: E402
+from ae_data_integration_spark.functions.portable import fpsum  # noqa: E402
+
+_T12_SQL = f"""
+WITH per_doc AS (SELECT source, len({_TOKS}) AS n FROM documents),
+per_src AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens,
+         sqrt(CAST(SUM(n) AS DOUBLE)) AS r
+  FROM per_doc GROUP BY source
+),
+tot AS (SELECT {fpsum_sql('r', Q30)} AS z FROM per_src)
+SELECT source, n_docs, n_tokens,
+       round(r / z, 6) AS mix_weight
+FROM per_src CROSS JOIN tot
+ORDER BY source
+"""
+
+
+@register("t12_mixture_weights", oracle=_T12_SQL,
+          doc="Domain-mixing weights for corpus sampling: per-source doc/"
+              "token counts and temperature-scaled weight "
+              "sqrt(tokens)/sum(sqrt(tokens)) (alpha=0.5 keeps the power "
+              "IEEE-exact; normalizer fixed-point). One combinable "
+              "source-key aggregate.",
+          tags=("text", "pipeline"))
+def t12_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    per_src = (
+        d.select("source", token_count("text").alias("n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("n_tokens"),
+        )
+        .withColumn("r", F.sqrt(F.col("n_tokens").cast("double")))
+    )
+    tot = per_src.agg(fpsum("r", Q30).alias("z"))
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs", "n_tokens",
+            F.round(F.col("r") / F.col("z"), 6).alias("mix_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- T13: length-bucketed batch planning ------------------------------------
+# Sequence-length histogram over power-of-two-ish buckets — the shape
+# a batch planner packs against. Explicit integer boundaries (no
+# float log2), so the bucketing is exact on any engine.
+
+_T13_BOUNDS = (16, 32, 64, 128, 256)
+
+
+def _bucket_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN n <= {b} THEN {i}" for i, b in enumerate(_T13_BOUNDS)
+    )
+    return f"CASE {arms} ELSE {len(_T13_BOUNDS)} END"
+
+
+_T13_SQL = f"""
+WITH per_doc AS (SELECT len({_TOKS}) AS n FROM documents),
+b AS (SELECT {_bucket_case_sql()} AS bucket, n FROM per_doc)
+SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(MIN(n) AS BIGINT) AS min_len, CAST(MAX(n) AS BIGINT) AS max_len
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+@register("t13_length_buckets", oracle=_T13_SQL,
+          doc="Token-length histogram over fixed power-of-two buckets "
+              "(<=16, <=32, ... , >256) with per-bucket token mass and "
+              "min/max — the batch-shape planning input for sequence "
+              "packing; integer-exact, one combinable aggregate.",
+          tags=("text", "chunking"))
+def t13_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    n = token_count("text")
+    bucket = F.lit(len(_T13_BOUNDS))
+    for i in range(len(_T13_BOUNDS) - 1, -1, -1):
+        bucket = F.when(n <= _T13_BOUNDS[i], F.lit(i)).otherwise(bucket)
+    per = d.select(bucket.cast("int").alias("bucket"), n.alias("n"))
+    return (
+        per.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+            F.min("n").cast("long").alias("min_len"),
+            F.max("n").cast("long").alias("max_len"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --- SAMP1: deterministic stratified corpus sample --------------------------
+# The md5-ranked per-stratum top-k: a seeded, partition-independent
+# "random" sample of k docs per language — the portable analogue of
+# df.groupby(lang).sample(k) that any engine replays exactly.
+
+_SAMP1_K = 3
+
+_SAMP1_SQL = f"""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5('smp' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT lang, doc_id, rk FROM ranked WHERE rk <= {_SAMP1_K}
+ORDER BY lang, rk
+"""
+
+
+@register("samp1_stratified_sample", oracle=_SAMP1_SQL,
+          doc="Deterministic stratified sample: md5-ranked top-3 documents "
+              "per language (seeded 'random' choice both engines replay "
+              "bit-exactly; SURVEY §4.2a discipline). One lang-key window "
+              "over rank-pruned rows.",
+          tags=("text", "sampling"))
+def samp1_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.functions.hashing import md5_rank
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(md5_rank("doc_id", "smp"), "doc_id")
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).cast("long").alias("rk"))
+        .filter(F.col("rk") <= _SAMP1_K)
+        .orderBy("lang", "rk")
+    )
