@@ -41,6 +41,9 @@ QUERIES = [
     "r1_stratified_split",       # md5-ranked per-class split
     "n1_minmax_scale",           # per-feature min-max fold-back
     "t11_decontaminate",         # broadcast eval-ngram semi join
+    "t12_mixture_weights",       # fixed-point normalized weights
+    "t13_length_buckets",        # integer bucket histogram
+    "samp1_stratified_sample",   # md5-ranked per-stratum sample
 ]
 
 
