@@ -402,7 +402,16 @@ def c7_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # project pipeline under the value-hash gate. The oracle is a
 # callable (sf_dir -> SQL) because its text depends on the data.
 
-_C7_DECIMALS = 12
+# Literal rounding for the embedded eigenvectors/means. The Spark fn
+# and the SQL generator may run eigh in DIFFERENT processes (the
+# driver builds oracle text once, runs queries elsewhere); LAPACK
+# low-bit jitter across processes is ~1e-15 absolute, so a 1e-9
+# rounding grid leaves a ~10^6x margin before a boundary straddle
+# could desynchronize the literals. (The projection is still compared
+# bit-exactly — both engines use the SAME rounded literals; rounding
+# only trades a ~1e-7 deviation from the unrounded PCA, irrelevant to
+# the cross-engine gate.)
+_C7_DECIMALS = 9
 _C7_NCOMP = 2
 
 

@@ -139,7 +139,7 @@ def covariance_cells(
 
 
 def pca_literals(
-    cov: np.ndarray, n_components: int, decimals: int = 12
+    cov: np.ndarray, n_components: int, decimals: int = 9
 ) -> np.ndarray:
     """Top-k eigenvectors of ``cov`` as a d×k literal matrix, with the
     deterministic sign convention (largest-|coeff| entry positive) and
