@@ -17,7 +17,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ae_data_integration_spark.catalog import register
-from ae_data_integration_spark.functions.portable import Q20, fp, fpavg, fpsum
+from ae_data_integration_spark.functions.portable import (
+    Q20,
+    fp,
+    fpavg,
+    fpsum,
+    fpsum_sql,
+)
 from ae_data_integration_spark.tables import table
 
 
@@ -732,4 +738,170 @@ def dq1_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_orders, null_ck, dup_ok, orphan_o, orphan_l, bad_l)],
         "n_orders long, null_custkeys long, dup_orderkeys long, "
         "orphan_orders long, orphan_lineitems long, bad_lineitem_values long",
+    )
+
+
+# --- q6: forecast revenue change (filter + single aggregate) ----------------
+
+_Q6_SQL = f"""
+SELECT {fpsum_sql('l_extendedprice * l_discount', Q20)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.04 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", oracle=_Q6_SQL,
+          doc="TPC-H Q6-shaped selective filter + single fixed-point "
+              "aggregate — all four predicates push to the parquet scan; "
+              "the shuffle is one partial-aggregated row per partition.",
+          tags=("relational", "agg"))
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            fpsum(F.col("l_extendedprice") * F.col("l_discount"), Q20)
+            .alias("revenue")
+        )
+    )
+
+
+# --- q10: returned-item customers (4-way join + top-k by revenue) -----------
+
+_Q10_SQL = f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       {fpsum_sql('l.l_extendedprice * (1 - l.l_discount)', Q20)} AS revenue,
+       COUNT(*) AS n_items
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_customers", oracle=_Q10_SQL,
+          doc="TPC-H Q10-shaped returned-item revenue ranking: lineitem "
+              "filters push down, nation broadcasts, customer/orders join "
+              "on their keys, top-20 via TakeOrdered — the classic "
+              "fact-to-dim revenue rollup.",
+          tags=("relational", "join", "agg"))
+def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz")
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(c.select("c_custkey", "c_name", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            fpsum(rev, Q20).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --- q12: shipmode-ish priority counts (join + conditional aggregates) ------
+
+_Q12_SQL = """
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+GROUP BY l.l_linestatus
+ORDER BY l.l_linestatus
+"""
+
+
+@register("q12_priority_counts", oracle=_Q12_SQL,
+          doc="TPC-H Q12-shaped conditional counting after a key join — "
+              "integer-exact CASE aggregates, date filter pushed to the "
+              "lineitem scan.",
+          tags=("relational", "join", "agg"))
+def q12_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp_ntz"))
+        .join(o.select("o_orderkey", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high.cast("int")).cast("long").alias("high_line_count"),
+            F.sum((~high).cast("int")).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --- q14: promo revenue share (join + ratio of conditional sums) ------------
+
+_Q14_SQL = f"""
+SELECT round(
+         100.0 * (SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                           THEN CAST(round((l.l_extendedprice * (1 - l.l_discount)) * {Q20}) AS BIGINT)
+                           ELSE 0 END) / {Q20}.0)
+               / (SUM(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * {Q20}) AS BIGINT)) / {Q20}.0),
+         6) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
+@register("q14_promo_revenue", oracle=_Q14_SQL,
+          doc="TPC-H Q14-shaped promo revenue share: conditional fixed-point "
+              "sums over a part join (broadcastable dim), ratio rounded to 6 "
+              "decimals for cross-engine exactness of the division chain.",
+          tags=("relational", "join", "agg"))
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    promo = F.col("p_type").startswith("PROMO")
+    promo_sum = (
+        F.sum(F.when(promo, fp(rev, Q20)).otherwise(F.lit(0).cast("long")))
+        / F.lit(float(Q20))
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(p.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0) * promo_sum / fpsum(rev, Q20), 6
+            ).alias("promo_revenue_pct")
+        )
     )
