@@ -798,7 +798,7 @@ LIMIT 20
               "filters push down, nation broadcasts, customer/orders join "
               "on their keys, top-20 via TakeOrdered — the classic "
               "fact-to-dim revenue rollup.",
-          tags=("relational", "join", "agg"))
+          tags=("relational", "join", "agg", "bench"))
 def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")

@@ -469,7 +469,7 @@ SELECT doc_id, n_overlapping FROM hits ORDER BY doc_id
               "per-doc overlapping-ngram count — broadcast the benchmark "
               "ngram set, semi-join the corpus, one combinable count; the "
               "training keep-list is an anti-join against this result.",
-          tags=("text", "dedup"))
+          tags=("text", "dedup", "bench"))
 def t11_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ae_data_integration_spark.functions.text import contamination_hits
 
