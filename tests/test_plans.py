@@ -173,3 +173,13 @@ def test_sk1_cms_broadcasts_sketch(spark):
         .has_partial_agg()
         .no_python_row_udf()
     )
+
+
+def test_q10_pushdown_and_broadcast_dims(spark):
+    # returned-item ranking: the selective returnflag filter must reach
+    # the lineitem scan (with column pruning), every dim side
+    # broadcasts at this SF, and nothing degenerates to a cartesian.
+    pa = plan_asserts(_df(spark, "q10_returned_customers"))
+    pa.has_broadcast_join(3).no_sort_merge_join().no_python_row_udf()
+    assert "EqualTo(l_returnflag,R)" in pa.plan
+    assert "CartesianProduct" not in pa.plan
