@@ -10,6 +10,7 @@ runnable ANSI-SQL oracle where SQL-expressible.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -17,8 +18,17 @@ from pyspark.sql import DataFrame, SparkSession
 from ae_data_integration_spark.catalog import load_all, oracle_for
 
 # The driver's correctness gate runs Spark + DuckDB side-by-side at
-# this scale; callable oracles (data-derived literals) resolve here.
-_CORRECTNESS_SF_DIR = "/root/testdata/sf0.01"
+# sf=0.01 (driver contract); callable oracles (data-derived literals,
+# e.g. c7b_pca_projection's embedded eigenvectors) must resolve against
+# the SAME directory the gate loads its tables from, or parity fails on
+# a correct engine. If the gate ever runs at a different scale/dir, set
+# SPARK_GRAFT_CORRECTNESS_SF_DIR to that dir before importing this
+# module. (SPARK_GRAFT_SF_DIR is deliberately NOT consulted: it selects
+# the BENCH scale, sf0.1 by default, which is not where correctness
+# runs.)
+_CORRECTNESS_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_CORRECTNESS_SF_DIR", "/root/testdata/sf0.01"
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:

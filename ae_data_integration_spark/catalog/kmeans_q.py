@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ae_data_integration_spark.catalog import register
+from ae_data_integration_spark.catalog import ALIASES, register
 from ae_data_integration_spark.functions.portable import Q30, Q40, fpsum, fpsum_sql
 from ae_data_integration_spark.operators.kmeans import (
     ch_dbi,
@@ -512,6 +512,15 @@ def c7b_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(_C7_NCOMP)
     ]
     return pts.select("id", *proj)
+
+
+# Rounds 4-5 registered the projection as z_c7_pca_projection (rows-
+# only); round 6 replaced it with the fully-oracled c7b_pca_projection
+# under a NEW key, which broke the frozen-rotation promise for anyone
+# holding the old name. Keep both historical spellings resolving (via
+# catalog.resolve()) to the current key.
+ALIASES["z_c7_pca_projection"] = "c7b_pca_projection"
+ALIASES["c7_pca_projection"] = "c7b_pca_projection"
 
 
 # --- C2 (oracled): converged DBSCAN vs a deep-unrolled SQL fixpoint ---------

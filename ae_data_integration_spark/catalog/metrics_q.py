@@ -109,12 +109,12 @@ def c4_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _check_munkres_vs_bruteforce(sdf, spark, sf_dir: str) -> str:
     """Semantic contract: the scipy-Hungarian accuracy must equal an
-    INDEPENDENT brute-force assignment optimum — contingency rebuilt
-    by a DuckDB md5 replay of the pred column (no Spark involved),
-    optimum by enumerating every injective label->pred map. Exact
-    float equality: both sides compute matched/n from the same
-    integers."""
-    import itertools
+    INDEPENDENT assignment optimum — contingency rebuilt by a DuckDB
+    md5 replay of the pred column (no Spark involved), optimum by a
+    Held-Karp bitmask DP over pred subsets (2^k * k * |labels| ops,
+    vs the factorial permutations enumeration this replaced: 10! =
+    3.6M perms, ~7 s per parity run). Exact float equality: both
+    sides compute matched/n from the same integers."""
     import os
 
     import duckdb
@@ -137,10 +137,26 @@ def _check_munkres_vs_bruteforce(sdf, spark, sf_dir: str) -> str:
     labels = sorted({lab for lab, _, _ in rows})
     preds = sorted({pr for _, pr, _ in rows})
     n_total = sum(ct.values())
-    best = max(
-        sum(ct.get((lab, pr), 0) for lab, pr in zip(labels, perm))
-        for perm in itertools.permutations(preds, len(labels))
-    )
+    # dp[mask] = best matched mass assigning the labels processed so
+    # far to the pred subset `mask`, each label using at most one pred
+    # (the skip transition). Skipping contributes 0, which matches the
+    # rectangular-Hungarian optimum for non-negative weights — and
+    # makes distinct-preds < distinct-labels well-defined (the old
+    # permutations max() raised ValueError on an empty iterator there).
+    k = len(preds)
+    dp = [0] * (1 << k)
+    for lab in labels:
+        ndp = dp[:]  # skip-this-label transition
+        for mask in range(1 << k):
+            base = dp[mask]
+            for j in range(k):
+                bit = 1 << j
+                if not mask & bit:
+                    v = base + ct.get((lab, preds[j]), 0)
+                    if v > ndp[mask | bit]:
+                        ndp[mask | bit] = v
+        dp = ndp
+    best = max(dp)
     want = best / n_total
     got = float(sdf["munkres_accuracy"].iloc[0])
     if got != want:

@@ -21,6 +21,7 @@ from ae_data_integration_spark.functions.portable import (
     Q20,
     fp,
     fpavg,
+    fpavg_sql,
     fpsum,
     fpsum_sql,
 )
@@ -904,4 +905,264 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(100.0) * promo_sum / fpsum(rev, Q20), 6
             ).alias("promo_revenue_pct")
         )
+    )
+
+# --- q13: customer order-count distribution (left outer + histogram) --------
+# TPC-H Q13 shape: LEFT OUTER join customer<-orders (with a filter on
+# the OUTER side's rows, so zero-order customers survive), count
+# orders per customer INCLUDING the zeros, then a histogram over the
+# counts. The classic trap is an inner join silently dropping the
+# zero bucket — the whole point of the shape. (Q13's o_comment NOT
+# LIKE filter is stood in by o_orderpriority, the schema's analogous
+# low-selectivity string predicate.)
+
+_Q13_SQL = """
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("q13_order_count_dist", oracle=_Q13_SQL,
+          doc="TPC-H Q13-shaped left-outer count distribution: customers "
+              "with ZERO matching orders must appear in the c_count=0 "
+              "bucket, so the orders predicate lives in the join condition "
+              "(not a WHERE, which would turn the outer join inner). "
+              "COUNT(o_orderkey) counts non-null matches only. Two "
+              "shuffles total: the outer join on custkey, then the tiny "
+              "histogram agg.",
+          tags=("relational", "join", "agg", "bench"))
+def q13_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.select("c_custkey")
+        .join(
+            o.filter(F.col("o_orderpriority") != "1-URGENT")
+            .select("o_custkey", "o_orderkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        # count() over a column counts NON-NULL values only, so
+        # unmatched customers land in the 0 bucket — same semantics
+        # as the SQL COUNT(o.o_orderkey).
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --- q15: top supplier by revenue (argmax over an aggregated subquery) ------
+# TPC-H Q15 shape: a revenue-per-supplier aggregate is REUSED — once
+# to compute the global max, once to select the supplier(s) attaining
+# it. Fixed-point revenue makes the equality join against the max
+# safe cross-engine (no double-compare straddle).
+
+_Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {fpsum_sql('l_extendedprice * (1 - l_discount)', Q20)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+@register("q15_top_supplier", oracle=_Q15_SQL,
+          doc="TPC-H Q15-shaped argmax-over-aggregated-subquery: the "
+              "revenue CTE is computed once and persisted, the 1-row max "
+              "broadcasts back against it (no self-recompute, no window "
+              "over the whole aggregate), supplier attaches by key. "
+              "Equality against the max is exact because total_revenue "
+              "is a fixed-point sum.",
+          tags=("relational", "join", "agg", "subquery"))
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(fpsum(rev, Q20).alias("total_revenue"))
+        # reused twice (max + probe) — persist so the lineitem scan
+        # and shuffle run once, exactly like the SQL CTE.
+        .persist()
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(
+            F.broadcast(mx),
+            F.col("total_revenue") == F.col("max_revenue"),
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# --- q21: sole-blame suppliers (correlated EXISTS + NOT EXISTS) -------------
+# TPC-H Q21 shape: for each failed order, find the supplier whose
+# lineitem was returned, where ANOTHER supplier also participated in
+# the order (EXISTS, a correlated self-join) but NO other supplier's
+# item was returned (NOT EXISTS) — i.e. the one supplier solely to
+# blame. The schema has no commit/receipt dates, so l_returnflag='R'
+# stands in for the lateness predicate; the join topology (two
+# correlated self-references on the fact table, one semi one anti)
+# is the Q21 structure being exercised.
+
+_Q21_SQL = """
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 10
+"""
+
+
+@register("q21_sole_blame_supplier", oracle=_Q21_SQL,
+          doc="TPC-H Q21-shaped correlated EXISTS/NOT EXISTS: left-semi "
+              "then left-anti self-joins of lineitem on the order key "
+              "(the non-equi suppkey<>suppkey term rides the equi hash "
+              "join as a residual — no cartesian), supplier/nation dims "
+              "broadcast, count per supplier, top-10.",
+          tags=("relational", "join", "semi", "anti", "bench"))
+def q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+    )
+    return (
+        l1.join(
+            o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            l2,
+            (F.col("l2_orderkey") == F.col("l_orderkey"))
+            & (F.col("l2_suppkey") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3_orderkey") == F.col("l_orderkey"))
+            & (F.col("l3_suppkey") != F.col("l_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+# --- q22: cold rich customers (scalar subquery + NOT EXISTS) ----------------
+# TPC-H Q22 shape: customers whose balance exceeds the average
+# positive balance (a scalar aggregate subquery) AND who have placed
+# no RECENT orders (NOT EXISTS, an anti join; every synthetic
+# customer has at least one all-time order, so the cutoff keeps the
+# result non-vacuous), grouped by country.
+# The schema has no phone column, so nation stands in for the
+# country-code prefix. The average is a fixed-point mean so the
+# > comparison cannot straddle an ulp across engines.
+
+_Q22_SQL = f"""
+WITH avg_bal AS (
+  SELECT {fpavg_sql('c_acctbal', Q20)} AS a
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       {fpsum_sql('c.c_acctbal', Q20)} AS totacctbal
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+CROSS JOIN avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@register("q22_cold_customers", oracle=_Q22_SQL,
+          doc="TPC-H Q22-shaped NOT-EXISTS + scalar subquery: the 1-row "
+              "average broadcasts onto the customer scan, the no-orders "
+              "test is a left-anti join on custkey (never a NOT IN with "
+              "its null trap), nation broadcasts, per-nation count/sum.",
+          tags=("relational", "join", "anti", "subquery"))
+def q22_cold_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    n = table(spark, sf_dir, "nation")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(fpavg("c_acctbal", Q20).alias("a"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(
+            o.filter(
+                F.col("o_orderdate")
+                >= F.lit("1998-01-01").cast("timestamp_ntz")
+            ).select("o_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            fpsum("c_acctbal", Q20).alias("totacctbal"),
+        )
+        .orderBy("n_name")
     )

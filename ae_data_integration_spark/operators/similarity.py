@@ -18,6 +18,8 @@ bucketing, never a crossJoin.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -43,12 +45,25 @@ def _vec_dim(df: DataFrame, vec_col: str) -> int | None:
     The probe is one first() job; for file-backed inputs the result is
     cached by the scan's file set (inputFiles() is a driver-side
     metadata listing, no job), so repeated plan builds — bench reps,
-    parity reruns — pay it once per dataset per process."""
+    parity reruns — pay it once per dataset per process. The cache key
+    includes each local file's (size, mtime): a dataset regenerated
+    in place under the same paths (e.g. .benchdata/sf1 rebuilt) must
+    not serve a stale width — a wrong d would make dot_unrolled read
+    element_at past the array end, silently NULLing cosines."""
     try:
         files = tuple(sorted(df.inputFiles()))
     except Exception:  # noqa: BLE001 - e.g. streaming/planless inputs
         files = ()
-    key = (files, vec_col)
+
+    def _fingerprint(uri: str):
+        path = uri[7:] if uri.startswith("file://") else uri
+        try:
+            st = os.stat(path)
+            return (uri, st.st_size, st.st_mtime_ns)
+        except OSError:  # non-local scheme — path identity only
+            return (uri,)
+
+    key = (tuple(_fingerprint(f) for f in files), vec_col)
     if files and key in _DIM_CACHE:
         return _DIM_CACHE[key]
     head = df.select(vec_col).first()

@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""One-shot steady-state bench re-baseline (round 7).
+
+Cross-round bench deltas through round 6 were warmth artifacts in both
+directions: round 5 reported hot shared-JVM numbers, round 6 reported
+fresh-JVM isolated reruns for its top-5 and min(shared, isolated) —
+three different protocols in one trend line (the judge verified
+c6_gaussian_nb_cv times ~2.12 s under BOTH commits while the trend
+showed 1.534 -> 3.165). This script pins the protocol once and records
+BOTH legs for every bench-tagged query so future rounds compare like
+to like:
+
+- "shared":   bench.py's shared-session protocol verbatim — one
+              warmup pass over all queries, then min-of-3 per query in
+              the same JVM.
+- "isolated": bench.py's fresh-subprocess protocol verbatim — new JVM
+              per query, 1 warmup rep, then min-of-3.
+
+scripts/bench_trend.py uses BENCH_STEADY.json as the baseline wall:
+BENCH_r{7+} shared-session numbers compare against the "shared" leg,
+isolation_check numbers against the "isolated" leg; BENCH_r6 and
+earlier are display-only history, never a regression baseline.
+
+Usage: python scripts/make_bench_steady.py  (writes BENCH_STEADY.json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench import _isolated_time, _timed  # noqa: E402
+from ae_data_integration_spark.catalog import load_all  # noqa: E402
+from ae_data_integration_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry = load_all()
+    bench_queries = {
+        n: q for n, q in sorted(registry.items()) if "bench" in q.tags
+    }
+
+    spark = get_spark("bench-steady")
+    for q in bench_queries.values():  # warmup pass (JIT/codegen/AQE)
+        q.fn(spark, sf_dir).collect()
+    spark.catalog.clearCache()
+
+    shared: dict[str, float] = {}
+    for name, q in bench_queries.items():
+        shared[name] = round(_timed(q.fn, spark, sf_dir), 3)
+        print(f"shared   {name:32s} {shared[name]:7.3f}s", flush=True)
+    spark.stop()
+
+    isolated: dict[str, float] = {}
+    for name in bench_queries:
+        t = _isolated_time(name, sf_dir)
+        if t == t:  # not NaN
+            isolated[name] = round(t, 3)
+            print(f"isolated {name:32s} {isolated[name]:7.3f}s", flush=True)
+        else:
+            print(f"isolated {name:32s}  FAILED", flush=True)
+
+    out = {
+        "protocols": {"shared": shared, "isolated": isolated},
+        "sf_dir": sf_dir,
+        "recorded_unix": int(time.time()),
+        "note": (
+            "steady-state re-baseline, round 7: shared = one warm JVM, "
+            "min-of-3 after a full warmup pass; isolated = fresh JVM "
+            "per query, min-of-3 after 1 warmup rep. bench_trend.py "
+            "compares like protocol to like against this file."
+        ),
+    }
+    path = os.path.join(REPO, "BENCH_STEADY.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=2, sort_keys=True)
+        fh.write("\n")
+    print(f"wrote {path}: {len(shared)} shared, {len(isolated)} isolated")
+
+
+if __name__ == "__main__":
+    main()

@@ -183,3 +183,48 @@ def test_q10_pushdown_and_broadcast_dims(spark):
     pa.has_broadcast_join(3).no_sort_merge_join().no_python_row_udf()
     assert "EqualTo(l_returnflag,R)" in pa.plan
     assert "CartesianProduct" not in pa.plan
+
+
+def test_q13_outer_join_keeps_zero_bucket_and_pushdown(spark):
+    # The orders-side predicate is in the JOIN condition, so it must
+    # appear as a pushed filter on the orders scan (it prunes the
+    # build side) while the join stays LEFT OUTER (zero-order
+    # customers survive into the c_count=0 bucket).
+    pa = plan_asserts(_df(spark, "q13_order_count_dist"))
+    pa.has_pushed_filter("o_orderpriority").has_partial_agg().no_python_row_udf()
+    assert "LeftOuter" in pa.plan
+    assert "CartesianProduct" not in pa.plan
+    pa.reads_only("orders", {"o_custkey", "o_orderkey", "o_orderpriority"})
+
+
+def test_q15_reuses_aggregate_and_broadcasts_max(spark):
+    # The revenue aggregate is persisted and reused (max + probe); the
+    # 1-row max and the supplier dim attach via broadcast, the
+    # lineitem date range reaches the scan.
+    pa = plan_asserts(_df(spark, "q15_top_supplier"))
+    pa.has_pushed_filter("l_shipdate").has_broadcast_join(2).no_python_row_udf()
+    assert "CartesianProduct" not in pa.plan
+    assert "InMemoryTableScan" in pa.plan  # the persisted revenue CTE
+
+
+def test_q21_correlated_exists_as_semi_anti(spark):
+    # EXISTS -> left-semi, NOT EXISTS -> left-anti, both riding the
+    # l_orderkey equi component (hash joins with the suppkey<>suppkey
+    # residual) — never a cartesian; dims broadcast.
+    pa = plan_asserts(_df(spark, "q21_sole_blame_supplier"))
+    pa.has_broadcast_join(2).no_python_row_udf()
+    assert "LeftSemi" in pa.plan
+    assert "LeftAnti" in pa.plan
+    assert "CartesianProduct" not in pa.plan
+    pa.has_pushed_filter("l_returnflag")
+
+
+def test_q22_scalar_subquery_broadcasts_anti_join(spark):
+    # The 1-row average joins via BroadcastNestedLoop (the only sound
+    # use of one: a scalar side), the no-recent-orders test is a
+    # left-anti on custkey, nation broadcasts.
+    pa = plan_asserts(_df(spark, "q22_cold_customers"))
+    pa.no_python_row_udf()
+    assert "LeftAnti" in pa.plan
+    assert "CartesianProduct" not in pa.plan
+    pa.reads_only("orders", {"o_custkey", "o_orderdate"})

@@ -219,3 +219,80 @@ def test_optuna_tpe_path_when_available(spark):
     assert len(r1) == 3
     assert all(np.isfinite(v) and v > 0 for _, _, v in r1)
     assert [(n, v) for n, _, v in r1] == [(n, v) for n, _, v in r2]
+
+
+def test_optuna_branch_executes_with_minimal_tpe_stub(spark, monkeypatch):
+    """Runtime coverage for the optuna import branch (random_search's
+    TPE leg) WITHOUT optuna installed: a minimal in-memory module that
+    honors the exact optuna surface the branch touches —
+    create_study(direction, sampler=TPESampler(seed)), study.optimize
+    calling the objective with trial objects exposing suggest_float
+    (log-scale), suggest_categorical, .number, and study.trials
+    carrying (number, params, value). A deterministic md5-seeded
+    suggester stands in for TPE: the contract under test is the
+    integration wiring (objective construction, SEARCH_SPACE plumbing,
+    seeded-sampler instantiation, trial collection), not the sampler's
+    statistics."""
+    import hashlib
+    import math
+    import sys
+    import types
+
+    calls = {"sampler_seeds": []}
+
+    class _Trial:
+        def __init__(self, number):
+            self.number = number
+            self.params = {}
+            self.value = None
+
+        def _u(self, name):
+            h = hashlib.md5(f"stub:{self.number}:{name}".encode()).hexdigest()
+            return int(h[:12], 16) / float(1 << 48)
+
+        def suggest_float(self, name, lo, hi, log=False):
+            u = self._u(name)
+            v = (
+                math.exp(math.log(lo) + u * (math.log(hi) - math.log(lo)))
+                if log
+                else lo + u * (hi - lo)
+            )
+            self.params[name] = v
+            return v
+
+        def suggest_categorical(self, name, choices):
+            v = choices[int(self._u(name) * len(choices)) % len(choices)]
+            self.params[name] = v
+            return v
+
+    class _Study:
+        def __init__(self):
+            self.trials = []
+
+        def optimize(self, objective, n_trials):
+            for i in range(n_trials):
+                t = _Trial(i)
+                t.value = objective(t)
+                self.trials.append(t)
+
+    fake = types.ModuleType("optuna")
+    fake.samplers = types.SimpleNamespace(
+        TPESampler=lambda seed: calls["sampler_seeds"].append(seed)
+    )
+    fake.create_study = lambda direction, sampler: _Study()
+    monkeypatch.setitem(sys.modules, "optuna", fake)
+
+    e = table(spark, SF_SMOKE, "embeddings").limit(150)
+    r1 = random_search(e, n_trials=2, n_folds=2)
+    r2 = random_search(e, n_trials=2, n_folds=2)
+
+    # Routed through the study (not the md5 fallback): seeded sampler
+    # built with the reference's seed 21, trials carry suggested params.
+    assert calls["sampler_seeds"] == [21, 21]
+    assert [n for n, _, _ in r1] == [0, 1]
+    for _, params, value in r1:
+        assert set(params) == {"lr", "l2_lambda", "batch_size", "epochs", "hidden"}
+        assert 1e-4 <= params["lr"] <= 1e-2
+        assert np.isfinite(value) and value > 0
+    # Deterministic end to end (stub suggester + md5 fold seeds).
+    assert [(n, v) for n, _, v in r1] == [(n, v) for n, _, v in r2]
