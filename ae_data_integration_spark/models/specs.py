@@ -66,6 +66,15 @@ def build_weights(arch: str, view_dims: tuple[int, ...] = (32, 32)) -> dict[str,
 
     Keyed '{view}/{kind}{i}/W' and '.../b'. Same (arch, shapes) →
     bit-identical weights on any machine (PCG64 stream).
+
+    The spec's enc[0]/dec[-1] widths are the 32-d fixture defaults;
+    the REAL input width per view comes from ``view_dims`` — the
+    encoder's first width and the decoder's last are substituted per
+    view (20,531/1,046 at the reference's production scale,
+    model_structures.py:44-45), every interior width stays the
+    spec's. With the default (32, 32) the substituted stacks equal
+    the spec widths exactly, so fixture-scale weights are
+    bit-identical to rounds ≤6.
     """
     spec = ARCHITECTURES[arch]
     out: dict[str, np.ndarray] = {}
@@ -77,21 +86,28 @@ def build_weights(arch: str, view_dims: tuple[int, ...] = (32, 32)) -> dict[str,
             out[f"{view}/{kind}{i}/W"] = rng.uniform(-scale, scale, (d_in, d_out))
             out[f"{view}/{kind}{i}/b"] = rng.uniform(-0.1, 0.1, d_out)
 
+    def enc_widths(d_in: int) -> list[int]:
+        return [d_in] + spec["enc"][1:]
+
+    def dec_widths(d_out: int) -> list[int]:
+        return spec["dec"][:-1] + [d_out]
+
     if spec["joint"]:
-        mk("joint", "enc", spec["enc"])
-        mk("joint", "dec", spec["dec"])
+        d = sum(view_dims)
+        mk("joint", "enc", enc_widths(d))
+        mk("joint", "dec", dec_widths(d))
     else:
-        for v in range(len(view_dims)):
-            mk(f"v{v}", "enc", spec["enc"])
-            mk(f"v{v}", "dec", spec["dec"])
+        for v, dv in enumerate(view_dims):
+            mk(f"v{v}", "enc", enc_widths(dv))
+            mk(f"v{v}", "dec", dec_widths(dv))
         if spec["fusion"] == "concat_joint":
             # SS/JISAE joint branch encodes the concatenated views
             # (ref model_structures.py:641,869).
-            mk("shared", "enc", [sum(view_dims)] + spec["enc"][1:])
+            mk("shared", "enc", enc_widths(sum(view_dims)))
         elif spec["fusion"] == "mean_shared":
             # MOCSS: per-view shared encoders; embeddings fuse as
             # (shared1+shared2)/2 ⊕ specifics
             # (ref embedding_from_retrained_models.py:73-84).
-            for v in range(len(view_dims)):
-                mk(f"shared{v}", "enc", spec["enc"])
+            for v, dv in enumerate(view_dims):
+                mk(f"shared{v}", "enc", enc_widths(dv))
     return out

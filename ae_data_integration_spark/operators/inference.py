@@ -94,21 +94,31 @@ def embed_and_recon(
     key_col: str = "sample_id",
     v1_col: str = "features_v1",
     v2_col: str = "features_v2",
+    view_dims: tuple[int, int] | None = None,
+    key_type: str = "long",
 ) -> DataFrame:
     """C8 + A2: batched inference producing (key, embedding,
     recon_loss) where recon_loss is the per-subject
     sqrt(Σ(norm(x̂)−norm(x))²) sum over both views
     (ref reconloss_from_retrained_models.py:45,69-72).
+
+    ``view_dims`` sets the REAL per-view input widths (e.g.
+    (20531, 1046) at the reference's production scale); None keeps
+    the 32-d fixture default derived from the spec. ``key_type`` is
+    the Arrow schema type of ``key_col`` ("long" for the fixture's
+    vec_id, "string" for sample ids).
     """
     spark = df.sparkSession
     spec = ARCHITECTURES[arch]
-    # View widths from the spec contract: a joint arch's enc[0] is the
-    # concat width, a per-view arch's enc[0] is one view's width.
-    d = spec["enc"][0] // 2 if spec["joint"] else spec["enc"][0]
-    weights = build_weights(arch, (d, d))
+    if view_dims is None:
+        # View widths from the spec contract: a joint arch's enc[0] is
+        # the concat width, a per-view arch's enc[0] is one view's.
+        d = spec["enc"][0] // 2 if spec["joint"] else spec["enc"][0]
+        view_dims = (d, d)
+    weights = build_weights(arch, view_dims)
     bweights = spark.sparkContext.broadcast(weights)
 
-    schema = f"{key_col} long, embedding array<double>, recon_loss double"
+    schema = f"{key_col} {key_type}, embedding array<double>, recon_loss double"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         w = bweights.value

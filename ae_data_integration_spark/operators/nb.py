@@ -42,6 +42,25 @@ from ae_data_integration_spark.functions.portable import Q30, Q40
 _LN_2PI = float(math.log(2 * math.pi))
 
 
+def _suff_stats(base: DataFrame) -> list:
+    """PASS 1 — one-shuffle sufficient statistics per (fold, class,
+    dim), fixed-point exact. cnt is constant across dims of a
+    (fold, class), so class/fold row counts fall out of the same
+    aggregate: no separate count pass. The result is MODEL-sized."""
+    long = base.select(
+        "id", "y", "fold", F.posexplode("vec").alias("dim", "x")
+    )
+    return (
+        long.groupBy("fold", "y", "dim")
+        .agg(
+            F.sum(F.round(F.col("x") * F.lit(Q40)).cast("long")).alias("s1"),
+            F.sum(F.round(F.col("x") * F.col("x") * F.lit(Q40)).cast("long")).alias("s2"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .collect()
+    )
+
+
 def gaussian_nb_cv_accuracy(
     df: DataFrame,
     key_col: str = "vec_id",
@@ -59,29 +78,73 @@ def gaussian_nb_cv_accuracy(
         md5_bucket(key_col, n_folds, salt).alias("fold"),
         to_double(vec_col).alias("vec"),
     )
-    # `long` feeds both the statistics pass and the scoring join; it
-    # is recomputed rather than persisted — at corpus scale a
-    # 64x-exploded cache costs more than the second scan-side explode.
+    # the statistics pass and the scoring join each re-derive the
+    # exploded form — at corpus scale a 64x-exploded cache costs more
+    # than the second scan-side explode.
     long = base.select(
         "id", "y", "fold", F.posexplode("vec").alias("dim", "x")
     )
+    cells = _suff_stats(base)
+    cand_rows, prior_rows = _assemble_model(cells, n_folds, var_smoothing)
 
-    # PASS 1 — one-shuffle sufficient statistics per (fold, class,
-    # dim), fixed-point exact. cnt is constant across dims of a
-    # (fold, class), so class/fold row counts fall out of the same
-    # aggregate: no separate count pass.
-    cells = (
-        long.groupBy("fold", "y", "dim")
-        .agg(
-            F.sum(F.round(F.col("x") * F.lit(Q40)).cast("long")).alias("s1"),
-            F.sum(F.round(F.col("x") * F.col("x") * F.lit(Q40)).cast("long")).alias("s2"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
-        .collect()
+    cand = spark.createDataFrame(
+        cand_rows, "fold int, cls long, dim int, mu double, var double"
+    )
+    priors = spark.createDataFrame(
+        prior_rows, "fold int, cls long, log_prior double"
     )
 
-    # --- driver-side model assembly (pure-integer partials → the
-    # exact double expressions the engine-side plan used to run) ---
+    # PASS 2 — score every test row against every class of its fold's
+    # model. Clamp at -1e4 so a degenerate (class, dim) variance cannot
+    # overflow the fixed-point accumulator (argmax is unaffected).
+    ll_dim = F.greatest(
+        F.lit(-0.5) * (F.lit(_LN_2PI) + F.log(F.col("var")))
+        - (F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu"))
+        / (F.lit(2.0) * F.col("var")),
+        F.lit(-1e4),
+    )
+    scored = (
+        long.join(F.broadcast(cand), ["fold", "dim"])
+        .groupBy("id", "y", "fold", "cls")
+        .agg((F.sum(F.round(ll_dim * F.lit(Q30)).cast("long")) / F.lit(float(Q30))).alias("ll"))
+        .join(F.broadcast(priors), ["fold", "cls"])
+        .withColumn("score", F.col("ll") + F.col("log_prior"))
+    )
+    # Argmax as a max-of-struct aggregation, not a row_number window:
+    # a window would exchange + SORT the whole scored table by id; the
+    # hash agg partial-aggregates map-side and never sorts. Tie-break
+    # matches ORDER BY score DESC, cls ASC via the -cls struct field.
+    pred = (
+        scored.groupBy("id", "y", "fold")
+        .agg(
+            F.max(
+                F.struct(F.col("score"), (-F.col("cls")).alias("_nc"), F.col("cls"))
+            )["cls"].alias("pred")
+        )
+    )
+    return _fold_accuracy(pred)
+
+
+def _fold_accuracy(pred: DataFrame) -> DataFrame:
+    return (
+        pred.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            (
+                F.sum(F.when(F.col("pred") == F.col("y"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("accuracy"),
+        )
+        .orderBy("fold")
+    )
+
+
+def _assemble_model(cells: list, n_folds: int, var_smoothing: float):
+    """Driver-side model assembly (pure-integer partials → the exact
+    double expressions the engine-side plan used to run). Returns
+    (cand_rows, prior_rows): per-(test-fold, class) train-split
+    means/variances with sklearn's ADAPTIVE smoothing, and log
+    priors."""
     s1 = {(c["fold"], c["y"], c["dim"]): c["s1"] for c in cells}
     s2 = {(c["fold"], c["y"], c["dim"]): c["s2"] for c in cells}
     cnt = {(c["fold"], c["y"], c["dim"]): c["cnt"] for c in cells}
@@ -142,49 +205,100 @@ def gaussian_nb_cv_accuracy(
                 (f, y, math.log(n_tr_y / float(n_tot - n_fold[f])))
             )
 
-    cand = spark.createDataFrame(
-        cand_rows, "fold int, cls long, dim int, mu double, var double"
-    )
-    priors = spark.createDataFrame(
-        prior_rows, "fold int, cls long, log_prior double"
-    )
+    return cand_rows, prior_rows
 
-    # PASS 2 — score every test row against every class of its fold's
-    # model. Clamp at -1e4 so a degenerate (class, dim) variance cannot
-    # overflow the fixed-point accumulator (argmax is unaffected).
-    ll_dim = F.greatest(
-        F.lit(-0.5) * (F.lit(_LN_2PI) + F.log(F.col("var")))
-        - (F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu"))
-        / (F.lit(2.0) * F.col("var")),
-        F.lit(-1e4),
+
+def gaussian_nb_cv_accuracy_wide(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    n_folds: int = 5,
+    salt: str = "nb",
+    var_smoothing: float = 1e-9,
+) -> DataFrame:
+    """C6 at WIDE vector dimensionality (the reference's raw 20,531-
+    feature Gene view, nb_classification.py on the un-embedded
+    inputs). Identical model to gaussian_nb_cv_accuracy — same
+    fixed-point sufficient statistics (one shuffle), same driver
+    assembly, same per-dim Q30-quantized log-likelihood and
+    score-then-smallest-class tie-break — but the scoring pass is an
+    Arrow-batched numpy kernel with the model BROADCAST instead of a
+    per-class row-expansion join: at d=21,577 the relational scorer
+    explodes 1,866 rows into 40M (dim, x) rows and re-expands them
+    x classes through a hash aggregation, all to compute what is one
+    (batch x dim) @ per-class reduction — the classic case where the
+    built-in operators genuinely can't express the batch-matrix
+    semantics efficiently and a Pandas-batched kernel is the scale
+    path. Scoring shuffles NOTHING (one final fold-count agg only).
+
+    int64 per-dim quantization makes the numpy sum order-independent,
+    so results are partition-independent and match the relational
+    twin exactly up to sub-ulp engine log() differences (verified
+    equal on the fixture in tests/test_operators.py).
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    spark = df.sparkSession
+    base = df.select(
+        F.col(key_col).alias("id"),
+        F.col(label_col).cast("long").alias("y"),
+        md5_bucket(key_col, n_folds, salt).alias("fold"),
+        to_double(vec_col).alias("vec"),
     )
-    scored = (
-        long.join(F.broadcast(cand), ["fold", "dim"])
-        .groupBy("id", "y", "fold", "cls")
-        .agg((F.sum(F.round(ll_dim * F.lit(Q30)).cast("long")) / F.lit(float(Q30))).alias("ll"))
-        .join(F.broadcast(priors), ["fold", "cls"])
-        .withColumn("score", F.col("ll") + F.col("log_prior"))
+    cells = _suff_stats(base)
+    cand_rows, prior_rows = _assemble_model(cells, n_folds, var_smoothing)
+
+    dims = sorted({d for _, _, d, _, _ in cand_rows})
+    d_all = len(dims)
+    model: dict[int, dict] = {}
+    for f in range(n_folds):
+        classes = sorted({y for ff, y, *_ in cand_rows if ff == f})
+        if not classes:
+            continue
+        c_idx = {y: i for i, y in enumerate(classes)}
+        mu = np.zeros((len(classes), d_all))
+        var = np.ones((len(classes), d_all))
+        for ff, y, d, m, v in cand_rows:
+            if ff == f:
+                mu[c_idx[y], d] = m
+                var[c_idx[y], d] = v
+        lp = np.zeros(len(classes))
+        for ff, y, p in prior_rows:
+            if ff == f:
+                lp[c_idx[y]] = p
+        model[f] = {"classes": np.array(classes), "mu": mu, "var": var, "lp": lp}
+    bmodel = spark.sparkContext.broadcast(model)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m = bmodel.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for f, grp in pdf.groupby("fold"):
+                fm = m[int(f)]
+                x = np.stack(grp["vec"].to_numpy())
+                scores = np.empty((len(grp), len(fm["classes"])))
+                for ci in range(len(fm["classes"])):
+                    ll = (
+                        -0.5 * (_LN_2PI + np.log(fm["var"][ci]))
+                        - (x - fm["mu"][ci]) ** 2 / (2.0 * fm["var"][ci])
+                    )
+                    np.maximum(ll, -1e4, out=ll)  # same degenerate-var clamp
+                    q = np.rint(ll * Q30).astype(np.int64).sum(axis=1)
+                    scores[:, ci] = q / float(Q30) + fm["lp"][ci]
+                # argmax returns the FIRST max: classes ascending ==
+                # the relational score-DESC-then-cls-ASC tie-break
+                pred = fm["classes"][np.argmax(scores, axis=1)]
+                out.append(pd.DataFrame(
+                    {"fold": int(f), "y": grp["y"].to_numpy(), "pred": pred}
+                ))
+            yield pd.concat(out, ignore_index=True)
+
+    pred = base.select("fold", "y", "vec").mapInPandas(
+        score, "fold int, y long, pred long"
     )
-    # Argmax as a max-of-struct aggregation, not a row_number window:
-    # a window would exchange + SORT the whole scored table by id; the
-    # hash agg partial-aggregates map-side and never sorts. Tie-break
-    # matches ORDER BY score DESC, cls ASC via the -cls struct field.
-    pred = (
-        scored.groupBy("id", "y", "fold")
-        .agg(
-            F.max(
-                F.struct(F.col("score"), (-F.col("cls")).alias("_nc"), F.col("cls"))
-            )["cls"].alias("pred")
-        )
-    )
-    return (
-        pred.groupBy("fold")
-        .agg(
-            F.count(F.lit(1)).alias("n_test"),
-            (
-                F.sum(F.when(F.col("pred") == F.col("y"), 1).otherwise(0)).cast("double")
-                / F.count(F.lit(1)).cast("double")
-            ).alias("accuracy"),
-        )
-        .orderBy("fold")
-    )
+    return _fold_accuracy(pred)

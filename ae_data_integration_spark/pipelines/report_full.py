@@ -1,0 +1,267 @@
+"""The §3.3 evaluation "report query" (AE_results.ipynb cells 67-134).
+
+The reference's final deliverable is a table comparing GaussianNB
+5-fold CV accuracy across 12 feature sets (AE_results.ipynb cells
+119-124, nb_classification.py:27-29): the three raw inputs (Gene,
+miRNA, concat), the 8 AE embeddings, and the JIVE baseline features.
+``nb_feature_set_report`` is that query on this engine, end to end
+from the two raw matrix files:
+
+    ingest both views (S1 melt-transpose) → align (P1) → labels (P2)
+    → seed-42 stratified split (R1) → per-split min-max scale (N1)
+    → per-feature-set vectors (raw / C8 spec inference / J6 concat)
+    → GaussianNB k-fold CV per set (C6) → tidy summary table
+
+Scale design: every stage is the operator already scale-audited in
+its own module — the matrices stream through one sample-keyed
+shuffle (sources/matrix_io), inference is Arrow-batched mapInPandas
+with broadcast weights (operators/inference), NB is two distributed
+passes with a model-sized driver assembly (operators/nb). The only
+driver-held state is model-sized: NB sufficient statistics and the
+12-row summary.
+
+JIVE note: the reference does not COMPUTE JIVE — it loads component
+scores produced offline by the R `r.jive` package and concatenates
+them (J6, AE_results.ipynb cells 108-116). The engine mirrors that
+contract: `projection_scores` produces deterministic per-view +
+joint component scores (md5-seeded Gaussian projections — the
+loadable-scores stand-in) and the J6 concat is exercised for real;
+swap in genuine JIVE score files via the same (sample_id, scores)
+frame when they exist.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ae_data_integration_spark.models.specs import ARCHITECTURES
+from ae_data_integration_spark.operators.inference import embed_and_recon
+from ae_data_integration_spark.operators.nb import (
+    gaussian_nb_cv_accuracy,
+    gaussian_nb_cv_accuracy_wide,
+)
+from ae_data_integration_spark.operators.scale import label_encode, minmax_scale_features
+from ae_data_integration_spark.operators.splits import stratified_split
+from ae_data_integration_spark.sources.matrix_io import (
+    align_views,
+    assert_aligned,
+    derive_labels,
+    read_matrix_wide,
+)
+
+
+def scale_views_per_split(df: DataFrame) -> DataFrame:
+    """N1 on both views of one split (the reference's refit-per-split
+    quirk: scaler fit on train and test INDEPENDENTLY,
+    Data_prep.py:61-67)."""
+    out = df.withColumnRenamed("features_v1", "features")
+    out = minmax_scale_features(out, "features").withColumnRenamed(
+        "features", "features_v1"
+    )
+    out = out.withColumnRenamed("features_v2", "features")
+    out = minmax_scale_features(out, "features").withColumnRenamed(
+        "features", "features_v2"
+    )
+    return out
+
+
+def projection_scores(
+    df: DataFrame,
+    view_dims: tuple[int, int],
+    rank: int = 8,
+    salt: str = "jive",
+    key_col: str = "sample_id",
+    v1_col: str = "features_v1",
+    v2_col: str = "features_v2",
+) -> DataFrame:
+    """J6 feature build: joint + per-view component scores, concatenated
+    [joint | v1 | v2] into one 3*rank vector per sample.
+
+    Stand-in for the reference's externally-computed JIVE scores (R
+    `r.jive`, loaded from CSV in AE_results.ipynb cells 108-116): the
+    projection matrices are md5-seeded Gaussian (deterministic on any
+    machine), broadcast once per executor (~(d1+d2)*rank doubles), and
+    applied in Arrow-batched mapInPandas — the exact plumbing genuine
+    JIVE score files would flow through via S2 + J6.
+    """
+    import hashlib
+
+    spark = df.sparkSession
+    d1, d2 = view_dims
+
+    def _mat(name: str, d: int) -> np.ndarray:
+        seed = int(hashlib.md5(f"{salt}:{name}".encode()).hexdigest()[:12], 16)
+        rng = np.random.default_rng(seed)
+        return rng.standard_normal((d, rank)) / math.sqrt(d)
+
+    bp = spark.sparkContext.broadcast(
+        {"j": _mat("joint", d1 + d2), "v1": _mat("v1", d1), "v2": _mat("v2", d2)}
+    )
+    schema = f"{key_col} string, scores array<double>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = bp.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x1 = np.stack(pdf[v1_col].to_numpy())
+            x2 = np.stack(pdf[v2_col].to_numpy())
+            xj = np.concatenate([x1, x2], axis=1)
+            scores = np.concatenate(
+                [xj @ p["j"], x1 @ p["v1"], x2 @ p["v2"]], axis=1
+            )
+            yield pd.DataFrame(
+                {key_col: pdf[key_col].astype(str), "scores": list(scores)}
+            )
+
+    return df.mapInPandas(run, schema)
+
+
+def prepare_scaled_views(
+    spark: SparkSession,
+    view1_path: str,
+    view2_path: str,
+    train_prop: float = 0.8,
+) -> tuple[DataFrame, dict, tuple[int, int]]:
+    """Ingest → align → label → split → per-split scale. Returns
+    (all_scaled with int labels, split_counts, (d1, d2))."""
+    # The melt-transpose is the expensive lineage step at real width
+    # (38M cells through one sample-keyed shuffle); persist both views
+    # so the alignment gate, split counts, and the four per-split
+    # scale passes never recompute it.
+    v1 = read_matrix_wide(spark, view1_path).persist()
+    v2 = read_matrix_wide(spark, view2_path).persist()
+    assert_aligned(v1, v2)
+    both = derive_labels(align_views(v1, v2))
+    split = stratified_split(both, "label", "sample_id", train_prop, salt="42")
+    train_df = split.filter(F.col("is_train"))
+    test_df = split.filter(~F.col("is_train"))
+    split_counts = {"n_train": train_df.count(), "n_test": test_df.count()}
+
+    all_scaled = scale_views_per_split(train_df).unionByName(
+        scale_views_per_split(test_df)
+    )
+    enc = label_encode(
+        split.select("sample_id", "label"), "label", "label_id"
+    ).select("sample_id", F.col("label_id").cast("int").alias("y"))
+    all_scaled = (
+        all_scaled.join(F.broadcast(enc), "sample_id")
+        .select("sample_id", F.col("y").alias("label"),
+                "features_v1", "features_v2")
+        .persist()
+    )
+    dims = all_scaled.select(
+        F.size("features_v1").alias("d1"), F.size("features_v2").alias("d2")
+    ).first()
+    all_scaled.count()  # materialize, then release the source caches
+    v1.unpersist()
+    v2.unpersist()
+    return all_scaled, split_counts, (int(dims["d1"]), int(dims["d2"]))
+
+
+def nb_feature_set_report(
+    spark: SparkSession,
+    view1_path: str,
+    view2_path: str,
+    n_folds: int = 5,
+    archs: tuple[str, ...] | None = None,
+    jive_rank: int = 8,
+    train_prop: float = 0.8,
+    prepared: tuple[DataFrame, dict, tuple[int, int]] | None = None,
+    extra_sets: dict[str, DataFrame] | None = None,
+) -> tuple[DataFrame, dict]:
+    """The cells-121/124 comparison table: one row per feature set with
+    GaussianNB k-fold CV accuracy mean/std (np.std ddof=0, the
+    notebook's convention). Returns (summary DataFrame, split_counts).
+
+    Feature sets, matching the notebook's 12: raw_gene, raw_mirna,
+    raw_concat, ae_<each of the 8 architectures>, jive_concat.
+
+    ``prepared`` short-circuits ingestion with an existing
+    prepare_scaled_views result (the caller keeps ownership of its
+    persist). ``extra_sets`` appends caller-supplied feature frames
+    (sample_id, label, vec) to the comparison — e.g. the embedding of
+    an actually-RETRAINED model from run_reference_pipeline, the
+    notebook's cells 88-106 flow.
+    """
+    archs = tuple(ARCHITECTURES) if archs is None else archs
+    if prepared is None:
+        all_scaled, split_counts, (d1, d2) = prepare_scaled_views(
+            spark, view1_path, view2_path, train_prop
+        )
+    else:
+        all_scaled, split_counts, (d1, d2) = prepared
+    labels = all_scaled.select("sample_id", "label")
+
+    def nb_rows(vec_df: DataFrame, dim: int, name: str) -> dict:
+        # Above ~256 dims the per-class row-expansion scorer is strictly
+        # worse than the broadcast-model Arrow kernel (same model, same
+        # quantized scores — operators/nb.py); the raw 20,531/21,577-d
+        # sets route through the wide path, embeddings stay relational.
+        nb = gaussian_nb_cv_accuracy if dim <= 256 else gaussian_nb_cv_accuracy_wide
+        rows = nb(
+            vec_df, "sample_id", "label", "vec", n_folds=n_folds, salt="nb"
+        ).collect()
+        accs = [r["accuracy"] for r in sorted(rows, key=lambda r: r["fold"])]
+        mean = sum(accs) / len(accs)
+        return {
+            "feature_set": name,
+            "dim": dim,
+            "folds": len(accs),
+            "acc_mean": mean,
+            "acc_std": math.sqrt(sum((a - mean) ** 2 for a in accs) / len(accs)),
+        }
+
+    out = []
+    # Raw feature sets (cells 119-120: Gene / miRNA / concatenated).
+    out.append(nb_rows(
+        all_scaled.select("sample_id", "label",
+                          F.col("features_v1").alias("vec")),
+        d1, "raw_gene"))
+    out.append(nb_rows(
+        all_scaled.select("sample_id", "label",
+                          F.col("features_v2").alias("vec")),
+        d2, "raw_mirna"))
+    out.append(nb_rows(
+        all_scaled.select("sample_id", "label",
+                          F.concat("features_v1", "features_v2").alias("vec")),
+        d1 + d2, "raw_concat"))
+
+    # The 8 AE embeddings (cells 88-106 extraction → 121 comparison),
+    # spec-built deterministic weights at the REAL view widths.
+    for arch in archs:
+        emb = embed_and_recon(
+            all_scaled, arch, "sample_id", view_dims=(d1, d2),
+            key_type="string",
+        ).join(F.broadcast(labels), "sample_id")
+        emb_dim = len(emb.select("embedding").first()[0])
+        out.append(nb_rows(
+            emb.select("sample_id", "label", F.col("embedding").alias("vec")),
+            emb_dim, f"ae_{arch}"))
+
+    # JIVE baseline (cells 108-116 → 124): J6 concat of joint +
+    # per-view component scores.
+    jive = projection_scores(
+        all_scaled, (d1, d2), rank=jive_rank
+    ).join(F.broadcast(labels), "sample_id")
+    out.append(nb_rows(
+        jive.select("sample_id", "label", F.col("scores").alias("vec")),
+        3 * jive_rank, "jive_concat"))
+
+    for name, vec_df in (extra_sets or {}).items():
+        dim = len(vec_df.select("vec").first()[0])
+        out.append(nb_rows(vec_df, dim, name))
+
+    if prepared is None:
+        all_scaled.unpersist()
+    summary = spark.createDataFrame(
+        pd.DataFrame(out),
+        "feature_set string, dim int, folds int, acc_mean double, acc_std double",
+    )
+    return summary, split_counts

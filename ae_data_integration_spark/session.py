@@ -40,7 +40,12 @@ def get_spark(app_name: str = "ae_data_integration_spark",
         # The events table stores TIMESTAMP(NANOS) parquet, which Spark
         # has no native type for — read as long and convert (tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local[32] runs every task inside the driver JVM: 32 concurrent
+        # tasks each buffering shuffle writes for the wide-matrix melt
+        # (38M cells, tests/test_report_full_width.py) OOM an 8g heap
+        # intermittently. The container has 128 GiB; 20g leaves head-
+        # room without starving the OS page cache the parquet scans use.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "20g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -34,37 +34,44 @@ def read_matrix_long(
     the transpose is a streaming melt, never a wide pivot
     (SURVEY §4.2b).
     """
-    raw = spark.read.option("sep", sep).option("header", True).csv(path)
-    sample_ids = [c for c in raw.columns[1:]]
-    feat_col = raw.columns[0]
+    # Parse as raw text + one split per line, not a 1,866-column CSV
+    # scan: at the reference's real width the per-row build of one
+    # struct per sample column dominated the melt (measured 20 s for
+    # the 20,531x1,866 matrix vs 1.7 s for this form — the generated
+    # code is a single split + slice + vectorized cast). The header
+    # line is fetched once (first line of the first file) and becomes
+    # a broadcast literal array; sample_id attaches by position via
+    # element_at, so no per-sample expression exists anywhere.
+    txt = spark.read.text(path)
+    header = txt.first()["value"]
+    sample_ids = header.split(sep)[1:]
+    parts = F.split(F.regexp_replace("value", "\r$", ""), sep)
     # Stable feature index from source order: the file is one feature
     # per row; use a monotonic id over a single input file ordering.
     # (monotonically_increasing_id is partition-ordered; for
     # multi-part inputs a source row number column is required.)
-    with_idx = raw.withColumn("_fidx", F.monotonically_increasing_id())
-    # Sample ids routinely contain dots ("Group1.Time1.Rep1") —
-    # backtick-quote every column reference.
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(s).alias("sample_id"),
-                F.col(f"`{s}`").cast("double").alias("value"),
-            )
-            for s in sample_ids
-        ]
+    # try_cast, not cast: (a) the CSV reader this replaced produced
+    # NULL for malformed numerics, and (b) InferFiltersFromGenerate
+    # derives a `size(_vals) > 0` predicate from the posexplode that
+    # the optimizer may evaluate BEFORE the header-line filter — an
+    # ANSI cast there aborts the job on the header's sample-id fields.
+    data = txt.filter(F.col("value") != F.lit(header)).select(
+        F.monotonically_increasing_id().alias("feature_idx"),
+        parts.getItem(0).alias("feature_id"),
+        F.transform(
+            F.slice(parts, 2, len(sample_ids)), lambda x: x.try_cast("double")
+        ).alias("_vals"),
     )
-    return (
-        with_idx.select(
-            F.col(feat_col).alias("feature_id"),
-            F.col("_fidx").alias("feature_idx"),
-            F.explode(pairs).alias("p"),
-        )
-        .select(
-            F.col("p.sample_id").alias("sample_id"),
-            "feature_id",
-            "feature_idx",
-            F.col("p.value").alias("value"),
-        )
+    ids_lit = F.array(*[F.lit(s) for s in sample_ids])
+    return data.select(
+        "feature_id",
+        "feature_idx",
+        F.posexplode("_vals").alias("_spos", "value"),
+    ).select(
+        F.element_at(ids_lit, F.col("_spos") + 1).alias("sample_id"),
+        "feature_id",
+        "feature_idx",
+        "value",
     )
 
 

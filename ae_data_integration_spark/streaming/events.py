@@ -210,6 +210,49 @@ def sessionize_stream(
     )
 
 
+def sessionize_stream_native(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Sessionization via the BUILT-IN session window — the production
+    path at scale. Identical output contract to ``sessionize_stream``
+    (user_id, session_start_us, n_events emitted when the watermark
+    closes each session), but the merge/split, state, and emission all
+    run inside the JVM's streaming session-window aggregation: no
+    per-group Python invocation, no Arrow transfer, state in the
+    state store as a native aggregate.
+
+    This exists because the measured wall on the custom-state path is
+    NOT the engine: applyInPandasWithState costs one Python call +
+    Arrow round-trip per (user, micro-batch) (~0.4 ms), which caps a
+    10k-user replay at ~25k rows/s regardless of data size. The
+    native window removes exactly that term; ``sessionize_stream``
+    remains the harness for session logic a built-in aggregate cannot
+    express (per-event custom emission, cross-field state machines).
+
+    Boundary parity: session_window(gap) merges events with
+    diff < gap, while e2/sessionize_stream keep a session alive on
+    diff <= gap — so the window length is gap + 1 µs, making the two
+    paths EQUAL on every input (asserted stream==batch in
+    tests/test_streaming.py).
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_us + 1} microseconds"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
 def dedup_keys_stream(
     events: DataFrame,
     keys: tuple[str, ...] = ("user_id", "event_type"),

@@ -1,11 +1,32 @@
 #!/usr/bin/env python3
-"""Cross-round bench trend: compare the latest BENCH_r*.json per-query
-times against each query's best previously-recorded time and flag
-regressions beyond a threshold (default 2x).
+"""Cross-round bench trend with protocol-aware baselines.
 
-Usage: python scripts/bench_trend.py [--threshold 2.0] [bench.json ...]
-With no files given, globs BENCH_r*.json in the repo root. Exits 1 if
-any query in the newest file regressed beyond the threshold.
+Rounds 1-6 mixed measurement protocols (r5: hot shared JVM; r6:
+fresh-JVM isolated for the top-5 and min-of-both reported), so naive
+cross-round deltas measured JVM warmth, not plan changes (verified in
+round 6: c6_gaussian_nb_cv timed ~2.12 s under BOTH the r5 and r6
+commits while the trend line showed 1.534 -> 3.165). Round 7 pinned
+the protocol and recorded a one-shot BENCH_STEADY.json holding BOTH
+legs for every bench query:
+
+- "shared":   one warm JVM, min-of-3 after a full warmup pass
+              (bench.py's shared-session numbers);
+- "isolated": fresh JVM per query, min-of-3 after 1 warmup rep
+              (bench.py's isolation re-timing numbers).
+
+When BENCH_STEADY.json exists, the newest BENCH_r*.json is compared
+against it LIKE PROTOCOL TO LIKE: a query that appears in the round's
+"isolation_check" was reported under the isolated protocol and
+compares against the steady isolated leg; every other query compares
+against the steady shared leg. Earlier BENCH_r*.json files are never
+used as a regression baseline (they are protocol-mixed history).
+
+Without BENCH_STEADY.json the legacy best-prior-round comparison runs
+(still useful on a fresh checkout).
+
+Usage: python scripts/bench_trend.py [--threshold 1.5] [bench.json ...]
+Exits 1 if any query in the newest file regressed beyond the
+threshold vs its like-protocol steady baseline.
 """
 
 from __future__ import annotations
@@ -16,61 +37,106 @@ import json
 import os
 import sys
 
+ROOT = os.path.join(os.path.dirname(__file__), "..")
+
+
+def _load(path: str) -> dict | None:
+    try:
+        with open(path) as fh:
+            d = json.load(fh)
+        # driver-recorded BENCH_r*.json wraps the bench line under
+        # "parsed"; bench.py's own stdout is the flat form
+        return d.get("parsed", d)
+    except (json.JSONDecodeError, OSError) as e:
+        print(f"skip {path}: {e}")
+        return None
+
+
+def _steady_compare(latest_name: str, latest: dict, steady: dict,
+                    threshold: float) -> int:
+    shared = steady["protocols"].get("shared", {})
+    isolated = steady["protocols"].get("isolated", {})
+    iso_keys = set(latest.get("isolation_check", {}))
+    bad = []
+    print(f"{latest_name} vs BENCH_STEADY (like protocol to like):")
+    for q in sorted(latest["queries"]):
+        t = latest["queries"][q]
+        proto = "isolated" if q in iso_keys else "shared"
+        base = (isolated if q in iso_keys else shared).get(q)
+        if base is None:
+            print(f"  {q:32s} {t:7.3f}s  (new — no steady baseline)")
+            continue
+        ratio = t / base if base > 0 else float("inf")
+        flag = " <-- REGRESSION" if ratio > threshold else ""
+        print(f"  {q:32s} {t:7.3f}s  steady[{proto}] {base:7.3f}s"
+              f"  x{ratio:.2f}{flag}")
+        if ratio > threshold:
+            bad.append(q)
+    if bad:
+        print(f"\n{len(bad)} queries beyond {threshold}x vs steady: "
+              f"{', '.join(bad)}")
+        return 1
+    print("\nno regressions beyond threshold vs steady baseline")
+    return 0
+
+
+def _legacy_compare(rounds: list, threshold: float) -> int:
+    latest_name, latest = rounds[-1]
+    best_prior: dict[str, float] = {}
+    for _, d in rounds[:-1]:
+        for q, t in d["queries"].items():
+            if q not in best_prior or t < best_prior[q]:
+                best_prior[q] = t
+    bad = []
+    print(f"{latest_name} vs best prior ({len(rounds) - 1} rounds) — "
+          "WARNING: protocol-mixed history, deltas may be warmth:")
+    for q in sorted(latest["queries"]):
+        t = latest["queries"][q]
+        prior = best_prior.get(q)
+        if prior is None:
+            print(f"  {q:32s} {t:7.3f}s  (new)")
+            continue
+        ratio = t / prior if prior > 0 else float("inf")
+        flag = " <-- REGRESSION" if ratio > threshold else ""
+        print(f"  {q:32s} {t:7.3f}s  best {prior:7.3f}s  x{ratio:.2f}{flag}")
+        if ratio > threshold:
+            bad.append(q)
+    if bad:
+        print(f"\n{len(bad)} queries beyond {threshold}x: {', '.join(bad)}")
+        return 1
+    print("\nno regressions beyond threshold")
+    return 0
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("files", nargs="*", help="bench JSON files, oldest first")
-    ap.add_argument("--threshold", type=float, default=2.0)
+    ap.add_argument("--threshold", type=float, default=1.5,
+                    help="flag ratio vs like-protocol baseline (default 1.5; "
+                         "legacy best-prior mode uses max(threshold, 2.0))")
     args = ap.parse_args()
 
-    files = args.files or sorted(
-        glob.glob(os.path.join(os.path.dirname(__file__), "..", "BENCH_r*.json"))
-    )
-    if len(files) < 2:
-        print(f"need >= 2 bench files, found {len(files)} — nothing to compare")
+    files = args.files or sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+    rounds = [
+        (os.path.basename(f), d)
+        for f in files
+        if (d := _load(f)) and d.get("queries")
+    ]
+    if not rounds:
+        print("no usable bench files — nothing to compare")
         return 0
 
-    rounds = []
-    for f in files:
-        try:
-            with open(f) as fh:
-                d = json.load(fh)
-            # driver-recorded BENCH_r*.json wraps the bench line under
-            # "parsed"; bench.py's own stdout is the flat form
-            d = d.get("parsed", d)
-            if d and d.get("queries"):
-                rounds.append((os.path.basename(f), d["queries"]))
-        except (json.JSONDecodeError, OSError) as e:
-            print(f"skip {f}: {e}")
+    steady_path = os.path.join(ROOT, "BENCH_STEADY.json")
+    if os.path.exists(steady_path):
+        steady = _load(steady_path)
+        if steady and steady.get("protocols"):
+            return _steady_compare(*rounds[-1], steady, args.threshold)
+
     if len(rounds) < 2:
-        print("fewer than 2 usable rounds — nothing to compare")
+        print("fewer than 2 usable rounds and no BENCH_STEADY.json — "
+              "nothing to compare")
         return 0
-
-    latest_name, latest = rounds[-1]
-    best_prior: dict[str, float] = {}
-    for _, qs in rounds[:-1]:
-        for q, t in qs.items():
-            if q not in best_prior or t < best_prior[q]:
-                best_prior[q] = t
-
-    bad = []
-    print(f"{latest_name} vs best prior ({len(rounds) - 1} rounds):")
-    for q in sorted(latest):
-        t = latest[q]
-        prior = best_prior.get(q)
-        if prior is None:
-            print(f"  {q:28s} {t:7.3f}s  (new)")
-            continue
-        ratio = t / prior if prior > 0 else float("inf")
-        flag = " <-- REGRESSION" if ratio > args.threshold else ""
-        print(f"  {q:28s} {t:7.3f}s  best {prior:7.3f}s  x{ratio:.2f}{flag}")
-        if ratio > args.threshold:
-            bad.append(q)
-    if bad:
-        print(f"\n{len(bad)} queries beyond {args.threshold}x: {', '.join(bad)}")
-        return 1
-    print("\nno regressions beyond threshold")
-    return 0
+    return _legacy_compare(rounds, max(args.threshold, 2.0))
 
 
 if __name__ == "__main__":

@@ -47,6 +47,23 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEFAULT_SRC = "/root/testdata/sf0.1"
 DEFAULT_OUT = os.path.join(REPO, ".benchdata", "sf1")
 
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def cipher(i: int) -> str:
+    """Replica i's substitution alphabet: a full md5-ranked permutation
+    of [a-z] (portable, no RNG state). A bijection on characters maps
+    word/shingle sets bijectively (intra-replica Jaccard preserved
+    exactly) and is distinct for EVERY replica — unlike the caesar
+    shift this replaced, which repeated every 26 replicas and made
+    factor>26 corpora carry byte-identical cross-replica duplicates
+    (tests/test_scale_generator.py)."""
+    import hashlib
+
+    return "".join(sorted(
+        _ALPHA, key=lambda c: hashlib.md5(f"perm{i}:{c}".encode()).hexdigest()
+    ))
+
 
 def generate(src: str = DEFAULT_SRC, out: str = DEFAULT_OUT, factor: int = 10) -> str:
     os.makedirs(out, exist_ok=True)
@@ -105,10 +122,17 @@ def generate(src: str = DEFAULT_SRC, out: str = DEFAULT_OUT, factor: int = 10) -
                user_id + i * {u_span} AS user_id,
                event_type, value, props
         FROM {rp('events')}, {reps}""")
-    alpha = "abcdefghijklmnopqrstuvwxyz"
+    # Per-replica SUBSTITUTION CIPHER (full md5-seeded permutation of
+    # [a-z]), not a caesar shift: caesar has only 25 distinct
+    # non-identity rotations, so at factor > 26 replicas 26 apart got
+    # byte-identical texts — every doc acquired exact cross-replica
+    # duplicates and any dedup op inflated quadratically (the same
+    # class of data artifact the round-6 docstring warns about). A
+    # permutation is still a bijection on characters, so word/shingle
+    # sets map bijectively and intra-replica Jaccard/minhash structure
+    # stays EXACTLY the original corpus's at any factor.
     rot_cases = " ".join(
-        f"WHEN {i} THEN translate(text, '{alpha}', "
-        f"'{alpha[(3 * i) % 26:] + alpha[:(3 * i) % 26]}')"
+        f"WHEN {i} THEN translate(text, '{_ALPHA}', '{cipher(i)}')"
         for i in range(1, factor)
     )
     copy("documents", f"""

@@ -497,3 +497,72 @@ def test_incremental_cms_maintenance_matches_batch(spark, tmp_path):
 
     want = {(r.r, r.b): r.cnt for r in cms_build(ev, "user_id", d=4, w=64).collect()}
     assert state == want
+
+
+def test_native_session_window_matches_custom_state_and_batch(spark, tmp_path):
+    """sessionize_stream_native (built-in session_window, the
+    production path) emits EXACTLY the sessions the custom-state
+    stream and the batch e2 logic find — including the diff == gap
+    boundary, which the +1µs window length exists for. Same sentinel
+    harness as the custom-state test: a far-future event per user
+    closes every real session; sentinel sessions stay open and are
+    never emitted in append mode."""
+    from ae_data_integration_spark.streaming.events import (
+        run_available_now,
+        sessionize_stream_native,
+    )
+
+    ev = table(spark, SF_SMOKE, "events").select("user_id", "event_id", "ts")
+    ten_days_us = 10 * 24 * 3600 * 1_000_000
+    mx_us = ev.agg(F.max(F.unix_micros("ts")).alias("m")).first()["m"] + ten_days_us
+    flush = ev.select("user_id").distinct().select(
+        "user_id",
+        F.lit(-1).cast("long").alias("event_id"),
+        F.timestamp_micros(F.lit(mx_us)).alias("ts"),
+    )
+    # one exact-gap pair per harness run: user A's second event lands
+    # precisely 30 min after the first — must stay ONE session on
+    # every path (e2 keeps diff <= gap together)
+    u0 = ev.select(F.min("user_id")).first()[0]
+    t0 = ev.filter(F.col("user_id") == u0).agg(
+        F.min(F.unix_micros("ts"))
+    ).first()[0]
+    edge = spark.createDataFrame(
+        [(int(u0), -2, t0 + 1_800_000_000)], "user_id long, event_id long, ts_us long"
+    ).select("user_id", "event_id", F.timestamp_micros("ts_us").alias("ts"))
+    full = ev.unionByName(edge)
+    src = str(tmp_path / "sess_native_src")
+    full.unionByName(flush).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    run_available_now(sessionize_stream_native(stream), "t_sess_nat", mode="append")
+    got = sorted(
+        (r["user_id"], r["session_start_us"], r["n_events"])
+        for r in spark.table("t_sess_nat").collect()
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    base = full.select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
+    flagged = base.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sess_id", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    want = sorted(
+        (r["user_id"], r["session_start_us"], r["n_events"])
+        for r in sess.groupBy("user_id", "sess_id")
+        .agg(F.min("ts_us").alias("session_start_us"), F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    assert got == want
+    # the exact-gap edge event joined the session that starts at t0
+    # (diff == gap keeps the session alive on every path)
+    assert any(u == u0 and s == t0 and n >= 2 for u, s, n in got)
