@@ -115,3 +115,22 @@ ORDER BY fold
 def c6_gaussian_nb_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     return gaussian_nb_cv_accuracy(e, "vec_id", "label", "embedding", n_folds=5, salt="nb")
+
+
+@register("c6b_nb_wide_scorer", oracle=_C6_SQL,
+          doc="The SAME GaussianNB model through the wide-vector scale "
+              "path (operators/nb.gaussian_nb_cv_accuracy_wide: broadcast "
+              "model + Arrow-batched numpy scoring, zero scoring shuffle "
+              "— the path the 20,531-feature report sets use) against the "
+              "IDENTICAL DuckDB oracle as c6 — a value-hash proof the "
+              "Python kernel reproduces the relational scorer bit-for-bit "
+              "(int64-quantized per-dim log-likelihoods, first-max "
+              "tie-break == score DESC, cls ASC).",
+          tags=("metrics", "ml"))
+def c6b_nb_wide_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.nb import gaussian_nb_cv_accuracy_wide
+
+    e = table(spark, sf_dir, "embeddings")
+    return gaussian_nb_cv_accuracy_wide(
+        e, "vec_id", "label", "embedding", n_folds=5, salt="nb"
+    )
