@@ -19,11 +19,16 @@ from ae_data_integration_spark.tables import table
 
 _LN_2PI = repr(float(math.log(2 * math.pi)))
 
-_C6_SQL = f"""
+
+def _c6_sql(vec_expr: str = "list_transform(embedding, x -> CAST(x AS DOUBLE))") -> str:
+    """The full GaussianNB-CV oracle for an arbitrary vector
+    expression over the embeddings table — the c6 text verbatim when
+    called with the default (rep3 reuses it per feature set)."""
+    return f"""
 WITH base AS (
   SELECT vec_id AS id, label AS y,
          CAST(('0x' || substr(md5('nb' || CAST(vec_id AS VARCHAR)), 1, 12)) AS BIGINT) % 5 AS fold,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+         {vec_expr} AS vec
   FROM embeddings
 ),
 long AS (
@@ -108,6 +113,9 @@ ORDER BY fold
 """
 
 
+_C6_SQL = _c6_sql()
+
+
 @register("c6_gaussian_nb_cv", oracle=_C6_SQL,
           doc="GaussianNB 5-fold CV accuracy as one-pass DataFrame aggs "
               "(ref nb_classification.py:1-38); total-minus-fold train stats.",
@@ -134,3 +142,62 @@ def c6b_nb_wide_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gaussian_nb_cv_accuracy_wide(
         e, "vec_id", "label", "embedding", n_folds=5, salt="nb"
     )
+
+
+# --- rep3: the §3.3 feature-set comparison table, fully oracled -------------
+# Fixture-scale twin of pipelines/report_full.nb_feature_set_report
+# (the cells-121/124 "report query"): the 64-d embedding stands in for
+# the concatenated views — v1 = dims 1-32, v2 = dims 33-64, concat =
+# all 64, fused = J4 mean of the halves — and the ENTIRE per-set
+# GaussianNB 5-fold CV (model fit, scoring, argmax, accuracy) is
+# replayed by the oracle once per feature set. The reference-width run
+# of the real report lives in tests/test_report_full_width.py; this
+# query puts the report's table SHAPE under the value-hash gate.
+
+_REP3_SETS = (
+    ("v1", "list_transform(embedding[1:32], x -> CAST(x AS DOUBLE))"),
+    ("v2", "list_transform(embedding[33:64], x -> CAST(x AS DOUBLE))"),
+    ("concat", "list_transform(embedding, x -> CAST(x AS DOUBLE))"),
+    ("fused_mean",
+     "list_transform(list_zip(embedding[1:32], embedding[33:64]),"
+     " p -> (CAST(p[1] AS DOUBLE) + CAST(p[2] AS DOUBLE)) / 2)"),
+)
+
+_REP3_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{name}' AS feature_set, fold, n_test, accuracy FROM ({_c6_sql(expr)})"
+    for name, expr in _REP3_SETS
+) + "\nORDER BY feature_set, fold"
+
+
+@register("rep3_nb_feature_table", oracle=_REP3_SQL,
+          doc="The AE_results feature-set comparison table (cells "
+              "121/124) as one oracled query: GaussianNB 5-fold CV per "
+              "feature set (view slices, concat, J4 mean-fuse of the "
+              "embedding halves), every per-fold accuracy value-hashed "
+              "— 4 full NB model fits replayed by the oracle.",
+          tags=("metrics", "ml", "report"))
+def rep3_nb_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    e = table(spark, sf_dir, "embeddings")
+    half1 = F.slice("embedding", 1, 32)
+    half2 = F.slice("embedding", 33, 32)
+    sets = {
+        "v1": e.select("vec_id", "label", half1.alias("vec")),
+        "v2": e.select("vec_id", "label", half2.alias("vec")),
+        "concat": e.select("vec_id", "label", F.col("embedding").alias("vec")),
+        "fused_mean": e.select(
+            "vec_id", "label",
+            F.zip_with(
+                half1, half2,
+                lambda a, b: (a.cast("double") + b.cast("double")) / 2,
+            ).alias("vec"),
+        ),
+    }
+    out = None
+    for name, df in sets.items():
+        acc = gaussian_nb_cv_accuracy(
+            df, "vec_id", "label", "vec", n_folds=5, salt="nb"
+        ).select(F.lit(name).alias("feature_set"), "fold", "n_test", "accuracy")
+        out = acc if out is None else out.unionByName(acc)
+    return out.orderBy("feature_set", "fold")

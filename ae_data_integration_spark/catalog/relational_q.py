@@ -1166,3 +1166,230 @@ def q22_cold_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# --- q2: min-cost supplier per part (correlated-min subquery) ---------------
+# TPC-H Q2 shape: for each part (in a brand slice), the supplier(s)
+# achieving the MINIMUM unit cost — the classic correlated scalar
+# subquery `WHERE cost = (SELECT MIN(cost) ... WHERE same part)`.
+# The schema has no partsupp, so lineitem is the part-supplier fact
+# and unit cost = extendedprice/quantity, quantized to fixed point so
+# the min-equality join is integer-exact cross-engine.
+
+_Q2_SQL = f"""
+WITH costs AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(round((l_extendedprice / l_quantity) * {Q20}) AS BIGINT)) AS unit_fp
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+best AS (SELECT l_partkey, MIN(unit_fp) AS min_fp FROM costs GROUP BY l_partkey)
+SELECT p.p_partkey, p.p_brand, s.s_name,
+       c.unit_fp / {Q20}.0 AS unit_cost
+FROM costs c
+JOIN best b ON b.l_partkey = c.l_partkey AND c.unit_fp = b.min_fp
+JOIN part p ON p.p_partkey = c.l_partkey AND p.p_brand = 'Brand#11'
+JOIN supplier s ON s.s_suppkey = c.l_suppkey
+ORDER BY p.p_partkey, s.s_name
+"""
+
+
+@register("q2_min_cost_supplier", oracle=_Q2_SQL,
+          doc="TPC-H Q2-shaped correlated-min subquery: per-part minimum "
+              "unit cost computed once (groupBy, persisted lineage shared "
+              "via the costs aggregate), matched back by integer-exact "
+              "fixed-point equality, brand dim filter pushed to the part "
+              "scan, supplier broadcast.",
+          tags=("relational", "join", "subquery"))
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    s = table(spark, sf_dir, "supplier")
+    unit_fp = fp(F.col("l_extendedprice") / F.col("l_quantity"), Q20)
+    costs = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(unit_fp).alias("unit_fp"))
+    )
+    best = costs.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_fp").alias("min_fp")
+    )
+    return (
+        costs.join(
+            best,
+            (F.col("b_partkey") == F.col("l_partkey"))
+            & (F.col("unit_fp") == F.col("min_fp")),
+        )
+        .join(
+            F.broadcast(p.filter(F.col("p_brand") == "Brand#11")
+                        .select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(s.select("s_suppkey", "s_name")),
+              F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "p_partkey", "p_brand", "s_name",
+            (F.col("unit_fp") / F.lit(float(Q20))).alias("unit_cost"),
+        )
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+# --- q11: important parts (group value vs global-share HAVING) --------------
+# TPC-H Q11 shape: per-part inventory value restricted to one
+# nation's suppliers, keeping parts whose value exceeds a FRACTION of
+# the global total — a HAVING clause against a scalar aggregate over
+# the same filtered fact.
+
+_Q11_SQL = f"""
+WITH nat_items AS (
+  SELECT l.l_partkey, l.l_extendedprice * (1 - l.l_discount) AS val
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_7'
+),
+per_part AS (
+  SELECT l_partkey, {fpsum_sql('val', Q20)} AS part_value
+  FROM nat_items GROUP BY l_partkey
+),
+total AS (SELECT SUM(part_value) AS tv FROM per_part)
+SELECT p.l_partkey AS p_partkey, p.part_value
+FROM per_part p CROSS JOIN total
+WHERE p.part_value > total.tv * 0.001
+ORDER BY p.part_value DESC, p_partkey
+"""
+
+
+@register("q11_important_parts", oracle=_Q11_SQL,
+          doc="TPC-H Q11-shaped global-share HAVING: one filtered fact "
+              "aggregate reused for both the per-part values and the "
+              "1-row global total (broadcast back, no second scan of "
+              "lineitem); fixed-point part values make the threshold "
+              "comparison portable. supplier/nation broadcast.",
+          tags=("relational", "join", "subquery", "agg"))
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    val = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    nat_items = (
+        li.join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+                F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n.filter(F.col("n_name") == "NATION_7")),
+              F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("l_partkey", val.alias("val"))
+    )
+    per_part = (
+        nat_items.groupBy("l_partkey")
+        .agg(fpsum("val", Q20).alias("part_value"))
+        .persist()
+    )
+    total = per_part.agg(F.sum("part_value").alias("tv"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("tv") * 0.001)
+        .select(F.col("l_partkey").alias("p_partkey"), "part_value")
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+# --- q19: disjunctive multi-clause predicate --------------------------------
+# TPC-H Q19 shape: revenue under an OR of three conjunctive clauses
+# mixing dim attributes (brand, size) and fact attributes (quantity)
+# — the pushdown/CNF-conversion stress test.
+
+_Q19_SQL = f"""
+SELECT {fpsum_sql('l.l_extendedprice * (1 - l.l_discount)', Q20)} AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("q19_disjunctive_filter", oracle=_Q19_SQL,
+          doc="TPC-H Q19-shaped disjunctive predicate: three OR'd "
+              "brand/size/quantity clauses — Catalyst extracts the "
+              "common l_quantity range for scan pushdown and the part "
+              "side broadcasts; one fixed-point aggregate out.",
+          tags=("relational", "join", "agg"))
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+
+    def clause(brand, size_hi, q_lo, q_hi):
+        return (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") >= 1) & (F.col("p_size") <= size_hi)
+            & (F.col("l_quantity") >= q_lo) & (F.col("l_quantity") <= q_hi)
+        )
+
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .filter(
+            clause("Brand#12", 15, 1, 11)
+            | clause("Brand#23", 25, 10, 20)
+            | clause("Brand#34", 35, 20, 30)
+        )
+        .agg(fpsum(rev, Q20).alias("revenue"))
+    )
+
+
+# --- q20: nested-IN supplier selection --------------------------------------
+# TPC-H Q20 shape: suppliers who ship an above-threshold volume of
+# parts whose name matches a prefix — IN (parts by name) nested
+# inside IN (suppliers by shipped volume), expressed as semi joins
+# over an aggregate.
+
+_Q20_SQL = f"""
+WITH green_parts AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+),
+vol AS (
+  SELECT l_suppkey, l_partkey,
+         (SUM(CAST(round((l_quantity) * {Q20}) AS BIGINT)) / {Q20}.0) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND l_partkey IN (SELECT p_partkey FROM green_parts)
+  GROUP BY l_suppkey, l_partkey
+)
+SELECT DISTINCT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM vol WHERE qty > 40.0)
+ORDER BY s.s_suppkey
+"""
+
+
+@register("q20_prefix_part_suppliers", oracle=_Q20_SQL,
+          doc="TPC-H Q20-shaped nested IN: part-name prefix filter "
+              "(broadcast semi join into the lineitem scan), per "
+              "(supplier, part) shipped volume, threshold, then a "
+              "second semi join onto supplier — IN chains as two "
+              "left-semi hash joins, never a distinct-then-inner.",
+          tags=("relational", "join", "semi", "subquery"))
+def q20_prefix_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    s = table(spark, sf_dir, "supplier")
+    green = p.filter(F.col("p_name").startswith("small")).select("p_partkey")
+    vol = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(green), F.col("p_partkey") == F.col("l_partkey"),
+              "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(fpsum("l_quantity", Q20).alias("qty"))
+    )
+    heavy = vol.filter(F.col("qty") > 40.0).select("l_suppkey").distinct()
+    return (
+        s.join(heavy, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

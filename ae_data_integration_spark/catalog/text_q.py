@@ -621,3 +621,93 @@ def samp1_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _SAMP1_K)
         .orderBy("lang", "rk")
     )
+
+
+# --- t14: BM25 top-k retrieval ----------------------------------------------
+# The classic lexical retrieval scorer over the documents corpus —
+# the quality/retrieval tool every training-data pipeline carries
+# (dedup against eval sets, nearest-neighbor mining, curriculum
+# scoring). Okapi BM25 (k1=1.2, b=0.75) for a fixed query term set;
+# idf = ln(1 + (N - df + 0.5)/(df + 0.5)). Per-term partial scores
+# are Q30-quantized before the per-doc sum, so the total is
+# term-order- and partition-independent; ranking is (score DESC,
+# doc_id) for a stable top-15. Scale shape: one token shuffle for
+# (doc, term) tf over the 3 query terms only (the isin filter pushes
+# into the explode), df/N/avgdl are model-sized broadcasts.
+
+_T14_TERMS = ("join", "stream", "window")
+_T14_K1, _T14_B = 1.2, 0.75
+
+_T14_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS t
+  FROM documents
+),
+lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM lens),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(t) AS term FROM toks
+  ) WHERE term IN ('join', 'stream', 'window')
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         (SUM(CAST(round(
+            (ln(1 + (n - df + 0.5) / (df + 0.5))
+             * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / n))))))
+            * 1073741824) AS BIGINT)) / 1073741824.0) AS score
+  FROM tf
+  JOIN dft USING (term)
+  JOIN lens USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 15
+"""
+
+
+@register("t14_bm25_topk", oracle=_T14_SQL,
+          doc="Okapi BM25 top-15 for a fixed query term set (k1=1.2, "
+              "b=0.75): tf from one filtered token explode, df/N/avgdl "
+              "as broadcast model-sized aggregates, per-term partials "
+              "Q30-quantized so the per-doc sum is order-independent.",
+          tags=("text", "retrieval"))
+def t14_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.functions.text import tokens
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens("text").alias("t"))
+    lens = toks.select("doc_id", F.size("t").cast("long").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(*_T14_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sdl").cast("double") / F.col("n")
+    idf = F.log(F.lit(1) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    w = idf * (
+        (F.col("tf") * F.lit(2.2))
+        / (
+            F.col("tf")
+            + F.lit(_T14_K1)
+            * (F.lit(0.25) + F.lit(_T14_B) * (F.col("dl").cast("double") / avgdl))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            (F.sum(F.round(w * F.lit(Q30)).cast("long")) / F.lit(float(Q30)))
+            .alias("score")
+        )
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(15)

@@ -298,7 +298,10 @@ def gaussian_nb_cv_accuracy_wide(
                 ))
             yield pd.concat(out, ignore_index=True)
 
+    # fold as long: the relational twin's fold (md5_bucket modulo) is
+    # bigint, and the driver's dtype-strict compare flags int32 vs the
+    # oracle's int64.
     pred = base.select("fold", "y", "vec").mapInPandas(
-        score, "fold int, y long, pred long"
+        score, "fold long, y long, pred long"
     )
     return _fold_accuracy(pred)

@@ -228,3 +228,45 @@ def test_q22_scalar_subquery_broadcasts_anti_join(spark):
     assert "LeftAnti" in pa.plan
     assert "CartesianProduct" not in pa.plan
     pa.reads_only("orders", {"o_custkey", "o_orderdate"})
+
+
+def test_q2_correlated_min_no_recompute(spark):
+    # The per-(part,supplier) cost aggregate feeds both the global min
+    # and the probe side; brand filter reaches the part scan; all dims
+    # broadcast, no cartesian.
+    pa = plan_asserts(_df(spark, "q2_min_cost_supplier"))
+    pa.has_broadcast_join(2).has_partial_agg().no_python_row_udf()
+    pa.has_pushed_filter("p_brand")
+    assert "CartesianProduct" not in pa.plan
+
+
+def test_q11_global_share_broadcasts_total(spark):
+    # The 1-row total joins back via broadcast (nested-loop on a
+    # scalar side is the only sound cartesian); the per-part aggregate
+    # is persisted so lineitem scans once.
+    pa = plan_asserts(_df(spark, "q11_important_parts"))
+    pa.has_broadcast_join(2).no_python_row_udf()
+    assert "CartesianProduct" not in pa.plan
+    assert "InMemoryTableScan" in pa.plan  # persisted per_part reuse
+
+
+def test_q19_disjunction_pushdown(spark):
+    # The OR-of-conjunctions must still push SOMETHING to the scans
+    # (Catalyst extracts per-side implied predicates) and the part dim
+    # broadcasts.
+    pa = plan_asserts(_df(spark, "q19_disjunctive_filter"))
+    pa.has_broadcast_join(1).has_partial_agg().no_python_row_udf()
+    pa.reads_only(
+        "lineitem",
+        {"l_partkey", "l_quantity", "l_extendedprice", "l_discount"},
+    )
+
+
+def test_q20_nested_in_as_semi_chain(spark):
+    # Both IN subqueries become left-semi hash joins (part prefix into
+    # the lineitem scan, heavy suppliers into supplier); date range
+    # pushed down.
+    pa = plan_asserts(_df(spark, "q20_prefix_part_suppliers"))
+    pa.no_python_row_udf().has_pushed_filter("l_shipdate")
+    assert pa.plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in pa.plan
