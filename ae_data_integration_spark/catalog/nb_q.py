@@ -122,7 +122,12 @@ _C6_SQL = _c6_sql()
           tags=("metrics", "ml", "flagship", "bench"))
 def c6_gaussian_nb_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
-    return gaussian_nb_cv_accuracy(e, "vec_id", "label", "embedding", n_folds=5, salt="nb")
+    # scorer pinned: the oracled flagship keeps the SQL-replayable
+    # relational scoring plan regardless of vector width.
+    return gaussian_nb_cv_accuracy(
+        e, "vec_id", "label", "embedding", n_folds=5, salt="nb",
+        scorer="relational",
+    )
 
 
 @register("c6b_nb_wide_scorer", oracle=_C6_SQL,
@@ -197,7 +202,8 @@ def rep3_nb_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for name, df in sets.items():
         acc = gaussian_nb_cv_accuracy(
-            df, "vec_id", "label", "vec", n_folds=5, salt="nb"
+            df, "vec_id", "label", "vec", n_folds=5, salt="nb",
+            scorer="relational",
         ).select(F.lit(name).alias("feature_set"), "fold", "n_test", "accuracy")
         out = acc if out is None else out.unionByName(acc)
     return out.orderBy("feature_set", "fold")

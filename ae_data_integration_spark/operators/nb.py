@@ -69,8 +69,33 @@ def gaussian_nb_cv_accuracy(
     n_folds: int = 5,
     salt: str = "nb",
     var_smoothing: float = 1e-9,
+    scorer: str = "auto",
 ) -> DataFrame:
-    """Per-fold CV accuracy of Gaussian NB. Returns (fold, n_test, accuracy)."""
+    """Per-fold CV accuracy of Gaussian NB. Returns (fold, n_test, accuracy).
+
+    ``scorer`` picks the scoring pass (the model fit is shared and
+    identical): "relational" = per-class row-expansion join + hash
+    agg, fully SQL-replayable; "arrow" = broadcast-model numpy kernel
+    (gaussian_nb_cv_accuracy_wide), zero scoring shuffle; "auto" =
+    arrow when the vector is wide (probed width > 256 — measured at
+    100x data: 66 s relational vs 8.4 s arrow on 6.4M x 64-d rows,
+    the x-classes row expansion is the relational path's scale term),
+    else relational. Both scorers are bit-equal (c6b_nb_wide_scorer
+    passes the identical DuckDB oracle); catalog queries pin the
+    scorer so their physical plans stay stable under the gate.
+    """
+    if scorer not in ("auto", "relational", "arrow"):
+        raise ValueError(scorer)
+    if scorer == "arrow":
+        return gaussian_nb_cv_accuracy_wide(
+            df, key_col, label_col, vec_col, n_folds, salt, var_smoothing
+        )
+    if scorer == "auto":
+        head = df.select(vec_col).first()
+        if head is not None and head[0] is not None and len(head[0]) > 256:
+            return gaussian_nb_cv_accuracy_wide(
+                df, key_col, label_col, vec_col, n_folds, salt, var_smoothing
+            )
     spark = df.sparkSession
     base = df.select(
         F.col(key_col).alias("id"),

@@ -42,10 +42,7 @@ from pyspark.sql import functions as F
 
 from ae_data_integration_spark.models.specs import ARCHITECTURES
 from ae_data_integration_spark.operators.inference import embed_and_recon
-from ae_data_integration_spark.operators.nb import (
-    gaussian_nb_cv_accuracy,
-    gaussian_nb_cv_accuracy_wide,
-)
+from ae_data_integration_spark.operators.nb import gaussian_nb_cv_accuracy
 from ae_data_integration_spark.operators.scale import label_encode, minmax_scale_features
 from ae_data_integration_spark.operators.splits import stratified_split
 from ae_data_integration_spark.sources.matrix_io import (
@@ -200,13 +197,13 @@ def nb_feature_set_report(
     labels = all_scaled.select("sample_id", "label")
 
     def nb_rows(vec_df: DataFrame, dim: int, name: str) -> dict:
-        # Above ~256 dims the per-class row-expansion scorer is strictly
-        # worse than the broadcast-model Arrow kernel (same model, same
-        # quantized scores — operators/nb.py); the raw 20,531/21,577-d
-        # sets route through the wide path, embeddings stay relational.
-        nb = gaussian_nb_cv_accuracy if dim <= 256 else gaussian_nb_cv_accuracy_wide
-        rows = nb(
-            vec_df, "sample_id", "label", "vec", n_folds=n_folds, salt="nb"
+        # scorer="auto": the raw 20,531/21,577-d sets route through the
+        # broadcast-model Arrow kernel (bit-equal to the relational
+        # scorer, measured 8x faster at width — operators/nb.py),
+        # embedding-sized sets stay relational.
+        rows = gaussian_nb_cv_accuracy(
+            vec_df, "sample_id", "label", "vec", n_folds=n_folds, salt="nb",
+            scorer="auto",
         ).collect()
         accs = [r["accuracy"] for r in sorted(rows, key=lambda r: r["fold"])]
         mean = sum(accs) / len(accs)
