@@ -337,3 +337,84 @@ def l4_relu_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("j").alias("out_dim"), (F.col("acc") + b2).alias("y"))
         .orderBy("vec_id", "out_dim")
     )
+
+
+# --- L4b: the same MLP via broadcast weights + Arrow (the scale path) -------
+# l4_relu_mlp's relational form expands every exploded (row, dim) cell
+# by the hidden width through the weight join (rows x 64 x 8 + rows x
+# 8 x 4 intermediate rows) — the same class of scale term the 100x
+# leg caught in c6 (x-classes). This twin broadcasts the identical
+# md5-derived weights as numpy arrays and replays the EXACT quantized
+# arithmetic (per-term round(x*w*Q) -> int64 sum -> /Q -> +b -> relu)
+# in an Arrow-batched kernel: zero shuffle, and the int64 per-term
+# quantization makes the sums order-independent, so it passes the
+# IDENTICAL DuckDB oracle as l4.
+
+def _md5_unit_py(key: str) -> float:
+    """Driver/executor twin of functions.hashing.md5_unit (empty salt):
+    first 12 md5 hex digits / 16^12 — bit-identical, int/2^48 division
+    is exact."""
+    import hashlib
+
+    return int(hashlib.md5(key.encode()).hexdigest()[:12], 16) / float(16 ** 12)
+
+
+@register("l4b_mlp_arrow", oracle=_L4_SQL,
+          doc="The l4 two-layer MLP through the Arrow scale path: "
+              "md5-derived weights broadcast as numpy arrays, per-term "
+              "Q30-quantized accumulation replayed exactly (int64 sums "
+              "are order-independent) — passes the IDENTICAL oracle as "
+              "l4_relu_mlp with zero shuffle in the forward pass.",
+          tags=("linalg",))
+def l4b_mlp_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    d_in, d_hid, d_out = _L4_D
+    w1 = np.array(
+        [[_md5_unit_py(f"w1:{i}:{k}") - 0.5 for k in range(d_hid)]
+         for i in range(d_in)]
+    )
+    w2 = np.array(
+        [[_md5_unit_py(f"w2:{k}:{j}") - 0.5 for j in range(d_out)]
+         for k in range(d_hid)]
+    )
+    b1 = np.array([_md5_unit_py(f"b1:{k}") - 0.5 for k in range(d_hid)])
+    b2 = np.array([_md5_unit_py(f"b2:{j}") - 0.5 for j in range(d_out)])
+    bw = spark.sparkContext.broadcast((w1, w2, b1, b2))
+    q = float(_Q)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w1, w2, b1, b2 = bw.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["v"].to_numpy())
+            h = np.empty((len(x), d_hid))
+            for k in range(d_hid):
+                # (x * w) * Q — the relational expression's exact op order
+                t = np.rint(x * w1[:, k] * q).astype(np.int64).sum(axis=1)
+                h[:, k] = np.maximum(t / q + b1[k], 0.0)
+            ids = pdf["vec_id"].to_numpy()
+            out_id, out_dim, out_y = [], [], []
+            for j in range(d_out):
+                t = np.rint(h * w2[:, j] * q).astype(np.int64).sum(axis=1)
+                out_id.append(ids)
+                out_dim.append(np.full(len(x), j, dtype=np.int64))
+                out_y.append(t / q + b2[j])
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_id),
+                    "out_dim": np.concatenate(out_dim),
+                    "y": np.concatenate(out_y),
+                }
+            )
+
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select("vec_id", to_double("embedding").alias("v"))
+        .mapInPandas(run, "vec_id long, out_dim long, y double")
+        .orderBy("vec_id", "out_dim")
+    )
