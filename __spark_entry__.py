@@ -38,8 +38,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.fn for name, q in sorted(load_all().items())}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Each callable first releases tracked persists left by the
+    PREVIOUS query (q15/q11 persist a reused CTE the caller
+    materializes): in the driver's sequential 50-query run this keeps
+    exactly one such intermediate cached at a time instead of
+    accumulating for the whole session.
+    """
+    from ae_data_integration_spark.functions.caching import release_tracked
+
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_tracked()
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(q.fn) for name, q in sorted(load_all().items())}
 
 
 def oracle_sql() -> dict[str, str]:

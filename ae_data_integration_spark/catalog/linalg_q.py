@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 from ae_data_integration_spark.catalog import register
 from ae_data_integration_spark.functions.arrays import l2_normalize, slice_features, to_double
 from ae_data_integration_spark.functions.hashing import md5_unit
-from ae_data_integration_spark.functions.portable import Q40, fpsum
+from ae_data_integration_spark.functions.portable import Q40, fpsum, np_round_half_away
+from ae_data_integration_spark.functions.routing import route_wide
 from ae_data_integration_spark.models.specs import ARCHITECTURES
 from ae_data_integration_spark.operators.inference import embed_and_recon
 from ae_data_integration_spark.tables import table
@@ -394,13 +395,16 @@ def l4b_mlp_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             x = np.stack(pdf["v"].to_numpy())
             h = np.empty((len(x), d_hid))
             for k in range(d_hid):
-                # (x * w) * Q — the relational expression's exact op order
-                t = np.rint(x * w1[:, k] * q).astype(np.int64).sum(axis=1)
+                # (x * w) * Q — the relational expression's exact op
+                # order; half-away-from-zero rounding (NOT np.rint's
+                # ties-to-even) to stay on the Spark/DuckDB round() grid
+                # at exact halves.
+                t = np_round_half_away(x * w1[:, k] * q).sum(axis=1)
                 h[:, k] = np.maximum(t / q + b1[k], 0.0)
             ids = pdf["vec_id"].to_numpy()
             out_id, out_dim, out_y = [], [], []
             for j in range(d_out):
-                t = np.rint(h * w2[:, j] * q).astype(np.int64).sum(axis=1)
+                t = np_round_half_away(h * w2[:, j] * q).sum(axis=1)
                 out_id.append(ids)
                 out_dim.append(np.full(len(x), j, dtype=np.int64))
                 out_y.append(t / q + b2[j])
@@ -418,3 +422,26 @@ def l4b_mlp_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(run, "vec_id long, out_dim long, y double")
         .orderBy("vec_id", "out_dim")
     )
+
+
+def mlp_forward(
+    spark: SparkSession, sf_dir: str, path: str = "auto", dim: int | None = None
+) -> DataFrame:
+    """Production entry for the L4 MLP forward: routes between the
+    relational plan (l4_relu_mlp — oracle-stable, codegen'd, best at
+    fixture widths) and the broadcast-weight Arrow kernel
+    (l4b_mlp_arrow — zero-shuffle forward, 6.4 s vs 40.0 s at the
+    100x leg). The decision is functions.routing.route_wide — the
+    SAME rule the NB scorer uses (operators/nb.py scorer="auto"),
+    hoisted so the threshold lives in one place. The catalog entries
+    pin their paths so the parity gate exercises both plans every
+    round; callers who want the decision made for them come here.
+    """
+    if path not in ("auto", "relational", "arrow"):
+        raise ValueError(path)
+    if path == "auto":
+        e = table(spark, sf_dir, "embeddings")
+        path = "arrow" if route_wide(e, "embedding", dim=dim) else "relational"
+    if path == "arrow":
+        return l4b_mlp_arrow(spark, sf_dir)
+    return l4_relu_mlp(spark, sf_dir)

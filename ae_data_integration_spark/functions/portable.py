@@ -52,5 +52,21 @@ def fpsum_sql(expr: str, q: int) -> str:
     return f"(SUM(CAST(round(({expr}) * {q}) AS BIGINT)) / {q}.0)"
 
 
+def np_round_half_away(x):
+    """numpy twin of Spark/DuckDB round(): ties away from zero.
+
+    np.rint is ties-to-even, so an Arrow kernel using it deviates by
+    one grid step from the relational/oracle plan whenever a value
+    lands EXACTLY on .5 of the quantization grid — rare per value but
+    expected at production widths (~1e9 roundings per report run), and
+    a near-tied argmax downstream can flip. trunc(x + copysign(.5, x))
+    is the exact half-away-from-zero rule both engines implement.
+    Returns int64.
+    """
+    import numpy as np
+
+    return np.trunc(x + np.copysign(0.5, x)).astype(np.int64)
+
+
 def fpavg_sql(expr: str, q: int) -> str:
     return f"({fpsum_sql(expr, q)} / CAST(COUNT(*) AS DOUBLE))"

@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 
 from ae_data_integration_spark.functions.arrays import to_double
 from ae_data_integration_spark.functions.hashing import md5_bucket
-from ae_data_integration_spark.functions.portable import Q30, Q40
+from ae_data_integration_spark.functions.portable import Q30, Q40, np_round_half_away
+from ae_data_integration_spark.functions.routing import route_wide
 
 _LN_2PI = float(math.log(2 * math.pi))
 
@@ -70,6 +71,7 @@ def gaussian_nb_cv_accuracy(
     salt: str = "nb",
     var_smoothing: float = 1e-9,
     scorer: str = "auto",
+    dim: int | None = None,
 ) -> DataFrame:
     """Per-fold CV accuracy of Gaussian NB. Returns (fold, n_test, accuracy).
 
@@ -77,25 +79,26 @@ def gaussian_nb_cv_accuracy(
     identical): "relational" = per-class row-expansion join + hash
     agg, fully SQL-replayable; "arrow" = broadcast-model numpy kernel
     (gaussian_nb_cv_accuracy_wide), zero scoring shuffle; "auto" =
-    arrow when the vector is wide (probed width > 256 — measured at
-    100x data: 66 s relational vs 8.4 s arrow on 6.4M x 64-d rows,
-    the x-classes row expansion is the relational path's scale term),
-    else relational. Both scorers are bit-equal (c6b_nb_wide_scorer
-    passes the identical DuckDB oracle); catalog queries pin the
-    scorer so their physical plans stay stable under the gate.
+    arrow when the vector is wide (functions.routing.route_wide,
+    width > 256 — measured at 100x data: 66 s relational vs 8.4 s
+    arrow on 6.4M x 64-d rows, the x-classes row expansion is the
+    relational path's scale term), else relational. Both scorers are
+    bit-equal (c6b_nb_wide_scorer passes the identical DuckDB
+    oracle); catalog queries pin the scorer so their physical plans
+    stay stable under the gate.
+
+    ``dim``: the known vector width; passing it lets "auto" route
+    without the one-job width probe (report_full knows its view
+    widths and passes them).
     """
     if scorer not in ("auto", "relational", "arrow"):
         raise ValueError(scorer)
-    if scorer == "arrow":
+    if scorer == "arrow" or (
+        scorer == "auto" and route_wide(df, vec_col, dim=dim)
+    ):
         return gaussian_nb_cv_accuracy_wide(
             df, key_col, label_col, vec_col, n_folds, salt, var_smoothing
         )
-    if scorer == "auto":
-        head = df.select(vec_col).first()
-        if head is not None and head[0] is not None and len(head[0]) > 256:
-            return gaussian_nb_cv_accuracy_wide(
-                df, key_col, label_col, vec_col, n_folds, salt, var_smoothing
-            )
     spark = df.sparkSession
     base = df.select(
         F.col(key_col).alias("id"),
@@ -304,6 +307,11 @@ def gaussian_nb_cv_accuracy_wide(
                 continue
             out = []
             for f, grp in pdf.groupby("fold"):
+                if int(f) not in m:
+                    # fold with test rows but no training cells anywhere
+                    # (model[f] skipped): the relational path emits no
+                    # predictions for that fold — match, don't KeyError.
+                    continue
                 fm = m[int(f)]
                 x = np.stack(grp["vec"].to_numpy())
                 scores = np.empty((len(grp), len(fm["classes"])))
@@ -313,7 +321,11 @@ def gaussian_nb_cv_accuracy_wide(
                         - (x - fm["mu"][ci]) ** 2 / (2.0 * fm["var"][ci])
                     )
                     np.maximum(ll, -1e4, out=ll)  # same degenerate-var clamp
-                    q = np.rint(ll * Q30).astype(np.int64).sum(axis=1)
+                    # half-away-from-zero, NOT np.rint (ties-to-even):
+                    # Spark/DuckDB round() ties away from zero, and an
+                    # exact-half ll*Q30 under rint would put this kernel
+                    # one grid step off the relational twin / oracle.
+                    q = np_round_half_away(ll * Q30).sum(axis=1)
                     scores[:, ci] = q / float(Q30) + fm["lp"][ci]
                 # argmax returns the FIRST max: classes ascending ==
                 # the relational score-DESC-then-cls-ASC tie-break
@@ -321,7 +333,8 @@ def gaussian_nb_cv_accuracy_wide(
                 out.append(pd.DataFrame(
                     {"fold": int(f), "y": grp["y"].to_numpy(), "pred": pred}
                 ))
-            yield pd.concat(out, ignore_index=True)
+            if out:  # every fold skipped → no predictions this batch
+                yield pd.concat(out, ignore_index=True)
 
     # fold as long: the relational twin's fold (md5_bucket modulo) is
     # bigint, and the driver's dtype-strict compare flags int32 vs the

@@ -18,6 +18,7 @@ import duckdb
 import pandas as pd
 
 from ae_data_integration_spark.catalog import Query, load_all, oracle_for, resolve
+from ae_data_integration_spark.functions.caching import release_tracked
 from ae_data_integration_spark.tables import TABLES
 
 
@@ -82,6 +83,11 @@ def check_query(spark, con, q: Query, sf_dir: str) -> ParityResult:
         sdf = q.fn(spark, sf_dir).toPandas()
     except Exception as e:  # noqa: BLE001
         return ParityResult(q.name, False, f"spark error: {e}")
+    finally:
+        # queries that persist a reused intermediate (q15, q11) track
+        # it; release after materializing so a full-registry parity
+        # run doesn't accumulate one cached copy per query.
+        release_tracked()
     if q.oracle is None:
         # No SQL oracle: enforce the declared row-count/schema contract
         # instead of accepting any non-crash.

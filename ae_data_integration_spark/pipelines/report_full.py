@@ -197,13 +197,15 @@ def nb_feature_set_report(
     labels = all_scaled.select("sample_id", "label")
 
     def nb_rows(vec_df: DataFrame, dim: int, name: str) -> dict:
-        # scorer="auto": the raw 20,531/21,577-d sets route through the
-        # broadcast-model Arrow kernel (bit-equal to the relational
-        # scorer, measured 8x faster at width — operators/nb.py),
-        # embedding-sized sets stay relational.
+        # scorer="auto" with the KNOWN width passed through: the raw
+        # 20,531/21,577-d sets route through the broadcast-model Arrow
+        # kernel (bit-equal to the relational scorer, measured 8x
+        # faster at width — operators/nb.py), embedding-sized sets
+        # stay relational; dim= skips the per-call width-probe job
+        # (previously the embedding join ran once just for the probe).
         rows = gaussian_nb_cv_accuracy(
             vec_df, "sample_id", "label", "vec", n_folds=n_folds, salt="nb",
-            scorer="auto",
+            scorer="auto", dim=dim,
         ).collect()
         accs = [r["accuracy"] for r in sorted(rows, key=lambda r: r["fold"])]
         mean = sum(accs) / len(accs)
