@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ae_data_integration_spark.catalog import register
+from ae_data_integration_spark.functions.caching import persist_tracked
 from ae_data_integration_spark.functions.portable import (
     Q20,
     fp,
@@ -1006,10 +1007,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(fpsum(rev, Q20).alias("total_revenue"))
-        # reused twice (max + probe) — persist so the lineitem scan
-        # and shuffle run once, exactly like the SQL CTE.
-        .persist()
     )
+    # reused twice (max + probe) — persist so the lineitem scan and
+    # shuffle run once, exactly like the SQL CTE; TRACKED so the bench
+    # / parity harnesses unpersist it after materializing (a bare
+    # persist here leaked one cached copy per rerun in a shared JVM).
+    revenue = persist_tracked(revenue)
     mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         revenue.join(
@@ -1278,10 +1281,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("n_nationkey") == F.col("s_nationkey"))
         .select("l_partkey", val.alias("val"))
     )
-    per_part = (
+    per_part = persist_tracked(
+        # reused twice (total + probe); tracked persist — see q15.
         nat_items.groupBy("l_partkey")
         .agg(fpsum("val", Q20).alias("part_value"))
-        .persist()
     )
     total = per_part.agg(F.sum("part_value").alias("tv"))
     return (
@@ -1392,4 +1395,241 @@ def q20_prefix_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(heavy, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
+    )
+
+
+# --- q7: volume shipping (two-nation bidirectional trade by year) ------------
+# TPC-H Q7 shape: lineitem⋈supplier⋈nation on one side, orders⋈
+# customer⋈nation on the other, keep the two (supp_nation, cust_nation)
+# orderings of a nation pair, aggregate revenue per (pair, ship year).
+# The join topology the VERDICT r7 menu was missing: TWO fact tables
+# (lineitem, orders) meeting on orderkey with nation dims attached to
+# BOTH sides. Scale shape: supplier and the two-nation customer slice
+# (~8% of customers, key+name only) broadcast; the single shuffle is
+# the lineitem⋈orders orderkey join.
+
+_Q7_NATIONS = ("NATION_3", "NATION_7")
+
+_Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       (SUM(CAST(round((volume) * {Q20}) AS BIGINT)) / {Q20}.0) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  WHERE ((n1.n_name = '{_Q7_NATIONS[0]}' AND n2.n_name = '{_Q7_NATIONS[1]}')
+      OR (n1.n_name = '{_Q7_NATIONS[1]}' AND n2.n_name = '{_Q7_NATIONS[0]}'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q7_volume_shipping", oracle=_Q7_SQL,
+          doc="TPC-H Q7-shaped two-nation trade volume: nation dims pinned "
+              "to BOTH fact sides (supplier side and customer side), the "
+              "bidirectional pair filter, year extraction, fixed-point "
+              "revenue per (supp_nation, cust_nation, year). One shuffle "
+              "(lineitem⋈orders on orderkey); supplier slice and the "
+              "two-nation customer slice broadcast.",
+          tags=("relational", "join", "agg", "bench"))
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*_Q7_NATIONS)
+    )
+    # nation names ride in on the broadcast dim slices, so the big
+    # join carries 2 small string columns instead of re-joining nation
+    supp = F.broadcast(
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = F.broadcast(
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(fpsum(vol, Q20).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --- q8: national market share within a region-market --------------------------
+# TPC-H Q8 shape: the widest join in the suite — lineitem joined to
+# part (type filter), supplier (→ the share nation), orders (date
+# window + year), customer→nation→region (the market). The
+# aggregation is the conditional-share form: one fixed-point sum
+# feeding numerator (CASE on supp_nation) and denominator, per order
+# year. Scale shape: ONE orderkey shuffle (lineitem⋈orders); part,
+# supplier and the region-restricted customer slice broadcast.
+
+_Q8_SQL = f"""
+SELECT o_year,
+       round((SUM(CASE WHEN supp_nation = '{_Q7_NATIONS[1]}'
+                       THEN CAST(round((volume) * {Q20}) AS BIGINT)
+                       ELSE 0 END) / {Q20}.0)
+             / (SUM(CAST(round((volume) * {Q20}) AS BIGINT)) / {Q20}.0),
+             6) AS mkt_share
+FROM (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n1.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n2.n_regionkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA'
+    AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("q8_market_share", oracle=_Q8_SQL,
+          doc="TPC-H Q8-shaped market share: 2 facts + 4 broadcast dims "
+              "(part type filter, supplier nation, ASIA-region customer "
+              "slice), year extraction, conditional fixed-point share "
+              "(NATION_7's volume over all volume) per order year, ratio "
+              "rounded to 6 decimals for cross-engine division exactness.",
+          tags=("relational", "join", "agg", "bench"))
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = F.broadcast(
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    # ASIA-market customers: region restriction applied INSIDE the
+    # broadcast build (nation⋈region prunes before customer attaches)
+    cust = F.broadcast(
+        c.join(
+            F.broadcast(
+                n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+                .select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        ).select("c_custkey")
+    )
+    vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    num = (
+        F.sum(
+            F.when(F.col("supp_nation") == _Q7_NATIONS[1], fp(vol, Q20))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        / F.lit(float(Q20))
+    )
+    return (
+        li.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            ).select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(num / fpsum(vol, Q20), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+# --- q9: product-line profit by nation and year ------------------------------
+# TPC-H Q9 shape: profit per (supplier nation, order year) over a
+# part-name substring filter. The schema has no partsupp table, so
+# ps_supplycost is stood in by the deterministic 0.6 * p_retailprice
+# unit cost (documented; the join TOPOLOGY — part⋈lineitem⋈supplier⋈
+# orders⋈nation with amount arithmetic across part AND lineitem
+# columns — is what the shape exercises). One orderkey shuffle; part
+# slice, supplier⋈nation broadcast.
+
+_Q9_SQL = f"""
+SELECT nation, o_year,
+       (SUM(CAST(round((amount) * {Q20}) AS BIGINT)) / {Q20}.0) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+         CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount)
+           - p.p_retailprice * 0.6 * l.l_quantity AS amount
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE p.p_name LIKE '%gear%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("q9_product_profit", oracle=_Q9_SQL,
+          doc="TPC-H Q9-shaped product profit: part-name substring filter "
+              "(~13% of parts, broadcast with the retailprice cost column), "
+              "profit arithmetic mixing part and lineitem columns, supplier "
+              "nation and order year rollup. ps_supplycost stands in as "
+              "0.6*p_retailprice (no partsupp table in the schema).",
+          tags=("relational", "join", "agg", "bench"))
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    supp = F.broadcast(
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        - F.col("p_retailprice") * F.lit(0.6) * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(fpsum(amount, Q20).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
     )

@@ -270,3 +270,48 @@ def test_q20_nested_in_as_semi_chain(spark):
     pa.no_python_row_udf().has_pushed_filter("l_shipdate")
     assert pa.plan.count("LeftSemi") >= 2
     assert "CartesianProduct" not in pa.plan
+
+
+def test_q7_two_fact_join_shape(spark):
+    # Both nation-attached dim slices (supplier side, customer side)
+    # broadcast; the only shuffle join is lineitem⋈orders on orderkey;
+    # the ship-date window reaches the lineitem scan; no cartesian.
+    pa = plan_asserts(_df(spark, "q7_volume_shipping"))
+    pa.has_pushed_filter("l_shipdate").has_broadcast_join(2)
+    pa.has_partial_agg().no_python_row_udf()
+    assert "CartesianProduct" not in pa.plan
+    pa.reads_only(
+        "lineitem",
+        {"l_suppkey", "l_orderkey", "l_shipdate",
+         "l_extendedprice", "l_discount"},
+    )
+
+
+def test_q8_market_share_shape(spark):
+    # 4 dims: part (type filter pushed), supplier⋈nation, and the
+    # ASIA-region customer slice as a LEFT SEMI — all broadcast; the
+    # order-date window is pushed to the orders scan; one orderkey
+    # shuffle; no cartesian.
+    pa = plan_asserts(_df(spark, "q8_market_share"))
+    pa.has_pushed_filter("p_type").has_pushed_filter("o_orderdate")
+    pa.has_broadcast_join(3).has_partial_agg().no_python_row_udf()
+    assert "LeftSemi" in pa.plan
+    assert "CartesianProduct" not in pa.plan
+    # "part.parquet" (not "part"): the bare fragment also matches the
+    # lineitem scan block via its l_partkey column.
+    pa.reads_only("part.parquet", {"p_partkey", "p_type"})
+
+
+def test_q9_product_profit_shape(spark):
+    # The p_name substring filter prunes the broadcast part slice at
+    # its scan; lineitem reads only the five needed columns; supplier
+    # ⋈nation broadcasts; no cartesian.
+    pa = plan_asserts(_df(spark, "q9_product_profit"))
+    pa.has_pushed_filter("p_name").has_broadcast_join(2)
+    pa.has_partial_agg().no_python_row_udf()
+    assert "CartesianProduct" not in pa.plan
+    pa.reads_only(
+        "lineitem",
+        {"l_partkey", "l_suppkey", "l_orderkey",
+         "l_quantity", "l_extendedprice", "l_discount"},
+    )
