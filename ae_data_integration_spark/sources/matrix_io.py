@@ -55,12 +55,21 @@ def read_matrix_long(
     # derives a `size(_vals) > 0` predicate from the posexplode that
     # the optimizer may evaluate BEFORE the header-line filter — an
     # ANSI cast there aborts the job on the header's sample-id fields.
+    n_s = len(sample_ids)
+    vals = F.transform(
+        F.slice(parts, 2, n_s), lambda x: x.try_cast("double")
+    )
+    # Pad ragged data rows to the header width with NULLs: a line with
+    # fewer fields than the header must surface as NULL values per
+    # sample (the semantics of the CSV reader this form replaced), not
+    # silently posexplode into fewer (sample, value) rows — a short row
+    # would otherwise drop trailing samples and downstream align/NB
+    # stats would quietly compute on a misaligned matrix.
+    pad = F.array_repeat(F.lit(None).cast("double"), n_s)
     data = txt.filter(F.col("value") != F.lit(header)).select(
         F.monotonically_increasing_id().alias("feature_idx"),
         parts.getItem(0).alias("feature_id"),
-        F.transform(
-            F.slice(parts, 2, len(sample_ids)), lambda x: x.try_cast("double")
-        ).alias("_vals"),
+        F.slice(F.concat(vals, pad), 1, n_s).alias("_vals"),
     )
     ids_lit = F.array(*[F.lit(s) for s in sample_ids])
     return data.select(
