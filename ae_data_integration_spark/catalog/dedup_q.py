@@ -396,7 +396,9 @@ _PIPE2_SQL = _cc_unrolled_sql(_D6_VERIFIED, n_iters=4, tail=_PIPE2_TAIL)
           doc="End-to-end canonical dedup: verified LSH pair graph -> "
               "connected components -> drop non-root members (anti-join) -> "
               "survivor count + token mass; single fully-oracled row.",
-          tags=("dedup", "pipeline"))
+          # bench-tagged since r8 so the 100x scale leg has a shared-
+          # session denominator for the full dedup pipeline
+          tags=("dedup", "pipeline", "bench"))
 def pipe2_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ae_data_integration_spark.functions.text import token_count
     from ae_data_integration_spark.operators.dedup import dup_labels

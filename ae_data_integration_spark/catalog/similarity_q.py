@@ -56,6 +56,31 @@ def s1_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, q, k=10).orderBy("q_id", "rk")
 
 
+# --- S1b: brute force with a FIXED probe budget ------------------------------
+# s1's probe set (vec_id % 100 == 0) grows ∝ N, so its scale-leg
+# growth column measures an O(N·Q)=O(N²/100) workload — 9.24× at 10×
+# data said nothing about the engine (VERDICT r7). This twin pins
+# Q = 20 probes (the sf0.1 probe count) at every scale factor, so its
+# growth ratio isolates the engine's scan+broadcast scaling; s1 stays
+# registered as the Q∝N stress but is excluded from bench scale legs.
+
+_S1B_SQL = _S1_SQL.replace(
+    "WHERE vec_id % 100 = 0", "WHERE vec_id % 100 = 0 AND vec_id < 2000"
+)
+
+
+@register("s1b_ann_fixed_probes", oracle=_S1B_SQL,
+          doc="s1 with a FIXED 20-probe budget (vec_id % 100 == 0 and "
+              "vec_id < 2000): broadcast Q × scan N with Q held constant "
+              "across scale factors, so the bench growth column measures "
+              "the corpus scan, not the probe-count arithmetic.",
+          tags=("similarity", "bench"))
+def s1b_ann_fixed_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
+    return brute_force_topk(e, q, k=10).orderBy("q_id", "rk")
+
+
 # --- S2: hyperplane-LSH bucketed near-dup pairs -----------------------------
 
 _MD5U = (

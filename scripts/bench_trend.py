@@ -35,6 +35,7 @@ import argparse
 import glob
 import json
 import os
+import re
 import sys
 
 ROOT = os.path.join(os.path.dirname(__file__), "..")
@@ -46,7 +47,17 @@ def _load(path: str) -> dict | None:
             d = json.load(fh)
         # driver-recorded BENCH_r*.json wraps the bench line under
         # "parsed"; bench.py's own stdout is the flat form
-        return d.get("parsed", d)
+        d = d.get("parsed", d) or {}
+        # since round 8 the stdout line is COMPACT (total + per-query
+        # only) and points at the full on-disk record bench.py wrote —
+        # prefer that (it carries isolation_check/streaming/scale legs)
+        full = d.get("full_record")
+        if full:
+            fp = os.path.join(ROOT, os.path.basename(full))
+            if os.path.exists(fp) and os.path.abspath(fp) != os.path.abspath(path):
+                with open(fp) as fh:
+                    return json.load(fh)
+        return d
     except (json.JSONDecodeError, OSError) as e:
         print(f"skip {path}: {e}")
         return None
@@ -116,7 +127,19 @@ def main() -> int:
                          "legacy best-prior mode uses max(threshold, 2.0))")
     args = ap.parse_args()
 
-    files = args.files or sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+    files = args.files
+    if not files:
+        # one file per round, preferring bench.py's own full on-disk
+        # record (BENCH_LOCAL_rN.json) over the driver's stdout-tail
+        # capture (BENCH_rN.json, which round 7 showed can truncate)
+        by_round: dict[int, str] = {}
+        for f in sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json"))) + sorted(
+            glob.glob(os.path.join(ROOT, "BENCH_LOCAL_r*.json"))
+        ):
+            m = re.search(r"BENCH(?:_LOCAL)?_r(\d+)\.json$", f)
+            if m:
+                by_round[int(m.group(1))] = f  # LOCAL sorts later → wins
+        files = [by_round[n] for n in sorted(by_round)]
     rounds = [
         (os.path.basename(f), d)
         for f in files
