@@ -21,7 +21,12 @@ BENCH_r{7+} shared-session numbers compare against the "shared" leg,
 isolation_check numbers against the "isolated" leg; BENCH_r6 and
 earlier are display-only history, never a regression baseline.
 
-Usage: python scripts/make_bench_steady.py  (writes BENCH_STEADY.json)
+Usage:
+  python scripts/make_bench_steady.py                 # full re-baseline
+  python scripts/make_bench_steady.py --missing-only  # time ONLY bench
+      keys absent from BENCH_STEADY.json and merge them in — the way
+      NEW queries get baseline rows without resetting the existing
+      wall (a full re-baseline every round would hide slow drift).
 """
 
 from __future__ import annotations
@@ -40,11 +45,27 @@ from ae_data_integration_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
+    missing_only = "--missing-only" in sys.argv
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry = load_all()
     bench_queries = {
         n: q for n, q in sorted(registry.items()) if "bench" in q.tags
     }
+
+    path = os.path.join(REPO, "BENCH_STEADY.json")
+    prior: dict = {}
+    if missing_only:
+        with open(path) as fh:
+            prior = json.load(fh)
+        have = set(prior["protocols"]["shared"])
+        bench_queries = {
+            n: q for n, q in bench_queries.items() if n not in have
+        }
+        if not bench_queries:
+            print("no missing bench keys; BENCH_STEADY.json unchanged")
+            return
+        print(f"timing {len(bench_queries)} missing keys: "
+              f"{sorted(bench_queries)}")
 
     spark = get_spark("bench-steady")
     for q in bench_queries.values():  # warmup pass (JIT/codegen/AQE)
@@ -66,18 +87,26 @@ def main() -> None:
         else:
             print(f"isolated {name:32s}  FAILED", flush=True)
 
-    out = {
-        "protocols": {"shared": shared, "isolated": isolated},
-        "sf_dir": sf_dir,
-        "recorded_unix": int(time.time()),
-        "note": (
-            "steady-state re-baseline, round 7: shared = one warm JVM, "
-            "min-of-3 after a full warmup pass; isolated = fresh JVM "
-            "per query, min-of-3 after 1 warmup rep. bench_trend.py "
-            "compares like protocol to like against this file."
-        ),
-    }
-    path = os.path.join(REPO, "BENCH_STEADY.json")
+    if prior:
+        prior["protocols"]["shared"].update(shared)
+        prior["protocols"]["isolated"].update(isolated)
+        prior.setdefault("merges", []).append(
+            {"keys": sorted(shared), "recorded_unix": int(time.time())}
+        )
+        out = prior
+    else:
+        out = {
+            "protocols": {"shared": shared, "isolated": isolated},
+            "sf_dir": sf_dir,
+            "recorded_unix": int(time.time()),
+            "note": (
+                "steady-state re-baseline, round 7: shared = one warm JVM, "
+                "min-of-3 after a full warmup pass; isolated = fresh JVM "
+                "per query, min-of-3 after 1 warmup rep. bench_trend.py "
+                "compares like protocol to like against this file. New "
+                "keys merge in via --missing-only (see 'merges')."
+            ),
+        }
     with open(path, "w") as fh:
         json.dump(out, fh, indent=2, sort_keys=True)
         fh.write("\n")
