@@ -66,6 +66,18 @@ def _perm_mins_sql(num_perm: int) -> str:
     return f"[{mins}]"
 
 
+# Verify tail shared by every jaccard_verify oracle: the engine
+# verifies over DISTINCT 48-bit-hashed shingle sets (operators/
+# dedup.jaccard_verify — the longs-not-strings scale fix, r8), so the
+# oracle joins the same hashed sets. `hashed` is the CTE every
+# template already builds for the minhash signatures.
+_HSET_CTE = "hset AS (SELECT doc_id, list_distinct(hs) AS hs FROM hashed)"
+_JACC = (
+    "CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)"
+    " / (CAST(len(a.hs) + len(b.hs) AS DOUBLE)"
+    " - CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE))"
+)
+
 _D2_SQL = f"""
 WITH sh AS (
   SELECT doc_id, {_SHS} AS shs FROM documents
@@ -87,14 +99,13 @@ pairs AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM bands x
   JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-)
+),
+{_HSET_CTE}
 SELECT p.doc_a, p.doc_b,
-       CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
-         / (CAST(len(a.shs) + len(b.shs) AS DOUBLE) - CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE))
-         AS jaccard
+       {_JACC} AS jaccard
 FROM pairs p
-JOIN sh a ON p.doc_a = a.doc_id
-JOIN sh b ON p.doc_b = b.doc_id
+JOIN hset a ON p.doc_a = a.doc_id
+JOIN hset b ON p.doc_b = b.doc_id
 ORDER BY doc_a, doc_b
 """
 
@@ -146,14 +157,13 @@ pairs AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM bands x
   JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-)
+),
+{_HSET_CTE}
 SELECT p.doc_a, p.doc_b,
-       CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
-         / (CAST(len(a.shs) + len(b.shs) AS DOUBLE) - CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE))
-         AS jaccard
+       {_JACC} AS jaccard
 FROM pairs p
-JOIN sh a ON p.doc_a = a.doc_id
-JOIN sh b ON p.doc_b = b.doc_id
+JOIN hset a ON p.doc_a = a.doc_id
+JOIN hset b ON p.doc_b = b.doc_id
 ORDER BY doc_a, doc_b
 """
 
@@ -334,14 +344,13 @@ pairs AS (
   FROM bands x
   JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
 ),
+{_HSET_CTE},
 verified AS (
   SELECT p.doc_a, p.doc_b
   FROM pairs p
-  JOIN sh a ON p.doc_a = a.doc_id
-  JOIN sh b ON p.doc_b = b.doc_id
-  WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
-          / (CAST(len(a.shs) + len(b.shs) AS DOUBLE)
-             - CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)) >= {_D6_THRESH}
+  JOIN hset a ON p.doc_a = a.doc_id
+  JOIN hset b ON p.doc_b = b.doc_id
+  WHERE {_JACC} >= {_D6_THRESH}
 )"""
 
 _D6_SQL = _cc_unrolled_sql(_D6_VERIFIED, n_iters=4)
