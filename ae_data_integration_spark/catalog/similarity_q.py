@@ -179,3 +179,88 @@ def s3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, q, k_clusters=8, n_iter=1, nprobe=2, topk=3, salt="ivf").orderBy(
         "q_id", "rk"
     )
+
+
+# --- S4: hybrid lexical + vector retrieval (reciprocal-rank fusion) ---------
+# The retrieval stack a RAG / data-curation pipeline actually runs:
+# a BM25 lexical leg (catalog/text_q.bm25_scored — the t14 scorer,
+# shared CTE text so both oracles replay the identical BM25) and an
+# exact-cosine vector leg (the s1 machinery, probe = embedding 0,
+# joined to documents 1:1 by vec_id == doc_id), each ranked top-50
+# with deterministic tie-breaks, fused by reciprocal-rank fusion
+# score = sum 1/(60 + rank) over the legs a doc appears in. RRF works
+# on RANKS, so the fused score is a sum of two exactly-representable
+# divisions — bit-portable with no quantization needed.
+# Scale shape: each leg ends in a TakeOrdered top-50 (no global sort
+# materializes more than the head), the rank windows run over <= 50
+# rows, and the fusion joins two 50-row frames — the whole fusion
+# stage is driver-trivial regardless of corpus size.
+
+_S4_TOPN, _S4_K, _S4_FINAL = 50, 60, 10
+
+
+def _s4_sql() -> str:
+    from ae_data_integration_spark.catalog.text_q import BM25_SCORED_CTES
+
+    return f"""{BM25_SCORED_CTES},
+lexr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT {_S4_TOPN})
+),
+e AS (SELECT vec_id, {_V} AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+vs AS (
+  SELECT e.vec_id AS doc_id,
+         {_dotp('q.qv', 'e.v')} / greatest(sqrt({_sq('q.qv')}) * sqrt({_sq('e.v')}), 1e-12) AS cos
+  FROM e, q WHERE e.vec_id != 0
+),
+vecr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r
+  FROM (SELECT * FROM vs ORDER BY cos DESC, doc_id LIMIT {_S4_TOPN})
+)
+SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       (COALESCE(1.0 / ({_S4_K} + l.r), 0.0)
+        + COALESCE(1.0 / ({_S4_K} + v.r), 0.0)) AS rrf
+FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+ORDER BY rrf DESC, doc_id LIMIT {_S4_FINAL}
+"""
+
+
+@register("s4_hybrid_rrf", oracle=_s4_sql(),
+          doc="Hybrid retrieval: BM25 lexical top-50 (shared t14 scorer) + "
+              "exact-cosine vector top-50 (probe = embedding 0, docs joined "
+              "1:1 by id), reciprocal-rank fusion 1/(60+rank), final top-10. "
+              "Each leg is a TakeOrdered head; fusion joins two 50-row "
+              "frames — corpus-size-independent tail.",
+          tags=("similarity", "retrieval"))
+def s4_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ae_data_integration_spark.catalog.text_q import bm25_scored
+
+    lex = (
+        bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_S4_TOPN)
+    )
+    # rank windows run AFTER the top-50 head: <= 50 rows, the
+    # no-partition window is deliberate and bounded.
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .alias("lr"),
+    )
+    e = table(spark, sf_dir, "embeddings")
+    vec = brute_force_topk(e, e.filter(F.col("vec_id") == 0), k=_S4_TOPN)
+    vecr = vec.select(F.col("n_id").alias("doc_id"), F.col("rk").alias("vr"))
+    rrf = (
+        F.coalesce(F.lit(1.0) / (F.lit(_S4_K) + F.col("lr")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(_S4_K) + F.col("vr")), F.lit(0.0))
+    )
+    return (
+        lexr.join(vecr, "doc_id", "full_outer")
+        .select("doc_id", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(_S4_FINAL)
+    )

@@ -638,7 +638,11 @@ def samp1_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T14_TERMS = ("join", "stream", "window")
 _T14_K1, _T14_B = 1.2, 0.75
 
-_T14_SQL = rf"""
+# The WITH...scored prefix is shared with s4_hybrid_rrf
+# (catalog/similarity_q.py), which fuses this lexical ranking with a
+# cosine leg — keep the CTE text in ONE place so both oracles replay
+# the identical BM25.
+BM25_SCORED_CTES = rf"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS t
   FROM documents
@@ -663,18 +667,17 @@ scored AS (
   JOIN lens USING (doc_id)
   CROSS JOIN stats
   GROUP BY tf.doc_id
-)
+)"""
+
+_T14_SQL = f"""{BM25_SCORED_CTES}
 SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 15
 """
 
 
-@register("t14_bm25_topk", oracle=_T14_SQL,
-          doc="Okapi BM25 top-15 for a fixed query term set (k1=1.2, "
-              "b=0.75): tf from one filtered token explode, df/N/avgdl "
-              "as broadcast model-sized aggregates, per-term partials "
-              "Q30-quantized so the per-doc sum is order-independent.",
-          tags=("text", "retrieval"))
-def t14_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) BM25 relevance for the fixed _T14_TERMS query —
+    the un-ranked scored set t14 tops and s4_hybrid_rrf fuses. Twin of
+    BM25_SCORED_CTES' final `scored` CTE."""
     from ae_data_integration_spark.functions.text import tokens
 
     d = table(spark, sf_dir, "documents")
@@ -710,4 +713,125 @@ def t14_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("score")
         )
     )
-    return scored.orderBy(F.desc("score"), "doc_id").limit(15)
+    return scored
+
+
+@register("t14_bm25_topk", oracle=_T14_SQL,
+          doc="Okapi BM25 top-15 for a fixed query term set (k1=1.2, "
+              "b=0.75): tf from one filtered token explode, df/N/avgdl "
+              "as broadcast model-sized aggregates, per-term partials "
+              "Q30-quantized so the per-doc sum is order-independent.",
+          tags=("text", "retrieval"))
+def t14_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_scored(spark, sf_dir).orderBy(F.desc("score"), "doc_id").limit(15)
+
+
+# --- T15: duplicated-span detection via content-defined anchors -------------
+# Span-level exact-substring duplication — the dedup signal MinHash
+# misses (two long documents sharing one long quoted passage have low
+# SET Jaccard but high span duplication; pretraining pipelines filter
+# or trim such spans). Suffix arrays are the offline gold standard;
+# the distributed form here is winnowing-style CONTENT-DEFINED
+# anchors: hash every overlapping 8-token window (stride 1), keep the
+# windows whose 48-bit md5 is ≡ 0 (mod 8) — a deterministic ~1/8
+# sample whose selection depends only on the window CONTENT, so the
+# same duplicated passage selects the same anchors in every document
+# regardless of alignment/offset (a fixed-stride sample would miss
+# misaligned copies). A doc's duplication score = fraction of its
+# distinct anchors that appear in ≥ 2 documents.
+# Scale shape: per-row window hashing (map, zero shuffle), one
+# (anchor-hash) groupBy with map-side partials, one join back on the
+# ~N/8-row anchor table. No pair joins, no quadratic term.
+
+_T15_W = 8       # window width in tokens
+_T15_MOD = 8     # anchor selectivity: keep h % 8 == 0
+
+_T15_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')"
+
+_T15_SQL = f"""
+WITH tok AS (SELECT doc_id, {_T15_TOKS} AS t FROM documents),
+anch AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           list_transform(range(1, greatest(len(t) - {_T15_W - 1}, 0) + 1),
+                          i -> CAST(('0x' || substr(md5(array_to_string(t[i : i + {_T15_W - 1}], ' ')), 1, 12)) AS BIGINT)),
+           h -> h % {_T15_MOD} = 0)) AS ahs
+  FROM tok
+),
+ex AS (SELECT doc_id, unnest(ahs) AS h FROM anch),
+dfh AS (SELECT h, COUNT(*) AS n_docs FROM ex GROUP BY h),
+dup AS (
+  SELECT e.doc_id, COUNT(*) AS n_dup FROM ex e
+  JOIN dfh ON e.h = dfh.h WHERE dfh.n_docs > 1 GROUP BY e.doc_id
+)
+SELECT a.doc_id,
+       CAST(len(a.ahs) AS BIGINT) AS n_anchors,
+       CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_anchors,
+       CASE WHEN len(a.ahs) > 0
+            THEN CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / CAST(len(a.ahs) AS DOUBLE)
+            ELSE 0.0 END AS dup_anchor_frac
+FROM anch a LEFT JOIN dup d ON a.doc_id = d.doc_id
+ORDER BY a.doc_id
+"""
+
+
+@register("t15_dup_spans", oracle=_T15_SQL,
+          doc="Span-level duplication score via content-defined anchors: "
+              "every overlapping 8-token window hashed (48-bit md5), "
+              "windows with h % 8 == 0 kept as alignment-independent "
+              "anchors; per doc, the fraction of distinct anchors shared "
+              "with >= 1 other document. One map stage + one anchor-hash "
+              "groupBy + one join back — no pair joins.",
+          tags=("text", "dedup", "bench"))
+def t15_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.functions.text import tokens
+
+    d = table(spark, sf_dir, "documents")
+    # tokens land in their own projection (HOF lambdas get no CSE)
+    tok = d.select("doc_id", tokens("text").alias("t"))
+    par = spark.sparkContext.defaultParallelism
+    if tok.rdd.getNumPartitions() < par:
+        tok = tok.repartition(par, "doc_id")
+    win = F.transform(
+        F.sequence(F.lit(1), F.size("t") - F.lit(_T15_W - 1)),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice(F.col("t"), i, _T15_W), " ")), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    anch = tok.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(
+                F.when(F.size("t") >= _T15_W, win)
+                .otherwise(F.array().cast("array<bigint>")),
+                lambda h: h % _T15_MOD == 0,
+            )
+        ).alias("ahs"),
+    )
+    ex = anch.select("doc_id", F.explode("ahs").alias("h"))
+    dfh = ex.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup = (
+        ex.join(dfh.filter(F.col("n_docs") > 1), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0)).cast("long")
+    return (
+        anch.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("ahs").cast("long").alias("n_anchors"),
+            n_dup.alias("n_dup_anchors"),
+            F.when(
+                F.size("ahs") > 0,
+                n_dup.cast("double") / F.size("ahs").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_anchor_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -323,3 +323,38 @@ def test_dup_clusters_match_union_find(spark):
         for r in dup_clusters(verified, n_iters=4).collect()
     }
     assert got == want
+
+
+def test_jaccard_verify_hashed_equals_string_set(spark):
+    """The hashed-set verify (r8 longs-not-strings scale fix) must
+    produce the same jaccard VALUES as raw string-set jaccard on real
+    shingle data — 48-bit collisions would show up here."""
+    from pyspark.sql import functions as F
+
+    from ae_data_integration_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_verify,
+        lsh_candidate_pairs_from_shingles,
+    )
+
+    d = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).persist()
+    pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=8, num_bands=2)
+    hashed = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_verify(pairs, shs).collect()
+    }
+    assert hashed  # non-trivial candidate set
+    # reference: jaccard over the raw string shingle sets
+    a = shs.select(F.col("doc").alias("doc_a"), F.col("shs").alias("sa"))
+    b = shs.select(F.col("doc").alias("doc_b"), F.col("shs").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = (F.size("sa") + F.size("sb")).cast("double") - inter
+    ref = {
+        (r["doc_a"], r["doc_b"]): r["j"]
+        for r in pairs.join(a, "doc_a").join(b, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("j"))
+        .collect()
+    }
+    assert hashed == ref  # exact equality, not approx
+    shs.unpersist()

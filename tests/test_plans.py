@@ -315,3 +315,21 @@ def test_q9_product_profit_shape(spark):
         {"l_partkey", "l_suppkey", "l_orderkey",
          "l_quantity", "l_extendedprice", "l_discount"},
     )
+
+
+def test_t15_dup_spans_shape(spark):
+    # window hashing is a pure map (JVM HOFs, no row-Python); the only
+    # shuffles are the anchor-hash groupBy (map-side partials) and the
+    # doc_id join back; no cartesian anywhere.
+    pa = plan_asserts(_df(spark, "t15_dup_spans"))
+    pa.no_python_row_udf().has_partial_agg()
+    assert "CartesianProduct" not in pa.plan
+
+
+def test_s4_hybrid_rrf_shape(spark):
+    # both legs end in TakeOrdered heads (no full-sort materialization
+    # of the corpus) and the corpus-side cosine leg broadcasts the
+    # single probe vector; no row-Python.
+    pa = plan_asserts(_df(spark, "s4_hybrid_rrf"))
+    pa.no_python_row_udf()
+    assert "TakeOrderedAndProject" in pa.plan
