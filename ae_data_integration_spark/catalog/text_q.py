@@ -784,6 +784,7 @@ ORDER BY a.doc_id
               "groupBy + one join back — no pair joins.",
           tags=("text", "dedup", "bench"))
 def t15_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.functions.caching import persist_tracked
     from ae_data_integration_spark.functions.text import tokens
 
     d = table(spark, sf_dir, "documents")
@@ -802,7 +803,7 @@ def t15_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         ).cast("long"),
     )
-    anch = tok.select(
+    anch = persist_tracked(tok.select(
         "doc_id",
         F.array_distinct(
             F.filter(
@@ -811,7 +812,11 @@ def t15_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda h: h % _T15_MOD == 0,
             )
         ).alias("ahs"),
-    )
+    ))
+    # tracked persist: anch feeds THREE consumers (the anchor-df
+    # groupBy, the dup join's explode, and the final per-doc join) —
+    # uncached, the tokenize+window-hash lineage ran three times
+    # (measured 3x the query wall at sf0.1).
     ex = anch.select("doc_id", F.explode("ahs").alias("h"))
     dfh = ex.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
     dup = (
