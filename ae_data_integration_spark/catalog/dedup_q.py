@@ -621,3 +621,168 @@ def pipe3_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs_in long, n_docs_kept long, n_chunks long, total_tokens long, "
         "n_bins long, mean_fill double",
     )
+
+
+# --- PIPE4: SemDeDup-style semantic deduplication ---------------------------
+# Cluster embeddings with the md5-seeded coarse quantizer (the s3/IVF
+# machinery), then drop any vector with a same-cluster neighbor at
+# cosine >= threshold and a smaller id (SemDeDup, arXiv:2303.09540 —
+# the keep-one-per-semantic-neighborhood curation step). The oracle
+# replays quantizer -> within-cluster pairs -> drop rule -> per-
+# cluster stats end to end. k is pinned tiny for the oracle replay;
+# at corpus scale k grows ~N/target_cluster_size so the within-
+# cluster quadratic never materializes (operators/dedup.semantic_dedup).
+
+from ae_data_integration_spark.catalog.kmeans_q import _assign_cte, _update_cte
+from ae_data_integration_spark.operators.dedup import semantic_dedup
+
+_P4_K, _P4_THRESH = 5, 0.35
+_P4_V = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_P4_SQ = "list_reduce(list_transform({a}, x -> x * x), (p, q) -> p + q)"
+_P4_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]),"
+    " (x, y) -> x + y)"
+)
+
+_PIPE4_SQL = f"""
+WITH pts AS (SELECT vec_id AS id, {_P4_V} AS vec FROM embeddings),
+init AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5('sd' || CAST(id AS VARCHAR)), id) - 1 AS cluster,
+         vec AS centroid
+  FROM (SELECT * FROM pts ORDER BY md5('sd' || CAST(id AS VARCHAR)), id LIMIT {_P4_K})
+),
+{_assign_cte('pts', 'init', 'a1')},
+{_update_cte('a1', 'c1')},
+{_assign_cte('pts', 'c1', 'a2')},
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.id < b.id
+  WHERE {_P4_DOT.format(a='a.vec', b='b.vec')}
+          / greatest(sqrt({_P4_SQ.format(a='a.vec')}) * sqrt({_P4_SQ.format(a='b.vec')}), 1e-12)
+        >= {_P4_THRESH}
+),
+dropped AS (SELECT DISTINCT id_b AS id FROM pairs)
+SELECT a.cluster, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN d.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(SUM(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       MIN(CASE WHEN d.id IS NULL THEN a.id END) AS min_kept_id
+FROM a2 a LEFT JOIN dropped d ON a.id = d.id
+GROUP BY a.cluster
+ORDER BY a.cluster
+"""
+
+
+@register("pipe4_semantic_dedup", oracle=_PIPE4_SQL,
+          doc="SemDeDup: md5-seeded coarse KMeans clusters, within-cluster "
+              "cosine >= 0.35 drop rule (keep smallest id), per-cluster "
+              "keep/drop stats; oracle replays the full chain.",
+          tags=("dedup", "similarity", "bench"))
+def pipe4_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    sd = semantic_dedup(e, k=_P4_K, n_iter=1, threshold=_P4_THRESH, salt="sd")
+    dup = F.when(F.col("is_dup"), 1).otherwise(0)
+    return (
+        sd.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dup).alias("n_dup"),
+            F.sum(1 - dup).alias("n_kept"),
+            F.min(F.when(~F.col("is_dup"), F.col("id"))).alias("min_kept_id"),
+        )
+        .orderBy("cluster")
+    )
+
+
+# --- PIPE5: incremental ingestion dedup (new batch vs existing corpus) ------
+# The continuous-ingestion shape: an incoming batch (doc_id % 5 == 0
+# stands in for "today's crawl") is deduped against the existing
+# corpus (the rest) WITHOUT re-pairing the corpus against itself —
+# exact fingerprint anti-join first, then MinHash-LSH candidates
+# ACROSS the two sides (batch bands x corpus bands — work is
+# proportional to the batch, never corpus^2), hashed-shingle Jaccard
+# verify, survivors ingested. At 100 TB the corpus band table is a
+# stored artifact (one row per doc per band); each batch computes
+# only its own bands (operators/dedup.lsh_candidate_pairs_across).
+
+from ae_data_integration_spark.operators.dedup import lsh_candidate_pairs_across
+
+_P5_THRESH = 0.5
+_P5_FP = r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+
+_PIPE5_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHS} AS shs FROM documents
+),
+hashed AS (
+  SELECT doc_id, shs,
+         list_transform(shs, x -> CAST(('0x' || substr(md5(x), 1, 12)) AS BIGINT)) AS hs
+  FROM sh
+),
+corpus_fp AS (
+  SELECT DISTINCT {_P5_FP} AS fp FROM documents WHERE doc_id % 5 != 0
+),
+b1 AS (
+  SELECT d.doc_id, d.n_chars
+  FROM documents d LEFT JOIN corpus_fp f ON {_P5_FP.replace('(text', '(d.text')} = f.fp
+  WHERE d.doc_id % 5 = 0 AND f.fp IS NULL
+),
+sig AS (
+  SELECT doc_id, {_perm_mins_sql(8)} AS sig FROM hashed
+),
+bands AS (
+  SELECT doc_id, b.b AS band,
+         md5(array_to_string(sig[b.b*4 + 1 : b.b*4 + 4], '|')) AS bucket
+  FROM sig, (SELECT unnest(range(0, 2)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x
+  JOIN b1 ON x.doc_id = b1.doc_id
+  JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND y.doc_id % 5 != 0
+),
+{_HSET_CTE},
+near_dup AS (
+  SELECT DISTINCT p.doc_a AS doc_id
+  FROM cand p
+  JOIN hset a ON p.doc_a = a.doc_id
+  JOIN hset b ON p.doc_b = b.doc_id
+  WHERE {_JACC} >= {_P5_THRESH}
+)
+SELECT b1.doc_id, b1.n_chars
+FROM b1 LEFT JOIN near_dup n ON b1.doc_id = n.doc_id
+WHERE n.doc_id IS NULL
+ORDER BY b1.doc_id
+"""
+
+
+@register("pipe5_incremental_dedup", oracle=_PIPE5_SQL,
+          doc="Incremental ingestion dedup: exact-fingerprint anti-join, "
+              "then cross-corpus MinHash-LSH + Jaccard >= 0.5 against the "
+              "existing corpus; returns the ingested survivor docs.",
+          tags=("dedup", "bench"))
+def pipe5_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.functions.text import fingerprint
+
+    d = table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    corpus_fp = corpus.select(fingerprint("text").alias("fp")).distinct()
+    b1 = (
+        batch.withColumn("fp", fingerprint("text"))
+        .join(corpus_fp, "fp", "left_anti")
+        .select("doc_id", "n_chars", "text")
+        .persist()
+    )
+    sh_b = doc_shingles(b1, "doc_id", "text", k=5, spread=True).persist()
+    sh_c = doc_shingles(corpus, "doc_id", "text", k=5, spread=True).persist()
+    cands = lsh_candidate_pairs_across(sh_b, sh_c, num_perm=8, num_bands=2)
+    near = (
+        jaccard_verify(cands, sh_b.unionByName(sh_c), threshold=_P5_THRESH)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        b1.join(near, "doc_id", "left_anti")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -113,3 +113,135 @@ def sk2_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return kmv_distinct(ev, "user_id", "event_type", k=_K2).orderBy("event_type")
+
+
+# --- SK3: Bloom-filter join pre-filter --------------------------------------
+# The shuffle-avoidance pattern for big joins: build a Bloom filter
+# over the build side's join keys (orders.o_custkey), broadcast it,
+# and pre-filter the probe side (customer) BEFORE the shuffle join —
+# at 100 TB the filter drops most probe rows at the scan, so the join
+# shuffles a fraction of the data (Spark's runtime bloom-join does
+# this internally; the explicit md5 construction puts the whole
+# sketch — bit positions, membership rule, false-positive behaviour —
+# under the cross-engine value-hash gate). m = 4096 bits, 3 hashes;
+# the filter is carried as the DISTINCT set of set-bit positions
+# (<= m rows, broadcast), and a probe key is a candidate iff ALL its
+# (distinct) positions are set. Output compares candidates against
+# the exact semi-join per key-mod-10 group, exposing the measured
+# false-positive count next to the sketch parameters' prediction.
+
+_M3, _KH3 = 4096, 3
+
+_P3B = (
+    "CAST(('0x' || substr(md5('bf' || i.i || ':' || CAST({key} AS VARCHAR)), 1, 12)) "
+    f"AS BIGINT) % {_M3}"
+)
+
+_SK3_PRED = "o_orderpriority = '1-URGENT' AND o_totalprice > 250000"
+
+_SK3_SQL = f"""
+WITH ok AS (SELECT DISTINCT o_custkey AS key FROM orders WHERE {_SK3_PRED}),
+hs AS (SELECT unnest(range(0, {_KH3})) AS i),
+bloom AS (
+  SELECT DISTINCT {_P3B.format(key="ok.key")} AS pos FROM ok, hs i
+),
+cust AS (SELECT c_custkey AS key FROM customer),
+ps AS (
+  SELECT DISTINCT cust.key, {_P3B.format(key="cust.key")} AS pos FROM cust, hs i
+),
+np AS (SELECT key, COUNT(*) AS np FROM ps GROUP BY key),
+nm AS (
+  SELECT ps.key, COUNT(*) AS nm FROM ps JOIN bloom ON ps.pos = bloom.pos GROUP BY ps.key
+),
+cand AS (SELECT np.key FROM np JOIN nm ON np.key = nm.key AND np.np = nm.nm),
+flags AS (
+  SELECT c.key,
+         CASE WHEN cd.key IS NOT NULL THEN 1 ELSE 0 END AS is_cand,
+         CASE WHEN ok.key IS NOT NULL THEN 1 ELSE 0 END AS is_member
+  FROM cust c
+  LEFT JOIN cand cd ON c.key = cd.key
+  LEFT JOIN ok ON c.key = ok.key
+)
+SELECT key % 10 AS grp,
+       COUNT(*) AS n_probed,
+       CAST(SUM(is_member) AS BIGINT) AS n_exact,
+       CAST(SUM(is_cand) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN is_cand = 1 AND is_member = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos
+FROM flags
+GROUP BY grp
+ORDER BY grp
+"""
+
+
+def _bf_pos(i: int, key):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bf{i}:"), key.cast("string"))), 1, 12
+            ), 16, 10,
+        ).cast("long")
+        % F.lit(_M3)
+    )
+
+
+@register("sk3_bloom_prefilter", oracle=_SK3_SQL,
+          doc="Bloom-filter join pre-filter (m=4096, k=3, md5 positions): "
+              "build over urgent high-value orders' custkeys, broadcast "
+              "the set-bit list, "
+              "probe customers (member iff all positions set); per-group "
+              "exact-vs-candidate-vs-false-positive counts.",
+          tags=("sketch", "bench"))
+def sk3_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ok = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 250000)
+        )
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    bloom = (
+        ok.select(
+            F.explode(F.array(*[_bf_pos(i, F.col("key")) for i in range(_KH3)])).alias("pos")
+        )
+        .distinct()
+    )
+    cust = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    ps = cust.select(
+        "key",
+        F.array_distinct(
+            F.array(*[_bf_pos(i, F.col("key")) for i in range(_KH3)])
+        ).alias("pss"),
+    ).select("key", F.size("pss").alias("np"), F.explode("pss").alias("pos"))
+    cand = (
+        ps.join(F.broadcast(bloom), "pos")
+        .groupBy("key", "np")
+        .agg(F.count(F.lit(1)).alias("nm"))
+        .filter(F.col("nm") == F.col("np"))
+        .select("key")
+        .withColumn("is_cand", F.lit(1))
+    )
+    member = ok.withColumn("is_member", F.lit(1))
+    flags = (
+        cust.join(cand, "key", "left")
+        .join(member, "key", "left")
+        .select(
+            "key",
+            F.coalesce("is_cand", F.lit(0)).alias("is_cand"),
+            F.coalesce("is_member", F.lit(0)).alias("is_member"),
+        )
+    )
+    return (
+        flags.groupBy((F.col("key") % 10).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_probed"),
+            F.sum("is_member").alias("n_exact"),
+            F.sum("is_cand").alias("n_candidates"),
+            F.sum(
+                F.when((F.col("is_cand") == 1) & (F.col("is_member") == 0), 1).otherwise(0)
+            ).alias("n_false_pos"),
+        )
+        .orderBy("grp")
+    )

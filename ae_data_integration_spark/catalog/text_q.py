@@ -840,3 +840,102 @@ def t15_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- T16: hashed-feature linear classifier (fastText-style scoring) ---------
+# The scoring half of a fastText / linear quality-or-language
+# classifier, the way a 100-TB curation run deploys one: each token
+# hashes into B buckets (feature hashing, no vocabulary to ship),
+# per-doc bucket counts join a BROADCAST (classes x B) weight table,
+# and the class score is the integer dot product argmax. Weights here
+# are md5-derived stand-ins for trained parameters — the plumbing
+# (hash -> count -> broadcast join -> argmax) is exactly what serving
+# a real weight table looks like, and it keeps the oracle exact:
+# counts and the centered 48-bit weights are integers, so scores are
+# bit-equal BIGINTs on both engines with no quantization step.
+# Scale: one token explode + one (doc, bucket) groupBy; the weight
+# join is broadcast (classes x B rows); argmax is a per-doc window
+# over `classes` rows. No shuffle grows with vocabulary.
+
+_T16_B = 64
+_T16_LANGS = ("de", "en", "es", "fr", "zh")
+_T16_CENTER = 1 << 47
+
+_T16_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+cnts AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) % {_T16_B} AS bucket,
+         COUNT(*) AS cnt
+  FROM tok GROUP BY doc_id, bucket
+),
+w AS (
+  SELECT l.lang, b.bucket,
+         CAST(('0x' || substr(md5('lc' || l.lang || ':' || CAST(b.bucket AS VARCHAR)), 1, 12)) AS BIGINT)
+           - {_T16_CENTER} AS w
+  FROM (VALUES ('de'), ('en'), ('es'), ('fr'), ('zh')) l(lang),
+       (SELECT unnest(range(0, {_T16_B})) AS bucket) b
+),
+s AS (
+  SELECT c.doc_id, w.lang, CAST(SUM(c.cnt * w.w) AS BIGINT) AS score_q
+  FROM cnts c JOIN w ON c.bucket = w.bucket
+  GROUP BY c.doc_id, w.lang
+)
+SELECT doc_id, lang AS pred_class, score_q FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_q DESC, lang) AS rk
+  FROM s
+) WHERE rk = 1
+ORDER BY doc_id
+"""
+
+
+@register("t16_hashed_classifier", oracle=_T16_SQL,
+          doc="Feature-hashing linear classifier scoring: token -> md5 "
+              "bucket (B=64) counts, broadcast (class x bucket) integer "
+              "weight table, per-doc argmax. md5 weights stand in for "
+              "trained parameters; serving plumbing is the operator.",
+          tags=("text", "bench"))
+def t16_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("long")
+        % F.lit(_T16_B)
+    )
+    cnts = (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    langs = spark.createDataFrame([(l,) for l in _T16_LANGS], "lang string")
+    w = (
+        langs.crossJoin(spark.range(_T16_B).withColumnRenamed("id", "bucket"))
+        .withColumn(
+            "w",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("lc"), F.col("lang"), F.lit(":"),
+                            F.col("bucket").cast("string"),
+                        )
+                    ), 1, 12,
+                ), 16, 10,
+            ).cast("long")
+            - F.lit(_T16_CENTER),
+        )
+    )
+    s = (
+        cnts.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("cnt") * F.col("w")).alias("score_q"))
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("score_q"), "lang")
+    return (
+        s.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("lang").alias("pred_class"), "score_q")
+        .orderBy("doc_id")
+    )

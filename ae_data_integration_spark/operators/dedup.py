@@ -60,15 +60,15 @@ def doc_shingles(
     return out.select("doc", shingles("_t", k).alias("shs"))
 
 
-def lsh_candidate_pairs_from_shingles(
+def lsh_band_table(
     shingle_df: DataFrame,
     num_perm: int = 8,
     num_bands: int = 2,
     max_bucket: int | None = None,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs (a < b), distinct, from a (doc,
-    shs) shingle-array table — lets one persisted shingle pass feed
-    both the signature path and the Jaccard-verify join.
+    """(doc, band, bucket) LSH band table from a (doc, shs) shingle
+    table — the shared front half of the self-join (intra-corpus) and
+    cross-join (batch-vs-corpus) candidate generators.
 
     rows_per_band = num_perm / num_bands sets the similarity knee at
     roughly (1/num_bands)^(1/rows_per_band). `max_bucket` drops
@@ -103,6 +103,19 @@ def lsh_candidate_pairs_from_shingles(
         bands = bands.join(
             sizes.filter(F.col("_bn") <= max_bucket), ["band", "bucket"]
         ).drop("_bn")
+    return bands
+
+
+def lsh_candidate_pairs_from_shingles(
+    shingle_df: DataFrame,
+    num_perm: int = 8,
+    num_bands: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (a < b), distinct, from a (doc,
+    shs) shingle-array table — lets one persisted shingle pass feed
+    both the signature path and the Jaccard-verify join."""
+    bands = lsh_band_table(shingle_df, num_perm, num_bands, max_bucket)
     # The self-join would recompute the whole shingle→md5→signature
     # lineage for each side; persist the (tiny: one row per doc per
     # band) band table so the expensive pass runs once.
@@ -111,6 +124,35 @@ def lsh_candidate_pairs_from_shingles(
     return (
         x.join(y, ["band", "bucket"])
         .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs_across(
+    batch_shingles: DataFrame,
+    corpus_shingles: DataFrame,
+    num_perm: int = 8,
+    num_bands: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs ACROSS two corpora: (doc_a from
+    batch, doc_b from corpus), distinct — the incremental-ingestion
+    shape (dedupe a new batch against an existing corpus WITHOUT
+    re-pairing the corpus against itself).
+
+    Scale design: at 100 TB the corpus band table is computed once
+    and stored (it is one row per doc per band — tiny next to the
+    text); each incoming batch computes only ITS bands and joins on
+    (band, bucket). Work is Σ_b |b_batch|·|b_corpus| — proportional
+    to the batch, never corpus², which is what makes continuous
+    ingestion dedup feasible where a full-corpus re-pair is not.
+    """
+    ba = lsh_band_table(batch_shingles, num_perm, num_bands, max_bucket).persist()
+    bb = lsh_band_table(corpus_shingles, num_perm, num_bands, max_bucket).persist()
+    return (
+        ba.alias("x")
+        .join(bb.alias("y"), ["band", "bucket"])
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
     )
@@ -332,3 +374,65 @@ def dup_labels(
             F.least(F.col("lbl"), F.coalesce(F.col("_l2"), F.col("lbl"))).alias("lbl"),
         ).localCheckpoint()
     return labels
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_iter: int = 1,
+    threshold: float = 0.9,
+    salt: str = "sd",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a coarse KMeans, then
+    compare pairs only WITHIN a cluster; a doc is a semantic dup if
+    some same-cluster doc with a smaller id has cosine >= threshold.
+
+    Returns the full assignment (id, cluster, is_dup) — survivors are
+    `is_dup = false`; a curation pipeline anti-joins the dups out.
+
+    Everything is deterministic (md5-seeded quantizer, left-fold
+    dots), so a SQL oracle replays cluster -> pairs -> drop-rule end
+    to end.
+
+    Scale design (100 TB): the cluster self-join does Sigma_c |c|^2
+    cosine evaluations — the SemDeDup trick is that k grows with the
+    corpus (k ~ N / target_cluster_size, e.g. 100k clusters for 5B
+    docs in the paper) so |c| stays bounded and the quadratic term
+    never materializes; the catalog query pins a tiny k only so the
+    DuckDB oracle can replay the quantizer. Centroid assignment is a
+    broadcast (k x d) against one corpus scan; the pair join shuffles
+    on the cluster key — one shuffle, then per-cluster local work.
+    """
+    from ae_data_integration_spark.functions.arrays import l2_norm
+    from ae_data_integration_spark.operators.kmeans import kmeans_fit
+    from ae_data_integration_spark.operators.similarity import (
+        _cos_with_norms,
+        _vec_dim,
+        _widen,
+    )
+
+    d = _vec_dim(emb, vec_col)
+    assigned, _cents = kmeans_fit(emb, key_col, vec_col, k=k, n_iter=n_iter, salt=salt)
+    sig = (
+        _widen(assigned.select("id", "vec", "cluster"))
+        .withColumn("nrm", l2_norm("vec"))
+        .persist()
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("cos", _cos_with_norms("a.vec", "b.vec", "a.nrm", "b.nrm", d))
+        .filter(F.col("cos") >= threshold)
+    )
+    dropped = pairs.select(F.col("b.id").alias("id")).distinct().withColumn(
+        "is_dup", F.lit(True)
+    )
+    return (
+        sig.select("id", "cluster")
+        .join(dropped, "id", "left")
+        .select("id", "cluster", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+    )
