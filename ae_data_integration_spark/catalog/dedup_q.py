@@ -786,3 +786,141 @@ def pipe5_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     )
+
+
+# --- D7: cross-source duplication matrix ------------------------------------
+# Data-lineage analytics over the verified near-dup graph: which
+# sources duplicate which (mirror sites, scraped re-posts, intra-
+# source boilerplate). Joins the verified pair list (the d6/pipe2
+# front half, shared CTE text) to each side's source label and
+# aggregates to an UNORDERED source-pair matrix — at most
+# |sources|^2/2 rows out, however large the corpus. Scale shape: two
+# broadcast-able joins to the (doc_id, source) projection plus one
+# tiny-key groupBy; all pair-generation cost is the already-bounded
+# LSH machinery.
+
+_D7_SQL = f"""{_D6_VERIFIED}
+SELECT least(da.source, db.source) AS src_a,
+       greatest(da.source, db.source) AS src_b,
+       COUNT(*) AS n_pairs,
+       COUNT(DISTINCT CASE WHEN da.source <= db.source THEN v.doc_a ELSE v.doc_b END)
+         AS n_docs_a,
+       COUNT(DISTINCT CASE WHEN da.source <= db.source THEN v.doc_b ELSE v.doc_a END)
+         AS n_docs_b
+FROM verified v
+JOIN documents da ON v.doc_a = da.doc_id
+JOIN documents db ON v.doc_b = db.doc_id
+GROUP BY src_a, src_b
+ORDER BY src_a, src_b
+"""
+
+
+@register("d7_cross_source_dup_matrix", oracle=_D7_SQL,
+          doc="Cross-source duplication matrix: verified near-dup pairs "
+              "labeled with each side's source, aggregated to unordered "
+              "source pairs with pair and distinct-doc counts.",
+          tags=("dedup",))
+def d7_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).persist()
+    pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=8, num_bands=2)
+    verified = jaccard_verify(pairs, shs, threshold=_D6_THRESH).select(
+        "doc_a", "doc_b"
+    )
+    src = d.select("doc_id", "source")
+    v = (
+        verified.join(
+            F.broadcast(src).withColumnsRenamed(
+                {"doc_id": "doc_a", "source": "source_a"}
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(src).withColumnsRenamed(
+                {"doc_id": "doc_b", "source": "source_b"}
+            ),
+            "doc_b",
+        )
+    )
+    fwd = F.col("source_a") <= F.col("source_b")
+    return (
+        v.select(
+            F.least("source_a", "source_b").alias("src_a"),
+            F.greatest("source_a", "source_b").alias("src_b"),
+            F.when(fwd, F.col("doc_a")).otherwise(F.col("doc_b")).alias("da"),
+            F.when(fwd, F.col("doc_b")).otherwise(F.col("doc_a")).alias("db"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("da").alias("n_docs_a"),
+            F.countDistinct("db").alias("n_docs_b"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+# --- G5: triangle counting over the verified near-dup graph -----------------
+# Cohesion analytics: a near-dup pair inside a triangle is corrobor-
+# ated by a third witness (bucket-collision pairs that verify by
+# chance rarely close triangles). Edges are oriented a < b, so each
+# triangle a<b<c is found exactly once by the two-hop join
+# (a,b)+(b,c)+(a,c); per-node counts come from exploding the three
+# corners. Scale shape: the standard edge-iterator bound — join work
+# is Σ_v deg(v)² on the oriented graph; orienting low-id -> high-id
+# on id-ordered near-dup graphs keeps out-degrees small, and the
+# production refinement (orient by ascending degree, the classic
+# Schank-Wagner trick) drops the bound to O(E^1.5) regardless of
+# skew. The dup graph is ~|docs| edges, so this is join-bound, never
+# scan-bound.
+
+_G5_SQL = f"""{_D6_VERIFIED},
+tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM verified e1
+  JOIN verified e2 ON e1.doc_b = e2.doc_a
+  JOIN verified e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+corners AS (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT doc_id, COUNT(*) AS n_triangles
+FROM corners
+GROUP BY doc_id
+ORDER BY n_triangles DESC, doc_id
+LIMIT 20
+"""
+
+
+@register("g5_triangle_count", oracle=_G5_SQL,
+          doc="Per-node triangle counts over the verified near-dup graph "
+              "(oriented two-hop join, each triangle found once); top 20.",
+          tags=("dedup", "graph"))
+def g5_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).persist()
+    pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=8, num_bands=2)
+    verified = (
+        jaccard_verify(pairs, shs, threshold=_D6_THRESH)
+        .select("doc_a", "doc_b")
+        # three self-join consumers below — compute the LSH+verify
+        # lineage once (same discipline as d2's shingle persist)
+        .persist()
+    )
+    e1 = verified.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = verified.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = verified.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return (
+        corners.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "doc_id")
+        .limit(20)
+    )

@@ -939,3 +939,116 @@ def t16_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("lang").alias("pred_class"), "score_q")
         .orderBy("doc_id")
     )
+
+
+# --- T17: BPE-style pair-frequency counting (vocab induction step) ----------
+# The distributed primitive inside byte-pair-encoding tokenizer
+# training: count adjacent character-pair frequencies over the
+# corpus and rank candidate merges. The scale-critical move is to
+# aggregate the VOCABULARY first (token -> corpus count: one token
+# shuffle whose key cardinality is the vocab, not the corpus) and
+# explode pairs over distinct tokens weighted by their counts —
+# pair work is O(vocab x token_len) however many times each token
+# repeats, which at 100 TB is the difference between a vocab-sized
+# job and re-scanning every byte per merge round. Real BPE iterates
+# merge -> recount; each round is exactly this shape.
+
+_T17_TOPK = 30
+
+_T17_SQL = f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+vocab AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(tok)), i -> substr(tok, i, 2))) AS pair, n
+  FROM vocab
+)
+SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences
+FROM pairs
+GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT {_T17_TOPK}
+"""
+
+
+@register("t17_bpe_pair_counts", oracle=_T17_SQL,
+          doc="BPE merge-candidate counting: adjacent char-pair frequencies "
+              "aggregated over the token VOCABULARY (counts as weights), "
+              "top-30 merges — one vocab-keyed shuffle, pair explode over "
+              "distinct tokens only.",
+          tags=("text",))
+def t17_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens("text")).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    pair_arr = F.when(
+        F.length("tok") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("tok") - 1),
+            lambda i: F.substr(F.col("tok"), i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = vocab.select(F.explode(pair_arr).alias("pair"), "n")
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(_T17_TOPK)
+    )
+
+
+# --- SAMP2: weighted corpus sampling (exponential keys) ---------------------
+# Weighted sampling without replacement, the distributed way
+# (Efraimidis-Spirakis A-ES): each doc draws u = md5-uniform(0,1]
+# and gets key -ln(u)/w; the n smallest keys are the sample, with
+# inclusion probability proportional to w (here w = n_chars: sample
+# mass follows document size, the shape mixture-weight resampling
+# uses). One scan + one TakeOrdered top-n — no shuffle of the corpus,
+# partition-independent, and every engine replays the md5 draw. The
+# ln() is not IEEE-correctly-rounded, so keys are Q30-quantized
+# before ranking (same discipline as BM25's idf partials);
+# quantized keys are bit-equal cross-engine, ties broken by doc_id.
+
+_SAMP2_N = 50
+_SAMP2_DENOM = 281474976710656.0  # 2^48
+
+_SAMP2_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         CAST(round(
+           (-ln((CAST(('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1)
+                / {_SAMP2_DENOM})
+            / CAST(n_chars AS DOUBLE)) * {Q30}
+         ) AS BIGINT) AS key_q
+  FROM documents
+)
+SELECT doc_id, n_chars, key_q
+FROM keyed
+ORDER BY key_q, doc_id
+LIMIT {_SAMP2_N}
+"""
+
+
+@register("samp2_weighted_sample", oracle=_SAMP2_SQL,
+          doc="Weighted sampling without replacement (Efraimidis-Spirakis "
+              "exponential keys, w = n_chars): md5-uniform draw, "
+              "-ln(u)/w Q30-quantized, smallest-50 TakeOrdered.",
+          tags=("text", "sampling"))
+def samp2_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ws"), F.col("doc_id").cast("string"))), 1, 12
+            ), 16, 10,
+        ).cast("long")
+        + 1
+    ) / F.lit(_SAMP2_DENOM)
+    key = -F.log(u) / F.col("n_chars").cast("double")
+    return (
+        d.select(
+            "doc_id", "n_chars",
+            F.round(key * F.lit(Q30)).cast("long").alias("key_q"),
+        )
+        .orderBy("key_q", "doc_id")
+        .limit(_SAMP2_N)
+    )

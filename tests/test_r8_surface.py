@@ -165,3 +165,74 @@ def test_t16_broadcasts_weights(spark):
     pa = plan_asserts(REGISTRY[resolve("t16_hashed_classifier")].fn(spark, SF_CORRECT))
     pa.has_broadcast_join(1).no_python_row_udf()
     assert "CartesianProduct" not in pa.plan
+
+
+# --- cross-source dup matrix / triangles ------------------------------------
+
+
+def _verified_pairs(spark, sf=SF_SMOKE):
+    from ae_data_integration_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs_from_shingles,
+    )
+
+    d = table(spark, sf, "documents")
+    shs = doc_shingles(d, "doc_id", "text", k=5)
+    pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=8, num_bands=2)
+    return jaccard_verify(pairs, shs, threshold=0.5).select("doc_a", "doc_b")
+
+
+def test_d7_matrix_accounts_for_every_verified_pair(spark):
+    out = _run(spark, "d7_cross_source_dup_matrix")
+    n_pairs_total = len(_verified_pairs(spark).collect())
+    assert out["n_pairs"].sum() == n_pairs_total
+    assert (out["src_a"] <= out["src_b"]).all()
+    assert (out["n_docs_a"] <= out["n_pairs"]).all()
+
+
+def test_g5_matches_brute_force_triangles(spark):
+    edges = {(r.doc_a, r.doc_b) for r in _verified_pairs(spark).collect()}
+    und = edges | {(b, a) for a, b in edges}
+    nbrs: dict[int, set] = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+    tri_per_node: dict[int, int] = {}
+    for a, b in edges:
+        for c in nbrs[a] & nbrs[b]:
+            if c > b:  # a<b<c exactly once
+                for v in (a, b, c):
+                    tri_per_node[v] = tri_per_node.get(v, 0) + 1
+    out = _run(spark, "g5_triangle_count")
+    expected = sorted(tri_per_node.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = list(zip(out["doc_id"], out["n_triangles"]))
+    assert got == expected and len(got) > 0
+
+
+# --- BPE pair counts / weighted sampling ------------------------------------
+
+
+def test_t17_matches_pure_python(spark):
+    docs = pd.read_parquet(SF_SMOKE + "/documents.parquet")
+    vocab: dict[str, int] = {}
+    for text in docs["text"]:
+        for t in re.split(r"\s+", text.lower()):
+            if t:
+                vocab[t] = vocab.get(t, 0) + 1
+    pc: dict[str, int] = {}
+    for t, n in vocab.items():
+        for i in range(len(t) - 1):
+            pc[t[i:i + 2]] = pc.get(t[i:i + 2], 0) + n
+    expected = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    out = _run(spark, "t17_bpe_pair_counts")
+    assert list(zip(out["pair"], out["n_occurrences"])) == expected
+
+
+def test_samp2_overweights_long_documents(spark):
+    """Inclusion probability ∝ n_chars: the weighted sample's mean
+    doc length must sit clearly above the corpus mean (the semantic
+    the cross-engine oracle alone cannot distinguish from uniform)."""
+    out = _run(spark, "samp2_weighted_sample", SF_CORRECT)
+    docs = pd.read_parquet(SF_CORRECT + "/documents.parquet")
+    assert len(out) == 50
+    assert (out["key_q"].diff().dropna() >= 0).all()
+    assert out["n_chars"].mean() > 1.1 * docs["n_chars"].mean()
