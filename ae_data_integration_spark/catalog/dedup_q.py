@@ -707,7 +707,7 @@ def pipe4_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ae_data_integration_spark.operators.dedup import lsh_candidate_pairs_across
 
 _P5_THRESH = 0.5
-_P5_FP = r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+_P5_FP_T = r"md5(trim(regexp_replace(lower({t}), '\s+', ' ', 'g')))"
 
 _PIPE5_SQL = f"""
 WITH sh AS (
@@ -719,11 +719,11 @@ hashed AS (
   FROM sh
 ),
 corpus_fp AS (
-  SELECT DISTINCT {_P5_FP} AS fp FROM documents WHERE doc_id % 5 != 0
+  SELECT DISTINCT {_P5_FP_T.format(t='text')} AS fp FROM documents WHERE doc_id % 5 != 0
 ),
 b1 AS (
   SELECT d.doc_id, d.n_chars
-  FROM documents d LEFT JOIN corpus_fp f ON {_P5_FP.replace('(text', '(d.text')} = f.fp
+  FROM documents d LEFT JOIN corpus_fp f ON {_P5_FP_T.format(t='d.text')} = f.fp
   WHERE d.doc_id % 5 = 0 AND f.fp IS NULL
 ),
 sig AS (
