@@ -400,3 +400,117 @@ def e7_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- E8: weekly cohort retention ---------------------------------------------
+
+# Week buckets via integer epoch-microsecond arithmetic (TZ-proof —
+# date_trunc('week') is session-timezone- and locale-sensitive).
+_WEEK_US = 604_800_000_000
+
+_E8_SQL = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_WEEK_US} AS week FROM events
+),
+first_w AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+)
+SELECT f.cohort_week,
+       uw.week - f.cohort_week AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active_users
+FROM uw JOIN first_w f ON uw.user_id = f.user_id
+GROUP BY f.cohort_week, week_offset
+ORDER BY f.cohort_week, week_offset
+"""
+
+
+@register("e8_cohort_retention", oracle=_E8_SQL,
+          doc="Weekly cohort retention matrix: users bucketed by first-seen "
+              "week, activity counted per week offset. Scale: one distinct "
+              "on (user, week) + a min-agg and join both keyed on user_id — "
+              "a single shuffle key end-to-end, no time-range explosion.",
+          tags=("events",))
+def e8_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {_WEEK_US}").alias("week"),
+    ).distinct()
+    first_w = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(first_w, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# --- E9: hourly-count anomaly detection (z-score) ----------------------------
+
+# All inputs to the z-score are integers (hourly counts), so E[x],
+# E[x^2], the variance subtraction, sqrt, and the final division are
+# single deterministic IEEE operations on identical operands — both
+# engines produce the bit-identical z; rounding to 6 decimals is for
+# display stability only.
+_E9_SQL = """
+WITH hourly AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY hour_bucket, event_type
+),
+stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(n_events) AS BIGINT) AS s1,
+         CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+  FROM hourly GROUP BY event_type
+)
+SELECT h.hour_bucket, h.event_type, h.n_events,
+       round((h.n_events - CAST(s.s1 AS DOUBLE) / s.n_hours)
+             / sqrt(CAST(s.s2 AS DOUBLE) / s.n_hours
+                    - (CAST(s.s1 AS DOUBLE) / s.n_hours) * (CAST(s.s1 AS DOUBLE) / s.n_hours)),
+             6) AS z
+FROM hourly h JOIN stats s ON h.event_type = s.event_type
+WHERE abs((h.n_events - CAST(s.s1 AS DOUBLE) / s.n_hours)
+          / sqrt(CAST(s.s2 AS DOUBLE) / s.n_hours
+                 - (CAST(s.s1 AS DOUBLE) / s.n_hours) * (CAST(s.s1 AS DOUBLE) / s.n_hours))) > 2.0
+ORDER BY h.hour_bucket, h.event_type
+"""
+
+
+@register("e9_hourly_anomaly", oracle=_E9_SQL,
+          doc="Anomalous hours per event type: population z-score of hourly "
+              "counts over observed hours, |z| > 2 flagged. Scale: one "
+              "hour/type rollup shuffle; the per-type stats table is "
+              "|event_types| rows, joined back as a broadcast.",
+          tags=("events",))
+def e9_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.expr("unix_micros(ts) div 3600000000").alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_hours")
+    std = F.sqrt(
+        F.col("s2").cast("double") / F.col("n_hours") - mean * mean
+    )
+    z = (F.col("n_events") - mean) / std
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.0)
+        .select(
+            "hour_bucket", "event_type", "n_events", F.round(z, 6).alias("z")
+        )
+        .orderBy("hour_bucket", "event_type")
+    )

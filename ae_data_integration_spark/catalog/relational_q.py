@@ -1633,3 +1633,125 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(fpsum(amount, Q20).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
+
+
+# --- DQ2: single-pass column profiler ---------------------------------------
+
+_DQ2_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+_DQ2_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS DOUBLE) AS min_v,
+       CAST(MAX({c}) AS DOUBLE) AS max_v,
+       {fpsum_sql(c, Q20)} / COUNT(*) AS mean_v
+FROM lineitem"""
+    for c in _DQ2_COLS
+) + "\nORDER BY col_name"
+
+
+@register("dq2_profile", oracle=_DQ2_SQL,
+          doc="Table profiler: per-column row/null/distinct counts, "
+              "min/max, fixed-point mean — computed for ALL columns in one "
+              "scan (one agg producing a wide row, unpivoted driver-free "
+              "via stack). The oracle's UNION ALL re-scans per column; the "
+              "engine plan reads the table once. Scale: partial aggs "
+              "map-side, no shuffle beyond the 1-row final agg.",
+          tags=("relational", "quality"))
+def dq2_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _DQ2_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__dist"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+            (fpsum(c, Q20) / F.count(F.lit(1))).alias(f"{c}__mean"),
+        ]
+    wide = l.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__null, {c}__dist, {c}__min, {c}__max, {c}__mean"
+        for c in _DQ2_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_DQ2_COLS)}, {stack_args}) AS "
+            "(col_name, n_rows, n_null, n_distinct, min_v, max_v, mean_v)"
+        )
+    ).orderBy("col_name")
+
+
+# --- ER1: blocked entity resolution (deletion-neighborhood linkage) ---------
+
+# SymSpell/FastSS-style candidate generation (public algorithm): two
+# strings at Levenshtein distance <= 1 share at least one member of
+# each other's single-deletion neighborhoods (identity included), so
+# an equi-join on deletion variants finds every candidate pair
+# without a cartesian product; exact levenshtein() verifies only the
+# candidates. Block size is bounded by the variant-key cardinality
+# (names agreeing on all-but-one character), never by table size.
+
+_ER1_SQL = """
+WITH v AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN i = 0 THEN c_name
+              ELSE substr(c_name, 1, i - 1) || substr(c_name, i + 1) END AS variant
+  FROM customer, unnest(generate_series(0, length(c_name))) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT a.c_custkey AS ka, a.c_name AS na, b.c_name AS nb
+  FROM v a JOIN v b ON a.variant = b.variant AND a.c_custkey <> b.c_custkey
+),
+m AS (SELECT ka, na FROM cand WHERE levenshtein(na, nb) <= 1)
+SELECT na AS c_name, CAST(COUNT(*) AS BIGINT) AS n_neighbors
+FROM m GROUP BY na ORDER BY c_name
+"""
+
+
+@register("er1_name_matches", oracle=_ER1_SQL,
+          doc="Entity resolution: per-customer count of names within "
+              "Levenshtein distance 1, via deletion-neighborhood blocking "
+              "(SymSpell/FastSS) — explode |s|+1 deletion variants, "
+              "equi-join on the variant key, verify candidates with exact "
+              "levenshtein. Scale: candidate pairs are sum(|block|^2) over "
+              "variant-key blocks (names agreeing on all-but-one char), "
+              "never N^2; the verify filter runs on candidates only.",
+          tags=("relational", "linkage"))
+def er1_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    v = c.select(
+        "c_custkey",
+        "c_name",
+        F.explode(F.expr("sequence(0, length(c_name))")).alias("i"),
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("i") == 0, F.col("c_name"))
+        .otherwise(
+            F.concat(
+                F.expr("substring(c_name, 1, i - 1)"),
+                F.expr("substring(c_name, i + 1, length(c_name))"),
+            )
+        )
+        .alias("variant"),
+    )
+    b = v.select(
+        F.col("c_custkey").alias("kb"),
+        F.col("c_name").alias("nb"),
+        "variant",
+    )
+    cand = (
+        v.join(b, (v.variant == b.variant) & (v.c_custkey != b.kb))
+        .select("c_custkey", F.col("c_name").alias("na"), "nb")
+        .distinct()
+    )
+    m = cand.filter(F.levenshtein("na", "nb") <= 1)
+    return (
+        m.groupBy(F.col("na").alias("c_name"))
+        .agg(F.count(F.lit(1)).alias("n_neighbors"))
+        .orderBy("c_name")
+    )

@@ -1052,3 +1052,122 @@ def samp2_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("key_q", "doc_id")
         .limit(_SAMP2_N)
     )
+
+
+# --- T18: PII scrubbing -------------------------------------------------------
+
+# Redaction patterns chained in a fixed order (email before digit-run
+# so an address's digits don't get split). Java regex and RE2 agree
+# on this subset (char classes, bounded/unbounded repetition — no
+# backrefs, no lookaround). Applied to customer names, where the
+# long digit runs actually fire; email/IPv4 hit zero rows here but
+# exercise the full chain on both engines.
+_PII_PATTERNS = (
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "[EMAIL]"),
+    (r"([0-9]{1,3}\.){3}[0-9]{1,3}", "[IP]"),
+    (r"[0-9]{6,}", "[ID]"),
+)
+
+
+def _pii_sql_expr(col: str) -> str:
+    expr = col
+    for pat, repl in _PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+_T18_SQL = f"""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {_pii_sql_expr('c_name')} <> c_name THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_redacted,
+       CAST(SUM(length(c_name) - length({_pii_sql_expr('c_name')})) AS BIGINT)
+         AS chars_removed,
+       CAST(COUNT(DISTINCT {_pii_sql_expr('c_name')}) AS BIGINT) AS n_distinct_scrubbed
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("t18_pii_scrub", oracle=_T18_SQL,
+          doc="PII redaction (email / IPv4 / long-digit-run -> tokens) as a "
+              "chained JVM regexp_replace — the standard pre-training "
+              "scrub stage. Scale: pure per-row map (codegen'd, zero "
+              "shuffle before the small per-segment rollup); patterns are "
+              "RE2-safe (no backtracking blowup on adversarial docs).",
+          tags=("text", "curation"))
+def t18_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    scrubbed = F.col("c_name")
+    for pat, repl in _PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return (
+        c.select("c_mktsegment", "c_name", scrubbed.alias("scrubbed"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("scrubbed") != F.col("c_name")).cast("long"))
+            .alias("n_redacted"),
+            F.sum(F.length("c_name") - F.length("scrubbed"))
+            .alias("chars_removed"),
+            F.countDistinct("scrubbed").alias("n_distinct_scrubbed"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- T19: deterministic global shuffle -> training shards --------------------
+
+_T19_SQL = """
+WITH h AS (
+  SELECT doc_id, n_chars,
+         md5('shard:' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents
+),
+s AS (
+  SELECT CAST(CAST(('0x' || substr(hx, 1, 12)) AS BIGINT) % 16 AS BIGINT) AS shard,
+         hx, n_chars
+  FROM h
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(hx) AS first_key,
+       MAX(hx) AS last_key
+FROM s GROUP BY shard ORDER BY shard
+"""
+
+
+@register("t19_shard_shuffle", oracle=_T19_SQL,
+          doc="Deterministic global shuffle for training output: md5-keyed "
+              "hash sharding (TeraSort-style, seeded by the salt) + "
+              "within-shard md5 order, summarized per shard. Scale: zero "
+              "global sort — shard assignment is a per-row map, balance is "
+              "statistical (binomial, ±0.5% at 1e8 rows/shard), and the "
+              "within-shard order key is carried, so the physical write is "
+              "repartition(shard) + sortWithinPartitions(hx): one shuffle, "
+              "partition-count independent, identical on any cluster.",
+          tags=("text", "curation"))
+def t19_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.functions.hashing import md5_rank
+
+    d = table(spark, sf_dir, "documents")
+    h = d.select(
+        "n_chars", md5_rank("doc_id", "shard:").alias("hx")
+    )
+    s = h.select(
+        (F.conv(F.substring("hx", 1, 12), 16, 10).cast("long") % 16).alias("shard"),
+        "hx",
+        "n_chars",
+    )
+    return (
+        s.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("hx").alias("first_key"),
+            F.max("hx").alias("last_key"),
+        )
+        .orderBy("shard")
+    )
