@@ -1697,7 +1697,7 @@ def dq2_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ER1_SQL = """
 WITH v AS (
-  SELECT c_custkey, c_name,
+  SELECT DISTINCT c_custkey, c_name,
          CASE WHEN i = 0 THEN c_name
               ELSE substr(c_name, 1, i - 1) || substr(c_name, i + 1) END AS variant
   FROM customer, unnest(generate_series(0, length(c_name))) AS t(i)
@@ -1738,7 +1738,12 @@ def er1_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("variant"),
-    )
+    ).distinct()
+    # distinct BEFORE the join: a run of k equal chars yields the same
+    # deletion variant k times (6 leading zeros here), and duplicate
+    # keys multiply self-join output ~k^2 before the candidate
+    # distinct — deduping first keeps the join linear in the real
+    # candidate count.
     b = v.select(
         F.col("c_custkey").alias("kb"),
         F.col("c_name").alias("nb"),

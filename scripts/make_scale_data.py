@@ -94,12 +94,23 @@ def generate(src: str = DEFAULT_SRC, out: str = DEFAULT_OUT, factor: int = 10) -
     for t in ("region", "nation"):
         copy(t, f"SELECT * FROM {rp(t)}")
 
+    # Names are re-derived from the shifted key (the source data's own
+    # convention: 'Customer#%09d'). Passing names through unchanged
+    # would give every name `factor` exact copies — deletion-
+    # neighborhood linkage (er1) blocks would then grow ~factor^2, a
+    # data artifact of the same family as the documents/embeddings
+    # perturbations this generator exists to avoid.
     copy("customer", f"""
-        SELECT c_custkey + i * {c_span} AS c_custkey, c_name, c_nationkey,
-               c_acctbal, c_mktsegment
+        SELECT c_custkey + i * {c_span} AS c_custkey,
+               'Customer#' || lpad(CAST(c_custkey + i * {c_span} AS VARCHAR), 9, '0')
+                 AS c_name,
+               c_nationkey, c_acctbal, c_mktsegment
         FROM {rp('customer')}, {reps}""")
     copy("supplier", f"""
-        SELECT s_suppkey + i * {s_span} AS s_suppkey, s_name, s_nationkey, s_acctbal
+        SELECT s_suppkey + i * {s_span} AS s_suppkey,
+               'Supplier#' || lpad(CAST(s_suppkey + i * {s_span} AS VARCHAR), 9, '0')
+                 AS s_name,
+               s_nationkey, s_acctbal
         FROM {rp('supplier')}, {reps}""")
     copy("part", f"""
         SELECT p_partkey + i * {p_span} AS p_partkey, p_name, p_brand, p_type,
