@@ -1760,3 +1760,115 @@ def er1_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_neighbors"))
         .orderBy("c_name")
     )
+
+
+# --- SCD1: slowly-changing-dimension type-2 versioning ----------------------
+
+# Build the SCD2 version table for each customer's order-priority
+# profile: one validity interval per observed change event, closed by
+# the next event (lead), open-ended for the current version. Epoch-
+# microsecond interval bounds (TZ-proof). The probe subset keeps the
+# parity result compact; the plan is identical at full key range.
+
+_SCD1_SQL = """
+WITH ev AS (
+  SELECT o_custkey, epoch_us(o_orderdate) AS from_us, o_orderkey, o_orderpriority
+  FROM orders WHERE o_custkey % 30 = 0
+)
+SELECT o_custkey,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+       from_us AS effective_from_us,
+       LEAD(from_us) OVER w AS effective_to_us,
+       o_orderpriority,
+       CAST(CASE WHEN LEAD(from_us) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_current
+FROM ev
+WINDOW w AS (PARTITION BY o_custkey ORDER BY from_us, o_orderkey)
+ORDER BY o_custkey, version
+"""
+
+
+@register("scd1_versions", oracle=_SCD1_SQL,
+          doc="SCD type-2 dimension versioning: per-key change events "
+              "become validity intervals [effective_from, effective_to) "
+              "via one lead() window; latest row flagged current. Scale: "
+              "one shuffle on the dimension key, partition-local windows "
+              "(no global window), interval bounds in epoch micros so "
+              "point-in-time joins are integer range predicates.",
+          tags=("relational", "warehouse"))
+def scd1_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.tables import epoch_us_col
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 30 == 0)
+    ev = o.select(
+        "o_custkey",
+        epoch_us_col(o, "o_orderdate").alias("from_us"),
+        "o_orderkey",
+        "o_orderpriority",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("from_us", "o_orderkey")
+    return (
+        ev.select(
+            "o_custkey",
+            F.row_number().over(w).cast("long").alias("version"),
+            F.col("from_us").alias("effective_from_us"),
+            F.lead("from_us").over(w).alias("effective_to_us"),
+            "o_orderpriority",
+            F.lead("from_us").over(w).isNull().cast("long").alias("is_current"),
+        )
+        .orderBy("o_custkey", "version")
+    )
+
+
+# --- DQ3: join-key skew report ----------------------------------------------
+
+_DQ3_SQL = f"""
+WITH cnt AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_orderkey
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+         CAST(MIN(cnt) AS BIGINT) AS min_cnt
+  FROM cnt
+)
+SELECT s.n_keys, s.n_rows, s.max_cnt, s.min_cnt,
+       round(CAST(s.max_cnt AS DOUBLE) * s.n_keys / s.n_rows, 6) AS skew_ratio,
+       (SELECT MIN(l_orderkey) FROM cnt WHERE cnt = s.max_cnt) AS heaviest_key
+FROM stats s
+"""
+
+
+@register("dq3_key_skew", oracle=_DQ3_SQL,
+          doc="Join-key skew diagnostic: per-key cardinality profile "
+              "(max/min/mean multiplicity, max-over-mean skew ratio, the "
+              "heaviest key) — the pre-flight report that decides between "
+              "plain shuffle join, AQE skew split, and explicit salting. "
+              "Scale: one map-side-combinable key rollup; the stats row "
+              "and argmax probe are broadcast-sized.",
+          tags=("relational", "quality"))
+def dq3_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = cnt.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.min("cnt").alias("min_cnt"),
+    )
+    heaviest = (
+        cnt.join(F.broadcast(stats.select("max_cnt")), cnt.cnt == F.col("max_cnt"))
+        .agg(F.min("l_orderkey").alias("heaviest_key"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(heaviest))
+        .select(
+            "n_keys", "n_rows", "max_cnt", "min_cnt",
+            F.round(
+                F.col("max_cnt").cast("double") * F.col("n_keys") / F.col("n_rows"),
+                6,
+            ).alias("skew_ratio"),
+            "heaviest_key",
+        )
+    )

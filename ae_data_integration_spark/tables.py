@@ -59,6 +59,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def epoch_us_col(df: DataFrame, col: str) -> "F.Column":
+    """Microseconds-since-epoch for a timestamp column, independent of
+    whether parquet materialized it as TIMESTAMP or TIMESTAMP_NTZ and
+    of the session timezone (NTZ values are read as-written, i.e. the
+    generator's UTC — matching DuckDB's epoch_us). A plain cast
+    NTZ→TIMESTAMP would apply the session TZ and break under the
+    driver's unknown timezone."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(df.schema[col].dataType, TimestampNTZType):
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {col})"
+        )
+    return F.unix_micros(col)
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {t: table(spark, sf_dir, t) for t in TABLES}
 

@@ -172,3 +172,47 @@ def test_t19_shards_partition_the_corpus(spark):
         assert int(r.n_docs) == int(exp_counts[r.shard])
         keys = sorted(h for d, h in hx.items() if shard_of[d] == r.shard)
         assert r.first_key == keys[0] and r.last_key == keys[-1]
+
+
+# --- scd1: SCD2 versioning --------------------------------------------------
+
+
+def test_scd1_versions_match_pandas(spark):
+    got = _run(spark, "scd1_versions")
+    o = pd.read_parquet(SF_SMOKE + "/orders.parquet")
+    o = o[o.o_custkey % 30 == 0].copy()
+    o["from_us"] = o["o_orderdate"].astype("datetime64[ns]").astype("int64") // 1000
+    o = o.sort_values(["o_custkey", "from_us", "o_orderkey"])
+    o["version"] = o.groupby("o_custkey").cumcount() + 1
+    o["effective_to_us"] = o.groupby("o_custkey")["from_us"].shift(-1)
+    for r in got.itertuples():
+        e = o[(o.o_custkey == r.o_custkey) & (o.version == r.version)].iloc[0]
+        assert int(r.effective_from_us) == int(e.from_us)
+        if pd.isna(e.effective_to_us):
+            assert pd.isna(r.effective_to_us) and r.is_current == 1
+        else:
+            assert int(r.effective_to_us) == int(e.effective_to_us)
+            assert r.is_current == 0
+        assert r.o_orderpriority == e.o_orderpriority
+    assert len(got) == len(o)
+    # intervals tile: each key's version n closes exactly where n+1 opens
+    for _, g in got.groupby("o_custkey"):
+        g = g.sort_values("version")
+        assert (g.effective_to_us.iloc[:-1].values
+                == g.effective_from_us.iloc[1:].values).all()
+        assert g.is_current.iloc[-1] == 1 and (g.is_current.iloc[:-1] == 0).all()
+
+
+# --- dq3: key-skew report ---------------------------------------------------
+
+
+def test_dq3_matches_pandas_counts(spark):
+    got = _run(spark, "dq3_key_skew").iloc[0]
+    li = pd.read_parquet(SF_SMOKE + "/lineitem.parquet")
+    vc = li["l_orderkey"].value_counts()
+    assert int(got.n_keys) == len(vc)
+    assert int(got.n_rows) == len(li)
+    assert int(got.max_cnt) == int(vc.max())
+    assert int(got.min_cnt) == int(vc.min())
+    assert abs(got.skew_ratio - round(vc.max() * len(vc) / len(li), 6)) < 1e-9
+    assert int(got.heaviest_key) == int(min(vc[vc == vc.max()].index))
