@@ -333,3 +333,64 @@ def test_s4_hybrid_rrf_shape(spark):
     pa = plan_asserts(_df(spark, "s4_hybrid_rrf"))
     pa.no_python_row_udf()
     assert "TakeOrderedAndProject" in pa.plan
+
+
+def test_e9_anomaly_broadcasts_stats(spark):
+    # per-type stats (5 rows) attach by broadcast; the fact side
+    # shuffles once for the hour/type rollup.
+    (
+        plan_asserts(_df(spark, "e9_hourly_anomaly"))
+        .has_broadcast_join(1)
+        .has_partial_agg()
+        .no_python_row_udf()
+    )
+
+
+def test_er1_linkage_no_cartesian(spark):
+    # the deletion-variant equi-join must plan as a keyed join (any
+    # strategy), never a cartesian/BNL product.
+    p = plan_asserts(_df(spark, "er1_name_matches"))
+    p.no_python_row_udf()
+    assert "CartesianProduct" not in p.plan and "BroadcastNestedLoop" not in p.plan
+
+
+def test_dq2_profile_single_scan(spark):
+    # ONE parquet scan feeds all per-column aggregates (the oracle
+    # re-scans per column; the engine must not).
+    import re
+
+    p = plan_asserts(_df(spark, "dq2_profile"))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p.plan)) == 1
+    p.reads_only("lineitem", {"l_quantity", "l_extendedprice", "l_discount"})
+    p.no_python_row_udf()
+
+
+def test_dq3_skew_report_broadcasts_probes(spark):
+    (
+        plan_asserts(_df(spark, "dq3_key_skew"))
+        .has_broadcast_join(1)
+        .has_partial_agg()
+        .reads_only("lineitem", {"l_orderkey"})
+        .no_python_row_udf()
+    )
+
+
+def test_t18_pii_scrub_is_map_only(spark):
+    # the redaction chain is a codegen'd map; the only shuffle is the
+    # 5-row segment rollup.
+    import re
+
+    p = plan_asserts(_df(spark, "t18_pii_scrub"))
+    p.has_partial_agg().no_python_row_udf()
+    # countDistinct expands to a two-phase agg: 2 agg exchanges + the
+    # final sort's range exchange — and nothing else (no join, no
+    # pre-agg shuffle of the scrubbed rows).
+    assert len(re.findall(r"\(\d+\) Exchange", p.plan)) <= 3
+
+
+def test_scd1_versions_single_key_window(spark):
+    # windows run partition-local after one shuffle on the dim key;
+    # no global (empty-partition-spec) window.
+    p = plan_asserts(_df(spark, "scd1_versions"))
+    p.no_python_row_udf()
+    assert "partitionBy=[]" not in p.plan.replace(" ", "")
