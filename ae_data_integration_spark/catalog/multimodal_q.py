@@ -64,3 +64,53 @@ def m2_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     payload = attach_binary_payload(d, "text").select("doc_id", "content")
     return sample_frames(payload, n_frames=4).orderBy("doc_id", "frame_idx")
+
+
+# --- M3: vectorized nibble-histogram signature (real numpy kernel) ----------
+# The first NON-stub kernel in the family: np.frombuffer + bincount
+# over the raw payload bytes — the exact shape a real decode+feature
+# step takes (zero-copy Arrow batch in, C-speed per batch, exact
+# integer features out). top_nibble = argmax bin with first-index
+# tie-break, identical in both engines.
+
+_M3_SQL = """
+WITH nib AS (
+  SELECT doc_id,
+         list_transform(range(0, 16), b -> CAST(length(list_filter(
+             list_transform(range(1, length(text) + 1), i -> ascii(text[i:i]) // 16),
+             x -> x = b)) AS BIGINT)) AS hist,
+         CAST(length(text) AS BIGINT) AS n_bytes
+  FROM documents
+)
+SELECT doc_id, array_to_string(hist, ':') AS hist_sig, n_bytes,
+       CAST(list_position(hist, list_max(hist)) - 1 AS BIGINT) AS top_nibble
+FROM nib
+ORDER BY doc_id
+"""
+
+
+@register("y_m3_nibble_histogram", oracle=_M3_SQL,
+          doc="Vectorized byte-signature kernel (np.frombuffer + bincount "
+              "over the binary payload, 16 high-nibble bins): the family's "
+              "first real (non-stub) numpy kernel; exact-integer output, "
+              "zero shuffle, oracle replays it from the text bytes.",
+          tags=("multimodal",))
+def m3_nibble_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ae_data_integration_spark.operators.multimodal import nibble_histogram
+
+    d = table(spark, sf_dir, "documents")
+    payload = attach_binary_payload(d, "text").select("doc_id", "content")
+    h = nibble_histogram(payload, "doc_id", "content")
+    # hist serialized to a canonical string: the parity harness value-
+    # hashes scalar columns only, and the ':'-join loses nothing
+    # (exact integers, fixed 16 bins).
+    return h.select(
+        "doc_id",
+        F.array_join(F.transform("hist", lambda x: x.cast("string")), ":")
+        .alias("hist_sig"),
+        "n_bytes",
+        (F.array_position("hist", F.array_max("hist")) - 1)
+        .cast("long").alias("top_nibble"),
+    ).orderBy("doc_id")

