@@ -1872,3 +1872,74 @@ def dq3_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "heaviest_key",
         )
     )
+
+
+# --- SCD2: MERGE INTO / upsert classification -------------------------------
+# The warehouse ingestion primitive: a change batch merged into a
+# snapshot — classify every key as insert (new in batch), update
+# (present in both, value changed), unchanged (present in both,
+# equal), or carried (snapshot-only, kept as-is), and emit the merged
+# value. One full-outer join on the dimension key is the whole plan:
+# a single key shuffle at any scale (or zero shuffle when both sides
+# are bucketed by key, the layout sources/layout.py writes); change
+# detection is a null-safe comparison, no window, no second pass.
+# The snapshot/batch splits are arithmetic stand-ins for "yesterday's
+# dimension" and "today's extract"; the +10.00 delta is exact in
+# binary so the changed-value compare is engine-portable.
+
+_SCD2_SQL = """
+WITH snap AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 != 0
+),
+batch AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 10.0 ELSE c_acctbal END
+           AS c_acctbal
+  FROM customer WHERE c_custkey % 2 = 0
+)
+SELECT COALESCE(b.c_custkey, s.c_custkey) AS c_custkey,
+       CASE WHEN s.c_custkey IS NULL THEN 'insert'
+            WHEN b.c_custkey IS NULL THEN 'carried'
+            WHEN b.c_acctbal != s.c_acctbal THEN 'update'
+            ELSE 'unchanged' END AS action,
+       s.c_acctbal AS old_bal,
+       COALESCE(b.c_acctbal, s.c_acctbal) AS new_bal
+FROM snap s FULL OUTER JOIN batch b ON s.c_custkey = b.c_custkey
+ORDER BY c_custkey
+"""
+
+
+@register("scd2_merge_upsert", oracle=_SCD2_SQL,
+          doc="MERGE INTO / upsert: change batch vs dimension snapshot via "
+              "ONE full-outer key join — every key classified "
+              "insert/update/unchanged/carried with the merged value. One "
+              "key shuffle at any scale (zero when both sides bucket-laid); "
+              "null-safe compare, no window.",
+          tags=("relational", "warehouse"))
+def scd2_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    snap = c.filter(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_custkey").alias("s_key"), F.col("c_acctbal").alias("s_bal")
+    )
+    batch = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("b_key"),
+        F.when(F.col("c_custkey") % 4 == 0, F.col("c_acctbal") + F.lit(10.0))
+        .otherwise(F.col("c_acctbal"))
+        .alias("b_bal"),
+    )
+    j = snap.join(batch, snap.s_key == batch.b_key, "full_outer")
+    action = (
+        F.when(F.col("s_key").isNull(), F.lit("insert"))
+        .when(F.col("b_key").isNull(), F.lit("carried"))
+        .when(F.col("b_bal") != F.col("s_bal"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            F.coalesce("b_key", "s_key").alias("c_custkey"),
+            action.alias("action"),
+            F.col("s_bal").alias("old_bal"),
+            F.coalesce("b_bal", "s_bal").alias("new_bal"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -295,7 +295,7 @@ dq AS (
                 * steps[p[2]]) AS dqv
   FROM e, grid
 ),
-probes AS (SELECT id AS q_id, dqv AS q_dq FROM dq WHERE id % 100 = 0),
+probes AS (SELECT id AS q_id, dqv AS q_dq FROM dq WHERE id % 100 = 0 AND id < 2000),
 appr AS (
   SELECT p.q_id, d.id AS n_id,
          list_reduce(list_transform(list_zip(p.q_dq, d.dqv),
@@ -325,13 +325,16 @@ ORDER BY q_id, rk
               "approximate top-30 over the quantized corpus -> exact-cosine "
               "rerank to top-10. One 64-cell stats agg, per-row dequantize "
               "before the broadcast join, zero corpus shuffle; rerank reads "
-              "only Q*refine original rows.",
+              "only Q*refine original rows. Probe budget PINNED at 20 "
+              "(vec_id % 100 == 0 and < 2000) so the bench scale rows "
+              "measure corpus scan growth, not probe-count arithmetic "
+              "(same discipline as s1b).",
           tags=("similarity", "bench"))
 def s5_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ae_data_integration_spark.operators.similarity import sq8_rerank_topk
 
     e = table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 100 == 0)
+    q = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
     return sq8_rerank_topk(
         e, q, topk=_S5_TOPK, refine=_S5_REFINE
     ).orderBy("q_id", "rk")

@@ -394,3 +394,21 @@ def test_scd1_versions_single_key_window(spark):
     p = plan_asserts(_df(spark, "scd1_versions"))
     p.no_python_row_udf()
     assert "partitionBy=[]" not in p.plan.replace(" ", "")
+
+
+def test_scd2_merge_single_join_no_python(spark):
+    # MERGE = one full-outer key join: no cartesian, no row-Python,
+    # pushdown of the snapshot/batch filters reaches the scans.
+    p = plan_asserts(_df(spark, "scd2_merge_upsert"))
+    p.no_python_row_udf()
+    assert "CartesianProduct" not in p.plan
+    assert p.plan.count("FullOuter") >= 1
+
+
+def test_s5_sq8_no_corpus_shuffle(spark):
+    # grid + probes broadcast; the corpus meets them via broadcast
+    # joins only (the one repartition is the documented _widen
+    # round-robin, not a key shuffle of pair-expanded data).
+    p = plan_asserts(_df(spark, "s5_sq8_rerank"))
+    p.no_python_row_udf().has_broadcast_exchange()
+    assert "CartesianProduct" not in p.plan

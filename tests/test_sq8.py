@@ -26,7 +26,7 @@ def _numpy_sq8(emb: pd.DataFrame):
     code = np.clip(np_round_half_away((v - mn) / st).astype(np.float64), 0.0, 255.0)
     dq = mn + code * st
     out = {}
-    for qi in np.flatnonzero(ids % 100 == 0):
+    for qi in np.flatnonzero((ids % 100 == 0) & (ids < 2000)):
         mask = ids != ids[qi]
         # integer Q30 approximate score, half-away rounding per cell
         s = np_round_half_away(dq[qi] * dq[mask] * Q30).sum(axis=1)
