@@ -514,3 +514,144 @@ def e9_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_bucket", "event_type")
     )
+
+
+# --- E10: activity streaks (gaps-and-islands) --------------------------------
+# The classic gaps-and-islands window pattern, absent from the rest
+# of the events surface: per user, consecutive-day activity runs
+# found via the (day - row_number) island key — one shuffle on
+# user_id, partition-local windows, zero self-joins (the naive
+# formulation is a per-user range self-join). Day boundaries are
+# pure integer epoch-day arithmetic (TZ-proof, same discipline as
+# e1/e8). Output: per-user activity summary + the longest streak
+# (ties broken by earliest start).
+
+_E10_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+isl AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len,
+         MIN(day) AS start_day
+  FROM isl GROUP BY user_id, grp
+),
+best AS (
+  SELECT user_id, len, start_day,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY len DESC, start_day) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_streaks,
+         CAST(SUM(len) OVER (PARTITION BY user_id) AS BIGINT) AS n_active_days
+  FROM streaks
+)
+SELECT user_id, n_active_days, n_streaks,
+       len AS longest_streak, start_day AS streak_start_day
+FROM best WHERE rk = 1
+ORDER BY user_id
+"""
+
+
+@register("e10_activity_streaks", oracle=_E10_SQL,
+          doc="Gaps-and-islands: per-user consecutive-day activity streaks "
+              "via the (day - row_number) island key — one user_id shuffle, "
+              "partition-local windows, no range self-join. Integer "
+              "epoch-day math end to end (TZ-proof).",
+          tags=("events",))
+def e10_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    days = (
+        e.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn("grp", F.col("day") - F.row_number().over(w))
+    streaks = (
+        isl.groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("len"), F.min("day").alias("start_day"))
+    )
+    wu = Window.partitionBy("user_id")
+    best = (
+        streaks.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("len"), "start_day")
+            ),
+        )
+        .withColumn("n_streaks", F.count(F.lit(1)).over(wu))
+        .withColumn("n_active_days", F.sum("len").over(wu))
+    )
+    return (
+        best.filter(F.col("rk") == 1)
+        .select(
+            "user_id", "n_active_days", "n_streaks",
+            F.col("len").alias("longest_streak"),
+            F.col("start_day").alias("streak_start_day"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- E11: rolling 7-day distinct active users --------------------------------
+# Sliding-window COUNT DISTINCT — the rollup a naive plan computes
+# with a per-day range self-join (O(days x events)) or a RANGE
+# window over raw events (distinct not supported in frames). The
+# scale-correct shape: collapse to distinct (user, day) once, then
+# each active day CONTRIBUTES to exactly the 7 window days it falls
+# in (a bounded 7-way explode via sequence()), and a distinct count
+# per window day finishes it — O(active_pairs x 7) work, one
+# user-day shuffle, no self-join. Only days with at least one event
+# in the trailing week appear (matching the oracle's generate-free
+# formulation). Integer epoch-day math, TZ-proof.
+
+_E11_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+contrib AS (
+  SELECT user_id, day + off AS win_day
+  FROM days, unnest(range(0, 7)) AS t(off)
+),
+bounds AS (SELECT MAX(day) AS max_day FROM days)
+SELECT win_day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau_7d
+FROM contrib, bounds
+WHERE win_day <= max_day
+GROUP BY win_day
+ORDER BY win_day
+"""
+
+
+@register("e11_rolling_dau", oracle=_E11_SQL,
+          doc="Rolling 7-day distinct active users per day: distinct "
+              "(user, day) pairs each exploded to the 7 window days they "
+              "contribute to, then one distinct-count rollup — "
+              "O(active_pairs x 7), no range self-join, no per-day rescan. "
+              "Integer epoch-day math (TZ-proof).",
+          tags=("events",))
+def e11_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    days = (
+        e.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .distinct()
+    )
+    max_day = days.agg(F.max("day").alias("max_day"))
+    contrib = days.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("win_day"),
+    )
+    return (
+        contrib.join(F.broadcast(max_day), F.col("win_day") <= F.col("max_day"))
+        .groupBy("win_day")
+        .agg(F.count_distinct("user_id").alias("dau_7d"))
+        .orderBy("win_day")
+    )

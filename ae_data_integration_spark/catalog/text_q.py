@@ -1171,3 +1171,150 @@ def t19_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --- T20: BPE vocabulary induction (the full merge-learning loop) -----------
+# t17 is one round's pair-count primitive; this is the trainer
+# itself: R rounds of (weighted pair count over the vocab -> argmax
+# -> literal merge apply), the corpus scanned exactly once. No
+# single-statement SQL oracle exists (each round's argmax feeds the
+# next round's input), so the contract check REPLAYS every round
+# procedurally in DuckDB — same alpha-token vocab, same wrapped
+# representation, same replace() semantics — and demands the full
+# merge table match bit-for-bit. Extends the reference's token
+# surface (Data_prep.py split/regex idioms, SURVEY §2.2) to
+# vocabulary induction.
+
+_T20_ROUNDS = 10
+
+
+def _check_t20_vs_duckdb(sdf, spark, sf_dir: str) -> str:
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TEMP TABLE vocab AS "
+        "WITH tok AS (SELECT unnest("
+        r"list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')"
+        ") AS tok FROM read_parquet("
+        f"'{os.path.join(sf_dir, 'documents.parquet')}'))"
+        "SELECT regexp_replace(tok, '(.)', '<\\1>', 'g') AS rep, "
+        "COUNT(*) AS n FROM tok WHERE regexp_matches(tok, '^[a-z]+$') "
+        "GROUP BY tok"
+    )
+    expect = []
+    for rank in range(1, _T20_ROUNDS + 1):
+        row = con.execute(
+            "WITH syms AS (SELECT regexp_extract_all(rep, '<([^>]*)>', 1)"
+            " AS s, n FROM vocab), "
+            "pairs AS (SELECT unnest(list_transform("
+            "  range(1, len(s)), i -> {'l': s[i], 'r': s[i+1]})) AS p, n"
+            " FROM syms WHERE len(s) >= 2) "
+            "SELECT p.l, p.r, CAST(SUM(n) AS BIGINT) AS c FROM pairs "
+            "GROUP BY p.l, p.r ORDER BY c DESC, p.l, p.r LIMIT 1"
+        ).fetchone()
+        if row is None:
+            break
+        l, r, c = row
+        expect.append((rank, l, r, l + r, c))
+        con.execute(
+            "UPDATE vocab SET rep = replace(rep, ?, ?)",
+            [f"<{l}><{r}>", f"<{l}{r}>"],
+        )
+    con.close()
+    got = [
+        (int(t.rank), t.left, t.right, t.merged, int(t.n_occurrences))
+        for t in sdf.sort_values("rank").itertuples()
+    ]
+    if got != expect:
+        return f"merge table mismatch: got {got[:3]}... want {expect[:3]}..."
+    counts = [g[4] for g in got]
+    if counts != sorted(counts, reverse=True):
+        return f"merge counts not non-increasing: {counts}"
+    return ""
+
+
+@register("t20_bpe_train", oracle=None,
+          doc="BPE vocabulary induction: 10 merge rounds learned over the "
+              "alpha-token vocabulary (one corpus scan; each round one "
+              "vocab-sized weighted pair count + argmax + literal merge "
+              "apply). Contract check replays all 10 rounds procedurally "
+              "in DuckDB and demands the merge table match exactly.",
+          tags=("text", "bench"), min_rows=1,
+          columns=("rank", "left", "right", "merged", "n_occurrences"),
+          check=_check_t20_vs_duckdb)
+def t20_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.bpe import train_bpe
+
+    d = table(spark, sf_dir, "documents")
+    return train_bpe(spark, d, rounds=_T20_ROUNDS).orderBy("rank")
+
+
+# --- T21: BPE tokenizer application (fixed merge table, oracled) ------------
+# Tokenizer application at corpus scale: encode the VOCABULARY under
+# a merge table (vocab-sized work), then roll subword statistics up
+# weighted by word counts — the corpus itself is only ever touched
+# by the one vocab-building scan; at 100 TB the encoded vocab is the
+# broadcast/join artifact that tokenizes the token stream. The merge
+# table here is fixed (8 common-English merges, incl. the 2-stage
+# th+e -> the) so the whole operator is a pure function of the data
+# and DuckDB replays it bit-for-bit: wrapping, the literal replace
+# chain (identical leftmost non-overlapping semantics in Java
+# String.replace and DuckDB replace()), and the weighted rollup.
+
+_T21_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"),
+]
+_T21_TOPK = 20
+
+
+def _t21_rep_sql() -> str:
+    expr = r"regexp_replace(tok, '(.)', '<\1>', 'g')"
+    for a, b in _T21_MERGES:
+        expr = f"replace({expr}, '<{a}><{b}>', '<{a}{b}>')"
+    return expr
+
+
+_T21_SQL = f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+vocab AS (
+  SELECT tok, COUNT(*) AS n FROM tok
+  WHERE regexp_matches(tok, '^[a-z]+$') GROUP BY tok
+),
+enc AS (SELECT {_t21_rep_sql()} AS rep, n FROM vocab),
+sub AS (
+  SELECT unnest(regexp_extract_all(rep, '<([^>]*)>', 1)) AS subword, n
+  FROM enc
+)
+SELECT subword, CAST(SUM(n) AS BIGINT) AS total_occurrences
+FROM sub GROUP BY subword
+ORDER BY total_occurrences DESC, subword
+LIMIT {_T21_TOPK}
+"""
+
+
+@register("t21_bpe_encode", oracle=_T21_SQL,
+          doc="BPE tokenizer application: encode the word vocabulary under "
+              "a fixed 8-merge table (literal <a><b> -> <ab> replace chain, "
+              "greedy-leftmost — the Sennrich re.sub semantics), roll up "
+              "subword occurrences weighted by word counts, top-20. "
+              "Vocab-sized work after one corpus scan.",
+          tags=("text",))
+def t21_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.bpe import (
+        encode_with_merges,
+        word_vocab,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    enc = encode_with_merges(word_vocab(d), _T21_MERGES)
+    return (
+        enc.select(F.explode("subwords").alias("subword"), "n")
+        .groupBy("subword")
+        .agg(F.sum("n").alias("total_occurrences"))
+        .orderBy(F.desc("total_occurrences"), "subword")
+        .limit(_T21_TOPK)
+    )

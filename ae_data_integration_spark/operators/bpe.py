@@ -1,0 +1,175 @@
+"""Byte-pair-encoding tokenizer training and application, distributed.
+
+The reference's text surface stops at token counting
+(`Data_prep.py` split/regex idioms, SURVEY §2.2); a training-data
+pipeline at 100 TB also needs vocabulary induction — learning the
+BPE merge table itself — and tokenizer application. Both are built
+on the same scale move as the catalog's t17 pair-count primitive:
+
+* The corpus is scanned ONCE, into a `word -> count` vocabulary
+  (one shuffle whose key cardinality is the vocab, not the corpus).
+* Every merge round and the whole encode step then run over the
+  VOCABULARY weighted by counts — O(vocab x token_len) work per
+  round no matter how often each word repeats. At 100 TB the vocab
+  is ~1e8 rows where the corpus is ~1e11 tokens; the loop never
+  re-reads the corpus.
+* The learned merge table (R rows) is the only thing the driver
+  holds — model-sized, like the NB sufficient statistics.
+
+Symbol representation: each word is kept as a single string of
+wrapped symbols, ``<h><e><l><l><o>``. Applying a merge (a, b) is
+then the LITERAL string replace ``<a><b>`` -> ``<ab>`` — leftmost,
+non-overlapping, global — which is exactly the greedy left-to-right
+semantics of the original BPE reference implementation
+(Sennrich et al. 2016, `re.sub` per merge), and is available
+bit-identically in both Spark (`F.replace`, Java String.replace)
+and DuckDB (`replace`), so the encode step is fully oracle-able
+with zero regex-dialect risk. Tokens are restricted to ``^[a-z]+$``
+so ``<``/``>`` can never collide with symbol text.
+
+Each training round is one vocab-sized aggregation job (pair
+explode -> weighted count -> argmax) plus one map (the replace);
+the vocab DataFrame is localCheckpoint'ed per round so the lineage
+does not grow with R.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ae_data_integration_spark.functions.text import tokens
+
+# Wrap every character of a word: "the" -> "<t><h><e>".
+_WRAP_PATTERN = "(.)"
+_WRAP_REPLACEMENT = "<$1>"
+# Extract the symbol list back out of a wrapped representation.
+_SYM_PATTERN = "<([^>]*)>"
+
+
+def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus -> (tok, n) vocabulary of lowercase alphabetic words.
+
+    The single corpus-sized scan in the whole BPE stack; everything
+    downstream is vocab-sized.
+    """
+    tok = docs.select(F.explode(tokens(text_col)).alias("tok"))
+    return (
+        tok.filter(F.col("tok").rlike("^[a-z]+$"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def wrapped(col) -> F.Column:
+    """Word -> wrapped single-char symbol string ("ab" -> "<a><b>")."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, _WRAP_PATTERN, _WRAP_REPLACEMENT)
+
+
+def symbols(col) -> F.Column:
+    """Wrapped representation -> array of symbol strings."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(_SYM_PATTERN), 1)
+
+
+def _adjacent_pairs(syms: F.Column) -> F.Column:
+    """array<string> -> array<struct<left,right>> of adjacent pairs."""
+    n = F.size(syms)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(syms, 1, n - 1),
+            F.slice(syms, 2, n - 1),
+            lambda a, b: F.struct(a.alias("left"), b.alias("right")),
+        ),
+    ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+
+
+def pair_counts(vocab_rep: DataFrame) -> DataFrame:
+    """(rep, n) vocabulary -> (left, right, n_occurrences), the
+    weighted adjacent-pair frequency table for one merge round."""
+    pairs = vocab_rep.select(
+        F.explode(_adjacent_pairs(symbols("rep"))).alias("p"), "n"
+    )
+    return (
+        pairs.select("p.left", "p.right", "n")
+        .groupBy("left", "right")
+        .agg(F.sum("n").alias("n_occurrences"))
+    )
+
+
+def apply_merge(rep: F.Column, left: str, right: str) -> F.Column:
+    """One merge applied to a wrapped representation: the literal
+    replace <left><right> -> <leftright> (greedy leftmost,
+    non-overlapping — the Sennrich re.sub semantics)."""
+    return F.replace(
+        rep, F.lit(f"<{left}><{right}>"), F.lit(f"<{left}{right}>")
+    )
+
+
+def train_bpe(
+    spark: SparkSession,
+    docs: DataFrame,
+    rounds: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn a BPE merge table from a document corpus.
+
+    Returns a DataFrame (rank, left, right, merged, n_occurrences)
+    with one row per learned merge, rank 1 = first merge. Ties in
+    the per-round argmax break on (left ASC, right ASC) — fully
+    deterministic, partition-independent (the pair counts are exact
+    integer sums).
+
+    Scale shape: one corpus scan (word_vocab), then per round one
+    vocab-sized aggregation + one vocab-sized map; driver state is
+    the R-row merge table only. The per-round argmax collect is a
+    1-row action. Reference parity: extends the token-counting
+    surface of Data_prep.py (SURVEY §2.2) to vocabulary induction.
+    """
+    vocab = (
+        word_vocab(docs, text_col)
+        .select(wrapped("tok").alias("rep"), "n")
+        .localCheckpoint()
+    )
+    merges: list[tuple] = []
+    for rank in range(1, rounds + 1):
+        top = (
+            pair_counts(vocab)
+            .orderBy(F.desc("n_occurrences"), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n_occurrences"] < 1:
+            break
+        left, right = top[0]["left"], top[0]["right"]
+        merges.append(
+            (rank, left, right, left + right, int(top[0]["n_occurrences"]))
+        )
+        vocab = vocab.select(
+            apply_merge(F.col("rep"), left, right).alias("rep"), "n"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string, "
+        "n_occurrences long",
+    )
+
+
+def encode_with_merges(
+    vocab: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply a merge table to a (tok, n) vocabulary.
+
+    Returns (tok, n, subwords array<string>) — each word's BPE
+    segmentation under `merges` applied in order. The corpus is
+    never touched: tokenizing a 100-TB corpus is a broadcast/join
+    of this vocab-sized table back onto the token stream.
+    """
+    rep = wrapped("tok")
+    for left, right in merges:
+        rep = apply_merge(rep, left, right)
+    return vocab.select(
+        "tok", "n", F.regexp_extract_all(rep, F.lit(_SYM_PATTERN), 1).alias("subwords")
+    )
