@@ -1943,3 +1943,157 @@ def scd2_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# --- SCD3: point-in-time lookup against SCD2 validity intervals --------------
+# The consumer side of scd1_versions: each fact row carries a probe
+# instant (here: 90 days before its order date) and picks the
+# dimension version whose [from_us, to_us) interval contains it —
+# the time-travel join a warehouse runs against every SCD2 table.
+# Scale shape: the interval table and the facts equi-join on the
+# dimension KEY first (one key shuffle; per-key version lists are
+# short because intervals tile), and the range predicate runs
+# key-locally — never a global range join. Open-ended current
+# versions match via a NULL-aware upper bound.
+
+_SCD3_PROBE_SHIFT_US = 90 * 86400 * 1_000_000
+
+_SCD3_SQL = f"""
+WITH ev AS (
+  SELECT o_custkey, epoch_us(o_orderdate) AS from_us, o_orderkey, o_orderpriority
+  FROM orders WHERE o_custkey % 30 = 0
+),
+v AS (
+  SELECT o_custkey AS custkey,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+         from_us,
+         LEAD(from_us) OVER w AS to_us,
+         o_orderpriority AS prio
+  FROM ev
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY from_us, o_orderkey)
+),
+probes AS (
+  SELECT o_custkey, o_orderkey,
+         epoch_us(o_orderdate) - {_SCD3_PROBE_SHIFT_US} AS probe_us
+  FROM orders WHERE o_custkey % 30 = 0
+)
+SELECT p.o_custkey, p.o_orderkey, v.version,
+       v.prio AS prio_at_probe, v.from_us AS effective_from_us
+FROM probes p JOIN v
+  ON p.o_custkey = v.custkey
+ AND v.from_us <= p.probe_us
+ AND (v.to_us IS NULL OR p.probe_us < v.to_us)
+ORDER BY p.o_custkey, p.o_orderkey
+"""
+
+
+@register("scd3_point_in_time", oracle=_SCD3_SQL,
+          doc="Point-in-time (time-travel) join against the scd1 SCD2 "
+              "intervals: each order probes the dimension 90 days before "
+              "its own date and picks the version whose [from,to) interval "
+              "contains the instant. Equi-join on the key first, range "
+              "predicate key-local — no global range join; intervals tile "
+              "per key so at most one version matches.",
+          tags=("relational", "warehouse"))
+def scd3_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.tables import epoch_us_col
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 30 == 0)
+    ev = o.select(
+        "o_custkey",
+        epoch_us_col(o, "o_orderdate").alias("from_us"),
+        "o_orderkey",
+        "o_orderpriority",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("from_us", "o_orderkey")
+    v = ev.select(
+        F.col("o_custkey").alias("custkey"),
+        F.row_number().over(w).cast("long").alias("version"),
+        "from_us",
+        F.lead("from_us").over(w).alias("to_us"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    probes = o.select(
+        "o_custkey",
+        "o_orderkey",
+        (epoch_us_col(o, "o_orderdate") - F.lit(_SCD3_PROBE_SHIFT_US)).alias(
+            "probe_us"
+        ),
+    )
+    j = probes.join(
+        v,
+        (probes["o_custkey"] == v["custkey"])
+        & (v["from_us"] <= probes["probe_us"])
+        & (v["to_us"].isNull() | (probes["probe_us"] < v["to_us"])),
+    )
+    return j.select(
+        "o_custkey", "o_orderkey", "version",
+        F.col("prio").alias("prio_at_probe"),
+        F.col("from_us").alias("effective_from_us"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# --- W5: cumulative distinct count (running COUNT(DISTINCT) per key) ---------
+# A running distinct count has no window-frame form (COUNT(DISTINCT)
+# is illegal in frames in both engines); the scale-correct rewrite is
+# first-occurrence flags (one row_number per (key, value)) summed by
+# a running window — two partition-local window passes over one
+# user_id shuffle, no per-row set state. Probe subset keeps parity
+# output compact; the plan is identical at full key range.
+
+_W5_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+  FROM events WHERE user_id % 25 = 0
+),
+flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts_us, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM e
+)
+SELECT user_id, event_id,
+       CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS distinct_types_so_far
+FROM flagged
+ORDER BY user_id, ts_us, event_id
+"""
+
+
+@register("w5_cumulative_distinct", oracle=_W5_SQL,
+          doc="Running COUNT(DISTINCT event_type) per user — illegal as a "
+              "window frame, rewritten as first-occurrence flags + running "
+              "sum: two partition-local windows over one user_id shuffle.",
+          tags=("window", "events"))
+def w5_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 25 == 0)
+        .select(
+            "user_id", "event_id", "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_us", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.withColumn(
+        "first_seen",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+    )
+    return (
+        flagged.select(
+            "user_id", "event_id",
+            F.sum("first_seen").over(w_run).alias("distinct_types_so_far"),
+            "ts_us",
+        )
+        .orderBy("user_id", "ts_us", "event_id")
+        .drop("ts_us")
+    )

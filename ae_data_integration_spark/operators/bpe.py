@@ -29,8 +29,11 @@ so ``<``/``>`` can never collide with symbol text.
 
 Each training round is one vocab-sized aggregation job (pair
 explode -> weighted count -> argmax) plus one map (the replace);
-the vocab DataFrame is localCheckpoint'ed per round so the lineage
-does not grow with R.
+each round's vocab is persisted and the superseded round released
+eagerly, so storage never exceeds ~2 vocab copies. (At cluster
+scale with hundreds of rounds, swap the persist for a reliable
+checkpoint to also truncate lineage; at the catalog's R=10 the
+lineage is 10 narrow maps.)
 """
 
 from __future__ import annotations
@@ -128,28 +131,38 @@ def train_bpe(
     1-row action. Reference parity: extends the token-counting
     surface of Data_prep.py (SURVEY §2.2) to vocabulary induction.
     """
+    # Explicit persist + eager release per round (NOT localCheckpoint:
+    # checkpoint RDD blocks are invisible to catalog.clearCache() and
+    # would accumulate in a shared harness JVM; a superseded round's
+    # vocab is dead the moment the next round materializes).
     vocab = (
         word_vocab(docs, text_col)
         .select(wrapped("tok").alias("rep"), "n")
-        .localCheckpoint()
+        .persist()
     )
     merges: list[tuple] = []
-    for rank in range(1, rounds + 1):
-        top = (
-            pair_counts(vocab)
-            .orderBy(F.desc("n_occurrences"), "left", "right")
-            .limit(1)
-            .collect()
-        )
-        if not top or top[0]["n_occurrences"] < 1:
-            break
-        left, right = top[0]["left"], top[0]["right"]
-        merges.append(
-            (rank, left, right, left + right, int(top[0]["n_occurrences"]))
-        )
-        vocab = vocab.select(
-            apply_merge(F.col("rep"), left, right).alias("rep"), "n"
-        ).localCheckpoint()
+    try:
+        for rank in range(1, rounds + 1):
+            top = (
+                pair_counts(vocab)
+                .orderBy(F.desc("n_occurrences"), "left", "right")
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["n_occurrences"] < 1:
+                break
+            left, right = top[0]["left"], top[0]["right"]
+            merges.append(
+                (rank, left, right, left + right, int(top[0]["n_occurrences"]))
+            )
+            new = vocab.select(
+                apply_merge(F.col("rep"), left, right).alias("rep"), "n"
+            ).persist()
+            new.count()  # materialize before dropping the parent
+            vocab.unpersist()
+            vocab = new
+    finally:
+        vocab.unpersist()
     return spark.createDataFrame(
         merges,
         "rank int, left string, right string, merged string, "

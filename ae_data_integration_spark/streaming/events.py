@@ -316,3 +316,45 @@ def attribution_join_stream(
     ).select(
         F.col("p_user").alias("user_id"), "purchase_id", "click_id", "value",
     )
+
+
+def rolling_dau_stream(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin of e11_rolling_dau: EXACT 7-day rolling distinct
+    actives with bounded state — the aggregate hourly_rollup had to
+    approximate (exact countDistinct inside one streaming agg needs
+    unbounded per-group user sets).
+
+    The move is chained time-window aggregations (legal in append
+    mode since Spark 3.5): stage 1 groups by (sliding 7d/1d window,
+    user_id) — state is one counter per active (window, user), evicted
+    when the watermark passes the window — and stage 2 counts the rows
+    stage 1 EMITS per closed window, which is exactly the distinct
+    user count. No user-set state ever accumulates; both stages are
+    JVM-side windowed aggs.
+
+    Output: (win_day, dau_7d) where win_day is the LAST activity day
+    the window covers (batch e11's labeling: window day d counts
+    users active in [d-6, d]). Only watermark-closed windows emit.
+    """
+    per_user = (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "7 days", "1 day").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_user.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("dau_7d"))
+        .select(
+            (
+                F.unix_micros(F.col("w.end")).cast("long")
+                / F.lit(86400000000).cast("long")
+            ).cast("long").alias("day_after"),
+            "dau_7d",
+        )
+        .select((F.col("day_after") - 1).alias("win_day"), "dau_7d")
+    )

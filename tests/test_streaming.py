@@ -566,3 +566,39 @@ def test_native_session_window_matches_custom_state_and_batch(spark, tmp_path):
     # the exact-gap edge event joined the session that starts at t0
     # (diff == gap keeps the session alive on every path)
     assert any(u == u0 and s == t0 and n >= 2 for u, s, n in got)
+
+
+def test_rolling_dau_stream_matches_batch_e11(spark, tmp_path):
+    """Chained windowed aggregations (Spark 3.5+ multiple stateful
+    ops): exact 7-day rolling distinct actives, stream == batch e11
+    on every window the watermark closes. A far-future sentinel event
+    closes all real windows; its own windows land past max_day and
+    are excluded (as batch e11's max-day cap excludes them)."""
+    from ae_data_integration_spark.catalog import load_all
+    from ae_data_integration_spark.streaming.events import rolling_dau_stream
+
+    ev = table(spark, SF_SMOKE, "events").select("user_id", "ts")
+    mx_us = ev.agg(F.max(F.unix_micros("ts")).alias("m")).first()["m"]
+    max_day = mx_us // 86400000000
+    flush = spark.createDataFrame(
+        [(-1,)], "user_id long"
+    ).select(
+        "user_id",
+        F.timestamp_micros(F.lit(mx_us + 30 * 86400000000)).alias("ts"),
+    )
+    src = str(tmp_path / "dau_src")
+    ev.unionByName(flush).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    run_available_now(rolling_dau_stream(stream), "t_dau", mode="append")
+    got = {
+        r["win_day"]: r["dau_7d"]
+        for r in spark.table("t_dau").collect()
+        if r["win_day"] <= max_day
+    }
+
+    q = load_all()["e11_rolling_dau"]
+    want = {
+        r["win_day"]: r["dau_7d"] for r in q.fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want
