@@ -568,6 +568,10 @@ def e10_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.expr("unix_micros(ts) div 86400000000").alias("day"),
         )
+        # ONE user_id shuffle serves the distinct, the grp window and
+        # the per-user aggregates/windows below (HashPartitioning on
+        # user_id satisfies every downstream ClusteredDistribution).
+        .repartition("user_id")
         .distinct()
     )
     w = Window.partitionBy("user_id").orderBy("day")

@@ -2075,6 +2075,10 @@ def w5_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "event_id", "event_type",
             F.unix_micros("ts").alias("ts_us"),
         )
+        # ONE user_id shuffle serves both windows: HashPartitioning
+        # (user_id) satisfies the (user_id, event_type) window's
+        # ClusteredDistribution, so neither window adds an Exchange.
+        .repartition("user_id")
     )
     w_first = Window.partitionBy("user_id", "event_type").orderBy(
         "ts_us", "event_id"

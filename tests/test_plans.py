@@ -412,3 +412,53 @@ def test_s5_sq8_no_corpus_shuffle(spark):
     p = plan_asserts(_df(spark, "s5_sq8_rerank"))
     p.no_python_row_udf().has_broadcast_exchange()
     assert "CartesianProduct" not in p.plan
+
+
+def test_scd3_equi_join_with_keylocal_range(spark):
+    # Time-travel lookup: the custkey equi-join is a hash join (never
+    # a nested loop); the [from, to) range runs as a join condition on
+    # the matched key, not a cartesian filter.
+    pa = plan_asserts(_df(spark, "scd3_point_in_time"))
+    pa.no_python_row_udf()
+    assert "CartesianProduct" not in pa.plan
+    assert "BroadcastNestedLoopJoin" not in pa.plan
+    assert "HashJoin" in pa.plan or "SortMergeJoin" in pa.plan
+    assert "probe_us" in pa.plan  # range predicate inside the join
+
+
+def test_w5_single_user_shuffle(spark):
+    # Both windows (first-seen flag on (user, type), running sum on
+    # user) reuse ONE user_id hash exchange; the only other exchange
+    # is the final presentation sort.
+    pa = plan_asserts(_df(spark, "w5_cumulative_distinct"))
+    pa.no_python_row_udf()
+    hash_ex = pa.plan.count("Arguments: hashpartitioning")
+    assert hash_ex == 1, f"expected 1 hash exchange, plan has {hash_ex}"
+
+
+def test_e10_single_user_shuffle(spark):
+    # distinct days, island window, streak aggregate and per-user
+    # windows all run on one user_id partitioning.
+    pa = plan_asserts(_df(spark, "e10_activity_streaks"))
+    pa.no_python_row_udf()
+    hash_ex = pa.plan.count("Arguments: hashpartitioning")
+    assert hash_ex == 1, f"expected 1 hash exchange, plan has {hash_ex}"
+
+
+def test_e11_bounded_contribution_explode(spark):
+    # No range self-join: the only join is the 1-row max_day bound
+    # (scalar nested-loop is the sound cartesian); the explode is the
+    # bounded 7-way contribution generator.
+    pa = plan_asserts(_df(spark, "e11_rolling_dau"))
+    pa.no_python_row_udf()
+    assert "CartesianProduct" not in pa.plan
+    assert pa.plan.count("Arguments: explode(sequence(") == 1
+
+
+def test_t21_bpe_encode_vocab_sized(spark):
+    # Encoding happens on the aggregated vocabulary: exactly one
+    # partial+final token aggregation before the replace chain, zero
+    # Python row UDFs (the whole merge chain is codegen'd replace).
+    pa = plan_asserts(_df(spark, "t21_bpe_encode"))
+    pa.no_python_row_udf().has_partial_agg()
+    assert "BatchEvalPython" not in pa.plan
