@@ -245,3 +245,69 @@ def sk3_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# --- SK4: GK quantile sketch vs exact ranks ----------------------------------
+# The one mergeable sketch family (Greenwald-Khanna, Spark's
+# approxQuantile) that had pytest coverage but no driver-visible
+# query. The sketch state is engine-internal (merge order is not
+# fixed-point), so there is no SQL value oracle; instead the
+# contract check computes the EXACT rank of every returned value in
+# DuckDB and enforces the GK guarantee |rank - p*N| <= eps*N. One
+# pass, mergeable per-partition state, no shuffle of the column.
+
+_SK4_PROBS = (0.25, 0.5, 0.75, 0.95)
+_SK4_EPS = 0.01
+
+
+def _check_sk4_rank_error(sdf, spark, sf_dir: str) -> str:
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    pq = os.path.join(sf_dir, "lineitem.parquet")
+    n = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{pq}')"
+    ).fetchone()[0]
+    rows = sorted(
+        (float(t.probability), float(t.value)) for t in sdf.itertuples()
+    )
+    if [p for p, _ in rows] != sorted(_SK4_PROBS):
+        con.close()
+        return f"probabilities wrong: {[p for p, _ in rows]}"
+    for p, v in rows:
+        rank = con.execute(
+            "SELECT COUNT(*) FROM read_parquet(?) "
+            "WHERE l_extendedprice <= ?", [pq, v]
+        ).fetchone()[0]
+        if abs(rank - p * n) > _SK4_EPS * n + 1:
+            con.close()
+            return (
+                f"p={p}: value {v} has exact rank {rank}, "
+                f"target {p * n:.0f} ± {_SK4_EPS * n:.0f}"
+            )
+    con.close()
+    return ""
+
+
+@register("sk4_gk_quantiles", oracle=None,
+          doc="Greenwald-Khanna quantile sketch (approxQuantile) over "
+              "lineitem prices at eps=0.01 — single pass, mergeable "
+              "per-partition state. Contract check verifies the GK rank "
+              "guarantee against exact DuckDB ranks: |rank(v) - p*N| <= "
+              "eps*N for every returned quantile.",
+          tags=("sketch",), min_rows=4,
+          columns=("probability", "value"),
+          check=_check_sk4_rank_error)
+def sk4_gk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.functions.sketch import approx_quantiles
+
+    li = table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    vals = approx_quantiles(
+        li, "l_extendedprice", list(_SK4_PROBS), relative_error=_SK4_EPS
+    )
+    return spark.createDataFrame(
+        [(p, v) for p, v in zip(_SK4_PROBS, vals)],
+        "probability double, value double",
+    ).orderBy("probability")
