@@ -140,6 +140,7 @@ def train_bpe(
         .select(wrapped("tok").alias("rep"), "n")
         .persist()
     )
+    prev = None
     merges: list[tuple] = []
     try:
         for rank in range(1, rounds + 1):
@@ -149,6 +150,10 @@ def train_bpe(
                 .limit(1)
                 .collect()
             )
+            # The collect above materialized `vocab`, so the round
+            # before it is now dead — release without an extra job.
+            if prev is not None:
+                prev.unpersist()
             if not top or top[0]["n_occurrences"] < 1:
                 break
             left, right = top[0]["left"], top[0]["right"]
@@ -158,10 +163,10 @@ def train_bpe(
             new = vocab.select(
                 apply_merge(F.col("rep"), left, right).alias("rep"), "n"
             ).persist()
-            new.count()  # materialize before dropping the parent
-            vocab.unpersist()
-            vocab = new
+            prev, vocab = vocab, new
     finally:
+        if prev is not None:
+            prev.unpersist()
         vocab.unpersist()
     return spark.createDataFrame(
         merges,
