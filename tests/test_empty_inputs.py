@@ -92,3 +92,19 @@ def test_asof_join_on_empty_right(spark):
     right = _empty(spark, "user_id long, ts_us long, v double")
     out = asof_join(left, right, "user_id", "ts_us", ["v"]).collect()
     assert len(out) == 1 and out[0]["asof_v"] is None
+
+
+def test_bpe_on_empty(spark):
+    from ae_data_integration_spark.operators.bpe import (
+        encode_with_merges,
+        train_bpe,
+        word_vocab,
+    )
+
+    docs = _empty(spark, "doc_id long, text string")
+    m = train_bpe(spark, docs, rounds=3)
+    assert m.count() == 0
+    assert set(m.columns) == {"rank", "left", "right", "merged",
+                              "n_occurrences"}
+    enc = encode_with_merges(word_vocab(docs), [("a", "b")])
+    assert enc.count() == 0

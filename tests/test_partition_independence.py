@@ -44,6 +44,12 @@ QUERIES = [
     "t12_mixture_weights",       # fixed-point normalized weights
     "t13_length_buckets",        # integer bucket histogram
     "samp1_stratified_sample",   # md5-ranked per-stratum sample
+    "t20_bpe_train",             # iterative argmax merge loop (r8)
+    "t21_bpe_encode",            # literal replace chain + rollup (r8)
+    "e10_activity_streaks",      # gaps-and-islands windows (r8)
+    "e11_rolling_dau",           # contribution explode + distinct (r8)
+    "scd3_point_in_time",        # interval-membership join (r8)
+    "w5_cumulative_distinct",    # first-seen flag + running sum (r8)
 ]
 
 
