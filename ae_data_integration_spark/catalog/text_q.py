@@ -1318,3 +1318,159 @@ def t21_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_occurrences"), "subword")
         .limit(_T21_TOPK)
     )
+
+
+# --- PIPE6: per-source pretraining data card ---------------------------------
+# The summary artifact a curation run ships with the dataset: one row
+# per source with volume (docs/tokens), the t12 mixture weight, the
+# t2 quality-gate pass count, the d1 exact-dup redundancy count and
+# the t3 dominant predicted language. Every ingredient is an
+# already-◆-checked operator; this query checks their composition
+# (same pattern as pipe1/pipe3). Scale: everything is one doc-level
+# map + source-keyed aggregates; the only joins are doc_id-keyed
+# (quality, lang votes) and the 1-row normalizer broadcast — output
+# is |sources| rows at any corpus size.
+
+from ae_data_integration_spark.functions.text import fingerprint  # noqa: E402
+
+_PIPE6_SQL = f"""
+WITH per_doc AS (
+  SELECT source, doc_id, len({_TOKS}) AS n,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+per_src AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens,
+         sqrt(CAST(SUM(n) AS DOUBLE)) AS r
+  FROM per_doc GROUP BY source
+),
+tot AS (SELECT {fpsum_sql('r', Q30)} AS z FROM per_src),
+q AS ({_T2_SQL.replace("ORDER BY doc_id", "")}),
+qp AS (
+  SELECT p.source, COUNT(*) AS n_quality_pass
+  FROM per_doc p JOIN q ON p.doc_id = q.doc_id
+  WHERE q.quality >= 0.5 GROUP BY p.source
+),
+canon AS (SELECT MIN(doc_id) AS keep_id FROM per_doc GROUP BY fp),
+red AS (
+  SELECT p.source, COUNT(*) AS n_exact_redundant
+  FROM per_doc p LEFT JOIN canon c ON p.doc_id = c.keep_id
+  WHERE c.keep_id IS NULL GROUP BY p.source
+),
+tok3 AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+hits3 AS (
+  SELECT t.doc_id, m.lang_pred, COUNT(*) AS n_hits
+  FROM tok3 t JOIN {_markers_values_sql()} ON t.tok = m.marker
+  GROUP BY t.doc_id, m.lang_pred
+),
+lang_doc AS (
+  SELECT doc_id, lang_pred FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY n_hits DESC, lang_pred) AS rk
+    FROM hits3
+  ) WHERE rk = 1
+),
+lv AS (
+  SELECT p.source, l.lang_pred, COUNT(*) AS n
+  FROM per_doc p JOIN lang_doc l ON p.doc_id = l.doc_id
+  GROUP BY p.source, l.lang_pred
+),
+top_lang AS (
+  SELECT source, lang_pred AS top_lang, n AS top_lang_docs FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY n DESC, lang_pred) AS rk
+    FROM lv
+  ) WHERE rk = 1
+)
+SELECT s.source, s.n_docs, s.n_tokens,
+       round(s.r / t.z, 6) AS mix_weight,
+       COALESCE(qp.n_quality_pass, CAST(0 AS BIGINT)) AS n_quality_pass,
+       COALESCE(red.n_exact_redundant, CAST(0 AS BIGINT)) AS n_exact_redundant,
+       tl.top_lang, tl.top_lang_docs
+FROM per_src s CROSS JOIN tot t
+LEFT JOIN qp ON s.source = qp.source
+LEFT JOIN red ON s.source = red.source
+LEFT JOIN top_lang tl ON s.source = tl.source
+ORDER BY s.source
+"""
+
+
+@register("pipe6_data_card", oracle=_PIPE6_SQL,
+          doc="Per-source pretraining data card: docs/tokens, t12 mixture "
+              "weight, t2 quality-gate pass count, d1 exact-dup redundancy, "
+              "t3 dominant predicted language — the composition of four "
+              "verified operators into the dataset's shipping summary. "
+              "All source-keyed aggregates + doc_id joins; |sources| rows "
+              "out at any corpus size.",
+          tags=("text", "pipeline"))
+def pipe6_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source", "doc_id",
+        token_count("text").alias("n"),
+        fingerprint("text").alias("fp"),
+        quality_score("text").alias("quality"),
+    )
+    per_src = (
+        per_doc.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("n_tokens"))
+        .withColumn("r", F.sqrt(F.col("n_tokens").cast("double")))
+    )
+    tot = per_src.agg(fpsum("r", Q30).alias("z"))
+    qp = (
+        per_doc.filter(F.col("quality") >= 0.5)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_quality_pass"))
+    )
+    canon = per_doc.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    red = (
+        per_doc.join(canon, per_doc["doc_id"] == canon["keep_id"], "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_exact_redundant"))
+    )
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    hits = (
+        tok.join(F.broadcast(lang_marker_table(spark)), tok.tok == F.col("marker"))
+        .groupBy("doc_id", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), "lang_pred")
+    lang_doc = (
+        hits.withColumn("rk", F.row_number().over(w_doc))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "lang_pred")
+    )
+    lv = (
+        per_doc.select("source", "doc_id")
+        .join(lang_doc, "doc_id")
+        .groupBy("source", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_src = Window.partitionBy("source").orderBy(F.desc("n"), "lang_pred")
+    top_lang = (
+        lv.withColumn("rk", F.row_number().over(w_src))
+        .filter(F.col("rk") == 1)
+        .select(
+            "source",
+            F.col("lang_pred").alias("top_lang"),
+            F.col("n").alias("top_lang_docs"),
+        )
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .join(qp, "source", "left")
+        .join(red, "source", "left")
+        .join(top_lang, "source", "left")
+        .select(
+            "source", "n_docs", "n_tokens",
+            F.round(F.col("r") / F.col("z"), 6).alias("mix_weight"),
+            F.coalesce("n_quality_pass", F.lit(0).cast("long")).alias(
+                "n_quality_pass"
+            ),
+            F.coalesce("n_exact_redundant", F.lit(0).cast("long")).alias(
+                "n_exact_redundant"
+            ),
+            "top_lang", "top_lang_docs",
+        )
+        .orderBy("source")
+    )

@@ -50,6 +50,7 @@ QUERIES = [
     "e11_rolling_dau",           # contribution explode + distinct (r8)
     "scd3_point_in_time",        # interval-membership join (r8)
     "w5_cumulative_distinct",    # first-seen flag + running sum (r8)
+    "pipe6_data_card",           # 4-operator composed data card (r8)
 ]
 
 
