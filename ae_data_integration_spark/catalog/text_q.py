@@ -1402,7 +1402,7 @@ ORDER BY s.source
               "verified operators into the dataset's shipping summary. "
               "All source-keyed aggregates + doc_id joins; |sources| rows "
               "out at any corpus size.",
-          tags=("text", "pipeline"))
+          tags=("text", "pipeline", "bench"))
 def pipe6_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     per_doc = d.select(
