@@ -5,11 +5,17 @@ offset timezone, different core count — and additionally compare
 column dtypes between Spark and the DuckDB oracle (the driver's
 schema check may be type-strict).
 
-Usage: python scripts/driver_sim.py [sf_dir]
+Usage: python scripts/driver_sim.py [--json OUT.json] [sf_dir]
+
+--json writes a machine-readable record (per-query ok + the full
+dtype-divergence list) so the hostile-session evidence is COMMITTED
+per round (scripts/record_parity.py -> PARITY_LOCAL_r{N}.json)
+instead of re-derived by each judge.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 
 sys.path.insert(0, ".")
@@ -21,7 +27,13 @@ from ae_data_integration_spark.oracle import check_query, duck_connection
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("driver-sim")
@@ -33,12 +45,14 @@ def main() -> int:
     con = duck_connection(sf_dir)
     n_ok = 0
     dtype_notes = []
+    per_query: dict[str, dict] = {}
     for name, q in sorted(registry.items()):
         r = check_query(spark, con, q, sf_dir)
         mark = "PASS" if r.ok else "FAIL"
         if not r.ok:
             print(f"{mark} {name:28s} {r.detail}")
         n_ok += r.ok
+        per_query[name] = {"ok": bool(r.ok), "detail": r.detail}
         if q.oracle is not None and r.ok:
             sdf = q.fn(spark, sf_dir).limit(0).toPandas()
             odf = con.execute(oracle_for(q, sf_dir)).fetchdf().head(0)
@@ -51,6 +65,21 @@ def main() -> int:
         print("dtype divergences:")
         for d in dtype_notes:
             print("  ", d)
+    else:
+        print("dtype divergences: none")
+    if json_out:
+        record = {
+            "sf_dir": sf_dir,
+            "session": "local[8], TZ=Asia/Kolkata (+5:30), no engine configs",
+            "n_ok": n_ok,
+            "n_total": len(registry),
+            "dtype_divergences": dtype_notes,
+            "queries": per_query,
+        }
+        with open(json_out, "w") as fh:
+            json.dump(record, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(f"wrote {json_out}")
     return 0 if n_ok == len(registry) else 1
 
 

@@ -185,11 +185,17 @@ def test_scd1_versions_match_pandas(spark):
     o = o.sort_values(["o_custkey", "from_us", "o_orderkey"])
     o["version"] = o.groupby("o_custkey").cumcount() + 1
     o["effective_to_us"] = o.groupby("o_custkey")["from_us"].shift(-1)
+    # current version closes at the high-date sentinel, not NULL — the
+    # column must stay non-nullable int64 in every pandas consumer
+    from ae_data_integration_spark.catalog.relational_q import _SCD1_OPEN_END_US
+
+    assert str(got["effective_to_us"].dtype) == "int64"
     for r in got.itertuples():
         e = o[(o.o_custkey == r.o_custkey) & (o.version == r.version)].iloc[0]
         assert int(r.effective_from_us) == int(e.from_us)
         if pd.isna(e.effective_to_us):
-            assert pd.isna(r.effective_to_us) and r.is_current == 1
+            assert int(r.effective_to_us) == _SCD1_OPEN_END_US
+            assert r.is_current == 1
         else:
             assert int(r.effective_to_us) == int(e.effective_to_us)
             assert r.is_current == 0
