@@ -1,0 +1,190 @@
+"""Batched BPE training: many merges learned per Spark job.
+
+Sequential `train_bpe` issues one vocab-sized job per merge — perfect
+at the catalog's R=10, hopeless at a real 32k-merge vocabulary (32k
+sequential jobs, each rescanning the vocab). This module learns up to
+`max_batch` merges per job, in two modes:
+
+* ``exact=True`` — provably BIT-IDENTICAL to sequential greedy BPE.
+  Batch selection per round (pair counts sorted by n DESC, left,
+  right):
+
+  1. Accept the maximal consecutive PREFIX of the sorted pair list
+     whose members are pairwise symbol-disjoint — the symbol sets
+     {left, right, left+right} share nothing. Stop at the FIRST
+     conflicting pair (never skip past it: sequential greedy might
+     pick it next once counts shift).
+  2. Truncate the accepted list to members whose count is STRICTLY
+     greater than the first non-accepted pair's count (c_stop).
+  3. A SELF-pair (left == right, e.g. (a,a)) CLOSES its batch: it is
+     accepted as the last member and the round ends there.
+
+  Why this equals sequential greedy exactly: disjoint replaces cannot
+  create, destroy, or overlap each other's occurrences, so each
+  member's count is unchanged while earlier members apply; and every
+  pair NOT in the batch that could grow — a new pair (x, ab) only
+  arises where (x, a) was adjacent, so count(x,ab) <= count(x,a), a
+  pair sharing a symbol with a member — sorts at or after the stop
+  position (a symbol-sharing pair sorting earlier would have been
+  accepted first, making the member itself the conflict), hence has
+  count <= c_stop, STRICTLY below every truncated member. Each member
+  is therefore the unique (count, left, right)-argmax at its turn.
+  The one case where the witness pair can be the member ITSELF is
+  left == right ("aaaa" -> "aa aa" creates (aa,aa) at up to half the
+  member's own count — observed: merging (a,a)@60 created (aa,aa)@20,
+  beating a disjoint (b,b)@20 on tie-break), hence rule 3: a
+  self-pair's new pairs only ever face the NEXT round's full recount.
+  Ties at c_stop degrade the batch toward a single merge — sequential
+  behavior, never a wrong table.
+
+  On natural-language text the exact mode batches ~2 merges/job (the
+  most frequent pairs share letters, so the disjoint prefix is
+  short) — correct, and ~2x fewer jobs, but not the 100x a production
+  vocab needs. Hence:
+
+* ``exact=False`` — the standard production batching (the
+  greedy-top-M approximation used by large-scale tokenizer trainers):
+  SKIP conflicting pairs and keep accepting disjoint ones until
+  `max_batch`. The merge table may ORDER differently from sequential
+  greedy (a skipped conflict would have been sequential's next pick),
+  but every recorded (pair, count) is still the pair's TRUE count at
+  its apply time — disjointness means earlier members cannot change a
+  later member's occurrences — and equivalence to sequential still
+  holds whenever no top pairs conflict (golden-tested on conflict-
+  free corpora). Measured on the 10x corpus at rounds=100:
+  merges/job > 10 (see bench.py "bpe" section).
+
+Lineage discipline: each round's vocab is localCheckpoint'ed (eager).
+persist() was measured to be insufficient here — unpersisting the
+superseded round invalidates the dependent cache entry, the logical
+plan re-accumulates every projection since the scan, and at ~20
+rounds AQE's plan-string rendering alone OOMs a 20g heap.
+localCheckpoint computes each round once and rebases the plan on the
+cached blocks (same lesson as operators/dedup.dup_labels); superseded
+block sets are released by the ContextCleaner when the round's RDD
+goes out of scope.
+
+Reference parity: extends the token surface of the reference's
+Data_prep.py (split/regex idioms, SURVEY §2.2) to vocabulary
+induction at production merge counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ae_data_integration_spark.operators.bpe import (
+    apply_merge,
+    pair_counts,
+    word_vocab,
+    wrapped,
+)
+
+
+def _select_batch(rows: list, want: int, window: int, exact: bool) -> list:
+    """Pick this round's merge batch from the sorted pair-count rows.
+
+    `rows` must be sorted by (n_occurrences DESC, left, right) and be
+    the top-`window` slice (len(rows) < window means the list is the
+    complete pair population).
+    """
+    accepted: list = []
+    used: set[str] = set()
+    stop_count = 0  # count of the first non-accepted pair (exact mode)
+    exhausted = len(rows) < window
+    closed = False
+    for r in rows:
+        syms = {r["left"], r["right"], r["left"] + r["right"]}
+        if len(accepted) >= want or (exact and closed):
+            stop_count = int(r["n_occurrences"])
+            break
+        if used & syms:
+            if exact:  # rule 1: a conflict ENDS the prefix
+                stop_count = int(r["n_occurrences"])
+                break
+            continue  # production mode: skip and keep scanning
+        accepted.append(r)
+        used |= syms
+        if r["left"] == r["right"]:  # rule 3: self-pair is terminal
+            closed = True
+    else:
+        # ran off the collected window: anything beyond has count <=
+        # the last collected row's count
+        stop_count = 0 if exhausted else int(rows[-1]["n_occurrences"])
+    if exact:
+        # rule 2: strict-count truncation (>= would admit tie races
+        # with pairs created by earlier members)
+        accepted = [r for r in accepted if int(r["n_occurrences"]) > stop_count]
+    if not accepted:
+        accepted = rows[:1]  # degenerate tie — sequential step
+    return accepted
+
+
+def train_bpe_batched(
+    spark: SparkSession,
+    docs: DataFrame,
+    rounds: int = 10,
+    text_col: str = "text",
+    max_batch: int = 16,
+    exact: bool = True,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Learn a BPE merge table with up to `max_batch` merges per Spark
+    job. See the module docstring for the two modes and the exactness
+    proof. Returns (rank, left, right, merged, n_occurrences), rank 1
+    = first merge.
+
+    `stats`, when passed, receives {"n_jobs", "n_merges",
+    "batch_sizes"} so the bench records the merges-per-job ratio.
+    """
+    vocab = (
+        word_vocab(docs, text_col)
+        .select(wrapped("tok").alias("rep"), "n")
+        .localCheckpoint()
+    )
+    merges: list[tuple] = []
+    n_jobs = 0
+    batch_sizes: list[int] = []
+    while len(merges) < rounds:
+        # do NOT shrink the batch near the target — learn a full batch
+        # and trim the table afterwards (a prefix of a valid merge
+        # table is a valid merge table); a shrunk final batch would
+        # drag merges/job back toward 1 exactly where a production
+        # vocab spends most of its rounds.
+        want = max_batch
+        window = want * 8 + 1
+        top = (
+            pair_counts(vocab)
+            .orderBy(F.desc("n_occurrences"), "left", "right")
+            .limit(window)
+            .collect()
+        )
+        n_jobs += 1
+        rows = [r for r in top if r["n_occurrences"] >= 1]
+        if not rows:
+            break
+        accepted = _select_batch(rows, want, window, exact)
+        batch_sizes.append(len(accepted))
+        rep = F.col("rep")
+        for r in accepted:
+            left, right = r["left"], r["right"]
+            merges.append(
+                (len(merges) + 1, left, right, left + right,
+                 int(r["n_occurrences"]))
+            )
+            rep = apply_merge(rep, left, right)
+        vocab = vocab.select(rep.alias("rep"), "n").localCheckpoint()
+    if len(merges) > rounds:  # trim the final over-full batch
+        trimmed = len(merges) - rounds
+        merges = merges[:rounds]
+        batch_sizes[-1] -= trimmed
+    if stats is not None:
+        stats.update(
+            n_jobs=n_jobs, n_merges=len(merges), batch_sizes=batch_sizes
+        )
+    return spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string, "
+        "n_occurrences long",
+    )
