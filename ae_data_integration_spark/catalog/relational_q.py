@@ -109,7 +109,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(fpsum(revenue, Q20).alias("revenue"))
         .select(
@@ -147,7 +147,17 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     s = table(spark, sf_dir, "supplier")
     l = table(spark, sf_dir, "lineitem")
-    dims = F.broadcast(
+    # Hint policy (r9 cluster-readiness): explicit F.broadcast stays
+    # only on sides BOUNDED BY CONSTRUCTION (region=5, nation=25 rows,
+    # one-row aggregates, literal mappings). SF-growing dims
+    # (supplier/customer/part and composites over them) rely on
+    # autoBroadcastJoinThreshold + AQE join replanning instead: the
+    # estimator broadcasts them at every test SF (largest is 18 MB at
+    # 100x vs the 64 MB threshold), while a 100-TB cluster where they
+    # outgrow the threshold degrades to a shuffle join instead of
+    # OOMing the driver on a forced hint
+    # (tests/test_cluster_readiness.py).
+    dims = (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "n_name")
@@ -686,7 +696,7 @@ def q16_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_brand")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.countDistinct("l_suppkey").alias("n_suppliers"),
@@ -899,7 +909,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
         )
-        .join(F.broadcast(p.select("p_partkey", "p_type")),
+        .join(p.select("p_partkey", "p_type"),
               F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
@@ -1019,7 +1029,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(mx),
             F.col("total_revenue") == F.col("max_revenue"),
         )
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -1097,7 +1107,7 @@ def q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l3_suppkey") != F.col("l_suppkey")),
             "left_anti",
         )
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
@@ -1222,11 +1232,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("unit_fp") == F.col("min_fp")),
         )
         .join(
-            F.broadcast(p.filter(F.col("p_brand") == "Brand#11")
-                        .select("p_partkey", "p_brand")),
+            p.filter(F.col("p_brand") == "Brand#11")
+            .select("p_partkey", "p_brand"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
-        .join(F.broadcast(s.select("s_suppkey", "s_name")),
+        .join(s.select("s_suppkey", "s_name"),
               F.col("s_suppkey") == F.col("l_suppkey"))
         .select(
             "p_partkey", "p_brand", "s_name",
@@ -1275,7 +1285,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     val = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     nat_items = (
-        li.join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+        li.join(s.select("s_suppkey", "s_nationkey"),
                 F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n.filter(F.col("n_name") == "NATION_7")),
               F.col("n_nationkey") == F.col("s_nationkey"))
@@ -1331,7 +1341,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        li.join(F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+        li.join(p.select("p_partkey", "p_brand", "p_size"),
                 F.col("p_partkey") == F.col("l_partkey"))
         .filter(
             clause("Brand#12", 15, 1, 11)
@@ -1385,7 +1395,7 @@ def q20_prefix_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
         )
-        .join(F.broadcast(green), F.col("p_partkey") == F.col("l_partkey"),
+        .join(green, F.col("p_partkey") == F.col("l_partkey"),
               "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(fpsum("l_quantity", Q20).alias("qty"))
@@ -1451,11 +1461,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # nation names ride in on the broadcast dim slices, so the big
     # join carries 2 small string columns instead of re-joining nation
-    supp = F.broadcast(
+    supp = (
         s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
-    cust = F.broadcast(
+    cust = (
         c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey", F.col("n_name").alias("cust_nation"))
     )
@@ -1532,13 +1542,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    supp = F.broadcast(
+    supp = (
         s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
     # ASIA-market customers: region restriction applied INSIDE the
-    # broadcast build (nation⋈region prunes before customer attaches)
-    cust = F.broadcast(
+    # dim build (nation⋈region prunes before customer attaches)
+    cust = (
         c.join(
             F.broadcast(
                 n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -1557,7 +1567,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(float(Q20))
     )
     return (
-        li.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             o.filter(
@@ -1615,7 +1625,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
-    supp = F.broadcast(
+    supp = (
         s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", F.col("n_name").alias("nation"))
     )
@@ -1624,7 +1634,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("p_retailprice") * F.lit(0.6) * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+        li.join(p.select("p_partkey", "p_retailprice"),
                 F.col("l_partkey") == F.col("p_partkey"))
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o.select("o_orderkey", "o_orderdate"),

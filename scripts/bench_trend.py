@@ -83,6 +83,26 @@ def _steady_compare(latest_name: str, latest: dict, steady: dict,
               f"  x{ratio:.2f}{flag}")
         if ratio > threshold:
             bad.append(q)
+    # report-chain legs (VERDICT r8 #4): the flagship §3.3 deliverable
+    # gets the same regression gate as the query wall. full_width is
+    # one-shot on both sides, so its effective threshold is widened.
+    rep_base = steady.get("report") or {}
+    rep_latest = latest.get("report") or {}
+    for leg, base_key, widen in (
+        ("fixture", "fixture_wall_sec", 1.0),
+        ("full_width", "full_width_wall_sec", 1.3),
+    ):
+        t = (rep_latest.get(leg) or {}).get("wall_sec")
+        base = rep_base.get(base_key)
+        if t is None or base is None:
+            continue
+        ratio = t / base if base > 0 else float("inf")
+        limit = threshold * widen
+        flag = " <-- REGRESSION" if ratio > limit else ""
+        print(f"  report:{leg:25s} {t:7.3f}s  steady {base:7.3f}s"
+              f"  x{ratio:.2f} (limit {limit:.2f}){flag}")
+        if ratio > limit:
+            bad.append(f"report:{leg}")
     if bad:
         print(f"\n{len(bad)} queries beyond {threshold}x vs steady: "
               f"{', '.join(bad)}")

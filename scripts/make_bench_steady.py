@@ -27,6 +27,11 @@ Usage:
       keys absent from BENCH_STEADY.json and merge them in — the way
       NEW queries get baseline rows without resetting the existing
       wall (a full re-baseline every round would hide slow drift).
+  python scripts/make_bench_steady.py --report        # record steady
+      rows for the §3.3 report chain (fixture: warmup + min-of-2;
+      full reference width: one-shot, same as bench.py's protocol)
+      under "report" so bench_trend regression-gates the flagship
+      deliverable too (VERDICT r8 #4). Merges into the existing file.
 """
 
 from __future__ import annotations
@@ -44,7 +49,48 @@ from ae_data_integration_spark.catalog import load_all  # noqa: E402
 from ae_data_integration_spark.session import get_spark  # noqa: E402
 
 
+def _report_baseline() -> None:
+    """Record steady walls for the report chain: fixture leg warmup +
+    min-of-2 in a warm session; full-width leg one-shot (that is
+    bench.py's protocol for it — a second 157 s rep buys noise
+    reduction worth less than its cost, so the trend threshold for
+    full_width absorbs one-shot noise)."""
+    from bench import _report_metrics
+    from ae_data_integration_spark.session import get_spark
+
+    path = os.path.join(REPO, "BENCH_STEADY.json")
+    with open(path) as fh:
+        prior = json.load(fh)
+
+    spark = get_spark("bench-steady-report")
+    never = lambda: 10**9  # noqa: E731 - no budget gate for a baseline
+    _report_metrics(spark, never)  # fixture warmup
+    fixture = min(
+        _report_metrics(spark, never)["fixture"]["wall_sec"]
+        for _ in range(2)
+    )
+    os.environ["SPARK_GRAFT_BENCH_FULL_REPORT"] = "1"
+    full = _report_metrics(spark, never, full=True)["full_width"]["wall_sec"]
+
+    prior["report"] = {
+        "fixture_wall_sec": fixture,
+        "full_width_wall_sec": full,
+        "protocol": (
+            "fixture: warm session, 1 warmup + min-of-2; full_width: "
+            "one-shot in the same session (bench.py protocol)"
+        ),
+        "recorded_unix": int(time.time()),
+    }
+    with open(path, "w") as fh:
+        json.dump(prior, fh, indent=2, sort_keys=True)
+        fh.write("\n")
+    print(f"wrote report steady rows: fixture {fixture}s, full_width {full}s")
+
+
 def main() -> None:
+    if "--report" in sys.argv:
+        _report_baseline()
+        return
     missing_only = "--missing-only" in sys.argv
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry = load_all()
