@@ -283,6 +283,200 @@ def ivf_topk(
     )
 
 
+def _sqdist_unrolled(a, b, n: int):
+    """Statically unrolled Σ(a[i]-b[i])² — same sequential fold order
+    as list_reduce, compiled by whole-stage codegen (the per-candidate
+    expression rule, see _cos_with_norms)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    out = F.lit(0.0)
+    for i in range(1, n + 1):
+        t = F.element_at(a, i) - F.element_at(b, i)
+        out = out + t * t
+    return out
+
+
+def pq_adc_rerank(
+    emb: DataFrame,
+    queries: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    refine: int = 30,
+    topk: int = 10,
+    salt: str = "pq",
+) -> DataFrame:
+    """Product-quantization ANN with ADC (asymmetric distance
+    computation) — the missing step between SQ8 and IVF for 100-TB
+    vector search (Jégou et al. 2011, faiss IndexPQ):
+
+    * the vector is split into `m` subspaces of d/m dims; each
+      subspace gets its OWN k-centroid codebook (md5-seeded init +
+      one fixed-point Lloyd pass — the kmeans_fit discipline, grouped
+      by subspace so all m codebooks train in the same two jobs);
+    * the corpus is encoded as m small ints per vector (PQ codes:
+      m bytes at k<=256 — a 32x storage/scan reduction on d=64
+      float64 vectors);
+    * per query, an m*k lookup table of quantized partial dots is
+      built once (ADC), and scanning the corpus is m array lookups +
+      integer adds per (query, doc) — NO float math against corpus
+      vectors, exactly the production memory-bandwidth shape;
+    * the integer-argmax top-`refine` candidates are reranked with
+      exact cosine on original vectors (Q*refine rows read back).
+
+    Deterministic end to end (md5 seeds, fixed-point centroid means,
+    Q30 integer LUT entries, (score, id) tie-breaks), so the DuckDB
+    oracle replays codebook training, encoding, ADC, and rerank
+    bit-for-bit. Scale shape: codebooks/LUTs are model-sized
+    broadcasts (m*k*(d/m) = k*d doubles); the corpus is scanned, never
+    shuffled; the only shuffles are the k*d-row centroid update and
+    the per-query top-k windows.
+    """
+    from ae_data_integration_spark.functions.hashing import md5_rank
+    from ae_data_integration_spark.functions.portable import Q30, fpsum
+
+    d = _vec_dim(emb, vec_col)
+    if d is None or d % m != 0:
+        raise ValueError(f"vector dim {d} not divisible by m={m}")
+    ds = d // m
+    spark = emb.sparkSession
+
+    pts = _widen(
+        emb.select(F.col(key_col).alias("id"), to_double(vec_col).alias("v"))
+    ).persist()
+
+    # --- codebook init: k md5-seeded full vectors, sliced per subspace
+    seed_rows = (
+        pts.withColumn("_h", md5_rank(F.col("id"), salt))
+        .orderBy("_h", "id")
+        .limit(k)
+        .select("v")
+        .collect()
+    )
+    cb0 = spark.createDataFrame(
+        [
+            (ss, j, list(r["v"][ss * ds:(ss + 1) * ds]))
+            for ss in range(m)
+            for j, r in enumerate(seed_rows)
+        ],
+        "ss int, cluster long, centroid array<double>",
+    )
+
+    sub = pts.select(
+        "id",
+        F.posexplode(
+            F.array(*[F.slice("v", ss * ds + 1, ds) for ss in range(m)])
+        ).alias("ss", "sv"),
+    )
+
+    def _assign(cb: DataFrame) -> DataFrame:
+        j = sub.join(F.broadcast(cb), "ss").withColumn(
+            "sqd", _sqdist_unrolled("sv", "centroid", ds)
+        )
+        w = Window.partitionBy("id", "ss").orderBy("sqd", "cluster")
+        return (
+            j.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("id", "ss", "sv", "cluster")
+        )
+
+    # --- one grouped Lloyd pass: all m codebooks update in one shuffle
+    upd = (
+        _assign(cb0)
+        .select("ss", "cluster", F.posexplode("sv").alias("dim", "x"))
+        .groupBy("ss", "cluster", "dim")
+        .agg((fpsum("x", Q30) / F.count(F.lit(1)).cast("double")).alias("mn"))
+        .groupBy("ss", "cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mn"))).alias("_dm"))
+        .select("ss", "cluster", F.transform("_dm", lambda s: s["mn"]).alias("centroid"))
+    )
+    cb1 = spark.createDataFrame(upd.collect(), cb0.schema)  # model-sized
+
+    # --- encode: m codes per vector, reassembled in subspace order
+    codes = (
+        _assign(cb1)
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("ss", "cluster"))).alias("_sc"))
+        .select("id", F.transform("_sc", lambda s: s["cluster"]).alias("codes"))
+    )
+
+    # --- per-query ADC lookup tables: Q*m*k quantized partial dots
+    q_ids = queries.select(F.col(key_col).alias("q_id"))
+    q_sub = (
+        pts.join(F.broadcast(q_ids), pts["id"] == q_ids["q_id"])
+        .select(
+            "q_id",
+            F.posexplode(
+                F.array(*[F.slice("v", ss * ds + 1, ds) for ss in range(m)])
+            ).alias("ss", "qsv"),
+        )
+    )
+    lut_r = q_sub.join(F.broadcast(cb1), "ss").select(
+        "q_id", "ss", "cluster",
+        F.round(
+            dot_unrolled("qsv", "centroid", ds) * F.lit(float(Q30))
+        ).cast("long").alias("p"),
+    )
+    # densify over the full (ss, cluster) spine: a cluster left empty
+    # by the Lloyd pass is absent from cb1, and a gapped array would
+    # silently break the ss*k+code index arithmetic. Padding value 0
+    # is never read (codes only reference surviving clusters).
+    spine = spark.range(m * k).select(
+        (F.col("id") / k).cast("int").alias("ss"),
+        (F.col("id") % k).cast("long").alias("cluster"),
+    )
+    lut = (
+        q_ids.crossJoin(F.broadcast(spine))
+        .join(lut_r, ["q_id", "ss", "cluster"], "left")
+        .select(
+            "q_id", "ss", "cluster", F.coalesce("p", F.lit(0)).alias("p")
+        )
+        .groupBy("q_id")
+        .agg(F.array_sort(F.collect_list(F.struct("ss", "cluster", "p"))).alias("_t"))
+        .select("q_id", F.transform("_t", lambda s: s["p"]).alias("lut"))
+    )
+
+    # --- ADC scan: m integer lookups per (doc, query), no float math
+    score = F.lit(0).cast("long")
+    for ss in range(m):
+        idx = (
+            F.lit(ss * k)
+            + F.element_at("codes", ss + 1).cast("int")
+            + F.lit(1)
+        ).cast("int")
+        score = score + F.element_at("lut", idx)
+    appr = (
+        codes.crossJoin(F.broadcast(lut))
+        .filter(F.col("id") != F.col("q_id"))
+        .withColumn("s", score)
+    )
+    wa = Window.partitionBy("q_id").orderBy(F.desc("s"), "id")
+    cand = (
+        appr.withColumn("_rk", F.row_number().over(wa))
+        .filter(F.col("_rk") <= refine)
+        .select("q_id", F.col("id").alias("n_id"))
+    )
+
+    # --- exact rerank on original vectors: Q*refine rows only
+    qv = pts.select(F.col("id").alias("q_id"), F.col("v").alias("q_vec")).join(
+        F.broadcast(q_ids), "q_id"
+    )
+    rer = (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(pts.select(F.col("id").alias("n_id"), F.col("v").alias("n_vec")), "n_id")
+        .withColumn("q_nrm", l2_norm("q_vec"))
+        .withColumn("n_nrm", l2_norm("n_vec"))
+        .withColumn("cos", _cos_with_norms("q_vec", "n_vec", "q_nrm", "n_nrm", d))
+    )
+    wt = Window.partitionBy("q_id").orderBy(F.desc("cos"), "n_id")
+    return (
+        rer.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= topk)
+        .select("q_id", "n_id", "cos", F.col("rk").cast("long").alias("rk"))
+    )
+
+
 def sq8_rerank_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import functions as F
 
 from ae_data_integration_spark.catalog import REGISTRY, load_all, resolve
 from tests.conftest import SF_SMOKE
@@ -122,3 +123,63 @@ def test_pipe4b_summary_consistent(spark):
     assert got.n_vectors == got.n_dup + got.n_kept
     assert got.n_clusters_used <= 2 ** got.bits
     assert got.max_cluster <= got.n_vectors
+
+
+# --- s6: product-quantization ANN --------------------------------------------
+
+
+def test_s6_pq_codes_and_rerank_semantics(spark):
+    """Structural + semantic contract for the PQ operator: every
+    vector gets m in-range codes; returned cosines are the EXACT
+    cosines (rerank reads original vectors); and ADC recall@10 vs the
+    brute-force exact top-10 clears a fixture floor (a broken
+    codebook/LUT/index-arithmetic drives overlap toward random:
+    10/N ~ 5%)."""
+    from ae_data_integration_spark.catalog.similarity_q import (
+        _S6_K,
+        _S6_M,
+        _S6_TOPK,
+    )
+    from ae_data_integration_spark.operators.similarity import (
+        brute_force_topk,
+        pq_adc_rerank,
+    )
+    from ae_data_integration_spark.tables import table
+
+    e = table(spark, SF_SMOKE, "embeddings")
+    q = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
+    from ae_data_integration_spark.catalog.similarity_q import _S6_REFINE
+
+    got = pq_adc_rerank(
+        e, q, m=_S6_M, k=_S6_K, refine=_S6_REFINE, topk=_S6_TOPK, salt="pq"
+    ).toPandas()
+
+    # exact cosines: recompute from raw vectors
+    e_pd = pd.read_parquet(SF_SMOKE + "/embeddings.parquet")
+    vecs = {
+        int(r.vec_id): np.asarray(list(r.embedding), dtype=np.float64)
+        for r in e_pd.itertuples()
+    }
+    for r in got.itertuples():
+        a, b = vecs[int(r.q_id)], vecs[int(r.n_id)]
+        want = a @ b / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-12)
+        assert abs(r.cos - want) < 1e-12, (r.q_id, r.n_id)
+
+    # per query: rk is 1..topk and cos non-increasing
+    for qid, g in got.groupby("q_id"):
+        g = g.sort_values("rk")
+        assert list(g.rk) == list(range(1, len(g) + 1))
+        assert (np.diff(g.cos.values) <= 1e-15).all()
+
+    # recall@10 vs exact brute force
+    exact = brute_force_topk(e, q, k=_S6_TOPK).toPandas()
+    overlaps = []
+    for qid in exact.q_id.unique():
+        want_set = set(exact[exact.q_id == qid].n_id)
+        got_set = set(got[got.q_id == qid].n_id)
+        overlaps.append(len(want_set & got_set) / len(want_set))
+    recall = sum(overlaps) / len(overlaps)
+    # config sweep on this fixture (isotropic 64-d): m=4/k=16/r=30
+    # 0.18, m=8/k=16/r=30 0.56, m=8/k=32/r=60 0.76, m=8/k=64/r=60
+    # 0.88 — the registered config is m=8/k=32/r=60.
+    assert recall >= 0.5, f"PQ recall@10 collapsed: {recall:.3f}"
