@@ -481,3 +481,168 @@ def s6_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_rerank(
         e, q, m=_S6_M, k=_S6_K, refine=_S6_REFINE, topk=_S6_TOPK, salt="pq"
     ).orderBy("q_id", "rk")
+
+
+# --- S7: IVF-PQ ANN (coarse cells + residual product quantization) ----------
+# The full faiss IndexIVFPQ shape, completing the ladder brute → LSH
+# → IVF → SQ8 → PQ → IVF-PQ: coarse md5-seeded quantizer partitions
+# the corpus, vectors are PQ-encoded on their RESIDUALS (residuals
+# concentrate near zero, so the shared codebooks spend resolution
+# where the data is), a query probes nprobe cells and scores ONLY
+# their members via per-(query, cell) ADC tables built from the
+# query residual. Deterministic end to end; the oracle replays the
+# coarse Lloyd pass, residuals, PQ training, encoding, probing, ADC,
+# and the exact-cosine rerank.
+
+_S7_KC, _S7_NPROBE = 8, 2
+_S7_M, _S7_K, _S7_DS = 8, 32, 8
+_S7_REFINE, _S7_TOPK = 60, 10
+
+
+def _s7_sql() -> str:
+    m, k, ds = _S7_M, _S7_K, _S7_DS
+    q30 = _S6_Q30
+    sqd = ("list_reduce(list_transform(list_zip({a}, {b}),"
+           " q -> (q[1]-q[2]) * (q[1]-q[2])), (x, y) -> x + y)")
+    return f"""
+WITH pts AS (SELECT vec_id AS id, {_V} AS vec FROM embeddings),
+init AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5('ivfpq' || CAST(id AS VARCHAR)), id) - 1 AS cluster,
+         vec AS centroid
+  FROM (SELECT * FROM pts ORDER BY md5('ivfpq' || CAST(id AS VARCHAR)), id LIMIT {_S7_KC})
+),
+{_assign_cte('pts', 'init', 'a1')},
+{_update_cte('a1', 'c1')},
+{_assign_cte('pts', 'c1', 'a2')},
+res AS (
+  SELECT a2.id, a2.cluster AS cell, a2.vec AS ov,
+         list_transform(list_zip(a2.vec, c.centroid), p -> p[1] - p[2]) AS v
+  FROM a2 JOIN c1 c ON a2.cluster = c.cluster
+),
+pseeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5('ivfpqc' || CAST(id AS VARCHAR)), id) - 1 AS j, v
+  FROM (SELECT * FROM res ORDER BY md5('ivfpqc' || CAST(id AS VARCHAR)), id LIMIT {k})
+),
+sspace AS (SELECT unnest(range(0, {m})) AS ss),
+pcb0 AS (
+  SELECT sspace.ss, pseeds.j AS cluster,
+         pseeds.v[sspace.ss*{ds} + 1 : sspace.ss*{ds} + {ds}] AS centroid
+  FROM pseeds, sspace
+),
+psub AS (
+  SELECT res.id, sspace.ss,
+         res.v[sspace.ss*{ds} + 1 : sspace.ss*{ds} + {ds}] AS sv
+  FROM res, sspace
+),
+p1_d AS (
+  SELECT s.id, s.ss, s.sv, c.cluster, {sqd.format(a='s.sv', b='c.centroid')} AS sqdist
+  FROM psub s JOIN pcb0 c ON s.ss = c.ss
+),
+p1 AS (
+  SELECT id, ss, sv, cluster FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY id, ss ORDER BY sqdist, cluster) AS rk
+    FROM p1_d
+  ) WHERE rk = 1
+),
+pu_l AS (SELECT ss, cluster, generate_subscripts(sv, 1) AS dim, unnest(sv) AS x FROM p1),
+pu_m AS (
+  SELECT ss, cluster, dim,
+         (SUM(CAST(round(x * {q30}) AS BIGINT)) / {q30}.0) / CAST(COUNT(*) AS DOUBLE) AS mn
+  FROM pu_l GROUP BY ss, cluster, dim
+),
+pcb1 AS (SELECT ss, cluster, list(mn ORDER BY dim) AS centroid FROM pu_m GROUP BY ss, cluster),
+p2_d AS (
+  SELECT s.id, s.ss, c.cluster, {sqd.format(a='s.sv', b='c.centroid')} AS sqdist
+  FROM psub s JOIN pcb1 c ON s.ss = c.ss
+),
+p2 AS (
+  SELECT id, ss, cluster FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY id, ss ORDER BY sqdist, cluster) AS rk
+    FROM p2_d
+  ) WHERE rk = 1
+),
+codes AS (SELECT id, list(cluster ORDER BY ss) AS codes FROM p2 GROUP BY id),
+coded AS (SELECT codes.id, res.cell, codes.codes FROM codes JOIN res ON codes.id = res.id),
+qids AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000),
+qv AS (SELECT q.q_id, p.vec AS q_vec FROM qids q JOIN pts p ON p.id = q.q_id),
+qd AS (
+  SELECT qv.q_id, qv.q_vec, c.cluster AS cell, c.centroid,
+         {sqd.format(a='qv.q_vec', b='c.centroid')} AS cdist
+  FROM qv CROSS JOIN c1 c
+),
+probes AS (
+  SELECT q_id, cell,
+         list_transform(list_zip(q_vec, centroid), p -> p[1] - p[2]) AS q_res
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cdist, cell) AS rk FROM qd
+  ) WHERE rk <= {_S7_NPROBE}
+),
+qsub AS (
+  SELECT probes.q_id, probes.cell, sspace.ss,
+         probes.q_res[sspace.ss*{ds} + 1 : sspace.ss*{ds} + {ds}] AS qsv
+  FROM probes, sspace
+),
+lut_r AS (
+  SELECT q.q_id, q.cell, c.ss, c.cluster,
+         CAST(round({_dotp('q.qsv', 'c.centroid')} * {q30}) AS BIGINT) AS p
+  FROM qsub q JOIN pcb1 c ON q.ss = c.ss
+),
+spine AS (
+  SELECT CAST(i // {k} AS INT) AS ss, CAST(i % {k} AS BIGINT) AS cluster
+  FROM (SELECT unnest(range(0, {m}*{k})) AS i)
+),
+lut_d AS (
+  SELECT pc.q_id, pc.cell, sp.ss, sp.cluster, COALESCE(r.p, 0) AS p
+  FROM (SELECT q_id, cell FROM probes) pc CROSS JOIN spine sp
+  LEFT JOIN lut_r r ON r.q_id = pc.q_id AND r.cell = pc.cell
+                    AND r.ss = sp.ss AND r.cluster = sp.cluster
+),
+lut AS (SELECT q_id, cell, list(p ORDER BY ss, cluster) AS lut FROM lut_d GROUP BY q_id, cell),
+appr AS (
+  SELECT l.q_id, c.id,
+         list_reduce(
+           list_transform(range(0, {m}),
+             ss -> l.lut[ss*{k} + CAST(c.codes[ss + 1] AS INT) + 1]),
+           (x, y) -> x + y) AS s
+  FROM coded c JOIN lut l ON c.cell = l.cell AND c.id != l.q_id
+),
+cand AS (
+  SELECT q_id, id AS n_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s DESC, id) AS rk
+    FROM appr
+  ) WHERE rk <= {_S7_REFINE}
+),
+rer AS (
+  SELECT cand.q_id, cand.n_id,
+         {_dotp('qp.vec', 'np.vec')}
+           / greatest(sqrt({_sq('qp.vec')}) * sqrt({_sq('np.vec')}), 1e-12) AS cos
+  FROM cand
+  JOIN pts qp ON qp.id = cand.q_id
+  JOIN pts np ON np.id = cand.n_id
+)
+SELECT q_id, n_id, cos, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+  FROM rer
+) WHERE rk <= {_S7_TOPK}
+ORDER BY q_id, rk
+"""
+
+
+@register("s7_ivfpq_adc_rerank", oracle=_s7_sql(),
+          doc="IVF-PQ ANN: md5-seeded coarse quantizer (8 cells, one Lloyd "
+              "pass), residual-encoded PQ codes (8 subspaces x 32 "
+              "centroids), nprobe=2 probed cells, per-(query, cell) ADC "
+              "tables over the query residual, integer top-60 -> exact-"
+              "cosine rerank to top-10. Probe budget pinned at 20 (s1b "
+              "discipline). Oracle replays the whole index build and "
+              "search end to end.",
+          tags=("similarity", "bench"))
+def s7_ivfpq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.similarity import ivfpq_adc_rerank
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
+    return ivfpq_adc_rerank(
+        e, q, k_coarse=_S7_KC, nprobe=_S7_NPROBE, m=_S7_M, k=_S7_K,
+        refine=_S7_REFINE, topk=_S7_TOPK, salt="ivfpq",
+    ).orderBy("q_id", "rk")

@@ -1530,3 +1530,116 @@ def pipe6_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- PIPE7: temperature-mixture resampling (the data-mixing recipe) ----------
+# The step AFTER t12's mixture weights: actually selecting the
+# training subset. Per-source temperature-scaled weights (alpha = 0.5
+# via sqrt — IEEE-exact, the t12 discipline) allocate a global token
+# budget (25% of corpus tokens); within each source, documents are
+# taken in md5('mix'||doc_id) order until the cumulative token count
+# fills the source's budget — the deterministic equivalent of the
+# temperature-sampling pass in multilingual/pretraining mixture
+# recipes (upsamples small sources relative to their share, bounded
+# by the budget). Scale shape: ONE corpus scan -> source-keyed
+# aggregate (map-side combined), one source-partitioned window for
+# the cumulative sum (integer token counts — exact under any
+# partitioning), one broadcast join of the ~|sources| budget table.
+# No global sort, no driver data.
+
+_PIPE7_SQL = f"""
+WITH per_doc AS (
+  SELECT source, doc_id, CAST(len({_TOKS}) AS BIGINT) AS n FROM documents
+),
+per_src AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens,
+         sqrt(CAST(SUM(n) AS DOUBLE)) AS r
+  FROM per_doc GROUP BY source
+),
+tot AS (
+  SELECT {fpsum_sql('r', Q30)} AS z,
+         CAST(SUM(n_tokens) AS BIGINT) AS t
+  FROM per_src
+),
+wsrc AS (
+  SELECT source, n_docs, n_tokens, round(r / z, 6) AS mix_weight,
+         CAST(floor(floor(t / 4.0) * round(r / z, 6)) AS BIGINT) AS budget_tokens
+  FROM per_src CROSS JOIN tot
+),
+ranked AS (
+  SELECT source, doc_id, n,
+         SUM(n) OVER (PARTITION BY source
+                      ORDER BY md5('mix' || CAST(doc_id AS VARCHAR)), doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM per_doc
+),
+sel AS (
+  SELECT r.source, CAST(COUNT(*) AS BIGINT) AS n_selected,
+         CAST(SUM(r.n) AS BIGINT) AS tokens_selected
+  FROM ranked r JOIN wsrc w ON r.source = w.source
+  WHERE r.cum <= w.budget_tokens
+  GROUP BY r.source
+)
+SELECT w.source, w.n_docs, w.n_tokens, w.mix_weight, w.budget_tokens,
+       COALESCE(s.n_selected, 0) AS n_selected,
+       COALESCE(s.tokens_selected, 0) AS tokens_selected
+FROM wsrc w LEFT JOIN sel s ON w.source = s.source
+ORDER BY w.source
+"""
+
+
+@register("pipe7_temperature_mixture", oracle=_PIPE7_SQL,
+          doc="Temperature-mixture resampling: alpha=0.5 source weights "
+              "(sqrt — IEEE-exact) allocate a 25%-of-corpus token budget; "
+              "docs selected per source in md5 order until the budget "
+              "fills. One corpus scan, one source-keyed window, broadcast "
+              "budget table; per-source selection summary.",
+          tags=("text", "pipeline", "bench"))
+def pipe7_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.functions.hashing import md5_rank
+
+    d = table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source", "doc_id", token_count("text").cast("long").alias("n")
+    )
+    per_src = (
+        per_doc.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("n_tokens"))
+        .withColumn("r", F.sqrt(F.col("n_tokens").cast("double")))
+    )
+    tot = per_src.agg(
+        fpsum("r", Q30).alias("z"), F.sum("n_tokens").alias("t")
+    )
+    wsrc = per_src.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "n_tokens",
+        F.round(F.col("r") / F.col("z"), 6).alias("mix_weight"),
+        F.floor(
+            F.floor(F.col("t") / F.lit(4.0)) * F.round(F.col("r") / F.col("z"), 6)
+        ).cast("long").alias("budget_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        md5_rank("doc_id", "mix"), "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = per_doc.select("source", "n", F.sum("n").over(w).alias("cum"))
+    sel = (
+        ranked.join(
+            F.broadcast(wsrc.select("source", "budget_tokens")), "source"
+        )
+        .filter(F.col("cum") <= F.col("budget_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("n").alias("tokens_selected"),
+        )
+    )
+    return (
+        wsrc.join(sel, "source", "left")
+        .select(
+            "source", "n_docs", "n_tokens", "mix_weight", "budget_tokens",
+            F.coalesce("n_selected", F.lit(0).cast("long")).alias("n_selected"),
+            F.coalesce("tokens_selected", F.lit(0).cast("long")).alias(
+                "tokens_selected"
+            ),
+        )
+        .orderBy("source")
+    )

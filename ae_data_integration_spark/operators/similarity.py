@@ -296,6 +296,80 @@ def _sqdist_unrolled(a, b, n: int):
     return out
 
 
+def _pq_train_encode(
+    pts: DataFrame, m: int, k: int, ds: int, salt: str
+) -> tuple[DataFrame, DataFrame]:
+    """Train m per-subspace PQ codebooks over `pts` = (id,
+    v array<double>) and encode every vector.
+
+    Init = the k vectors with smallest md5(salt‖id), sliced per
+    subspace; one grouped Lloyd pass (all m codebooks update in the
+    same two jobs — assignment keyed by (id, ss), fixed-point means).
+    Returns (codebook, codes): codebook is a model-sized LITERAL
+    DataFrame (ss, cluster, centroid) — k*Σds doubles round-tripped
+    through the driver exactly, same as kmeans_fit's per-iteration
+    collect — and codes is (id, codes array<long>) in subspace order.
+    Shared by pq_adc_rerank (codebooks over raw vectors) and
+    ivfpq_adc_rerank (codebooks over coarse-cell residuals).
+    """
+    from ae_data_integration_spark.functions.hashing import md5_rank
+    from ae_data_integration_spark.functions.portable import Q30, fpsum
+
+    spark = pts.sparkSession
+    seed_rows = (
+        pts.withColumn("_h", md5_rank(F.col("id"), salt))
+        .orderBy("_h", "id")
+        .limit(k)
+        .select("v")
+        .collect()
+    )
+    cb0 = spark.createDataFrame(
+        [
+            (ss, j, list(r["v"][ss * ds:(ss + 1) * ds]))
+            for ss in range(m)
+            for j, r in enumerate(seed_rows)
+        ],
+        "ss int, cluster long, centroid array<double>",
+    )
+
+    sub = pts.select(
+        "id",
+        F.posexplode(
+            F.array(*[F.slice("v", ss * ds + 1, ds) for ss in range(m)])
+        ).alias("ss", "sv"),
+    )
+
+    def _assign(cb: DataFrame) -> DataFrame:
+        j = sub.join(F.broadcast(cb), "ss").withColumn(
+            "sqd", _sqdist_unrolled("sv", "centroid", ds)
+        )
+        w = Window.partitionBy("id", "ss").orderBy("sqd", "cluster")
+        return (
+            j.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("id", "ss", "sv", "cluster")
+        )
+
+    upd = (
+        _assign(cb0)
+        .select("ss", "cluster", F.posexplode("sv").alias("dim", "x"))
+        .groupBy("ss", "cluster", "dim")
+        .agg((fpsum("x", Q30) / F.count(F.lit(1)).cast("double")).alias("mn"))
+        .groupBy("ss", "cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mn"))).alias("_dm"))
+        .select("ss", "cluster", F.transform("_dm", lambda s: s["mn"]).alias("centroid"))
+    )
+    cb1 = spark.createDataFrame(upd.collect(), cb0.schema)  # model-sized
+
+    codes = (
+        _assign(cb1)
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("ss", "cluster"))).alias("_sc"))
+        .select("id", F.transform("_sc", lambda s: s["cluster"]).alias("codes"))
+    )
+    return cb1, codes
+
+
 def pq_adc_rerank(
     emb: DataFrame,
     queries: DataFrame,
@@ -333,8 +407,7 @@ def pq_adc_rerank(
     shuffled; the only shuffles are the k*d-row centroid update and
     the per-query top-k windows.
     """
-    from ae_data_integration_spark.functions.hashing import md5_rank
-    from ae_data_integration_spark.functions.portable import Q30, fpsum
+    from ae_data_integration_spark.functions.portable import Q30
 
     d = _vec_dim(emb, vec_col)
     if d is None or d % m != 0:
@@ -346,60 +419,7 @@ def pq_adc_rerank(
         emb.select(F.col(key_col).alias("id"), to_double(vec_col).alias("v"))
     ).persist()
 
-    # --- codebook init: k md5-seeded full vectors, sliced per subspace
-    seed_rows = (
-        pts.withColumn("_h", md5_rank(F.col("id"), salt))
-        .orderBy("_h", "id")
-        .limit(k)
-        .select("v")
-        .collect()
-    )
-    cb0 = spark.createDataFrame(
-        [
-            (ss, j, list(r["v"][ss * ds:(ss + 1) * ds]))
-            for ss in range(m)
-            for j, r in enumerate(seed_rows)
-        ],
-        "ss int, cluster long, centroid array<double>",
-    )
-
-    sub = pts.select(
-        "id",
-        F.posexplode(
-            F.array(*[F.slice("v", ss * ds + 1, ds) for ss in range(m)])
-        ).alias("ss", "sv"),
-    )
-
-    def _assign(cb: DataFrame) -> DataFrame:
-        j = sub.join(F.broadcast(cb), "ss").withColumn(
-            "sqd", _sqdist_unrolled("sv", "centroid", ds)
-        )
-        w = Window.partitionBy("id", "ss").orderBy("sqd", "cluster")
-        return (
-            j.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .select("id", "ss", "sv", "cluster")
-        )
-
-    # --- one grouped Lloyd pass: all m codebooks update in one shuffle
-    upd = (
-        _assign(cb0)
-        .select("ss", "cluster", F.posexplode("sv").alias("dim", "x"))
-        .groupBy("ss", "cluster", "dim")
-        .agg((fpsum("x", Q30) / F.count(F.lit(1)).cast("double")).alias("mn"))
-        .groupBy("ss", "cluster")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "mn"))).alias("_dm"))
-        .select("ss", "cluster", F.transform("_dm", lambda s: s["mn"]).alias("centroid"))
-    )
-    cb1 = spark.createDataFrame(upd.collect(), cb0.schema)  # model-sized
-
-    # --- encode: m codes per vector, reassembled in subspace order
-    codes = (
-        _assign(cb1)
-        .groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("ss", "cluster"))).alias("_sc"))
-        .select("id", F.transform("_sc", lambda s: s["cluster"]).alias("codes"))
-    )
+    cb1, codes = _pq_train_encode(pts, m=m, k=k, ds=ds, salt=salt)
 
     # --- per-query ADC lookup tables: Q*m*k quantized partial dots
     q_ids = queries.select(F.col(key_col).alias("q_id"))
@@ -465,6 +485,156 @@ def pq_adc_rerank(
     rer = (
         cand.join(F.broadcast(qv), "q_id")
         .join(pts.select(F.col("id").alias("n_id"), F.col("v").alias("n_vec")), "n_id")
+        .withColumn("q_nrm", l2_norm("q_vec"))
+        .withColumn("n_nrm", l2_norm("n_vec"))
+        .withColumn("cos", _cos_with_norms("q_vec", "n_vec", "q_nrm", "n_nrm", d))
+    )
+    wt = Window.partitionBy("q_id").orderBy(F.desc("cos"), "n_id")
+    return (
+        rer.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= topk)
+        .select("q_id", "n_id", "cos", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def ivfpq_adc_rerank(
+    emb: DataFrame,
+    queries: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_coarse: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    k: int = 32,
+    refine: int = 60,
+    topk: int = 10,
+    salt: str = "ivfpq",
+) -> DataFrame:
+    """IVF-PQ ANN — the full faiss IndexIVFPQ shape, completing the
+    vector-search ladder (brute → LSH → IVF → SQ8 → PQ → IVF-PQ):
+
+    * a coarse md5-seeded quantizer (kmeans_fit, one Lloyd pass)
+      partitions the corpus into `k_coarse` cells;
+    * each vector is PQ-encoded on its RESIDUAL (vec − cell centroid)
+      — residuals concentrate near 0, so the shared m-subspace
+      codebooks spend their resolution where the data is (the reason
+      faiss encodes residuals, Jégou et al. 2011 §III-C);
+    * a query probes its `nprobe` nearest cells; per probed cell the
+      QUERY residual builds an m*k ADC lookup table, and only docs in
+      probed cells are scored — m integer lookups each;
+    * integer top-`refine` → exact-cosine rerank on original vectors.
+
+    At 100 TB: the scanned index is (cell id + m code bytes) per
+    vector, candidates drop by ~nprobe/k_coarse, and every model
+    artifact (coarse centroids, PQ codebooks, per-(query, cell) LUTs)
+    is a broadcast. Deterministic end to end — the DuckDB oracle
+    replays the coarse quantizer, residuals, codebook training,
+    encoding, probing, ADC, and rerank bit-for-bit.
+    """
+    from ae_data_integration_spark.functions.portable import Q30
+    from ae_data_integration_spark.operators.kmeans import kmeans_fit
+
+    d = _vec_dim(emb, vec_col)
+    if d is None or d % m != 0:
+        raise ValueError(f"vector dim {d} not divisible by m={m}")
+    ds = d // m
+    spark = emb.sparkSession
+
+    # --- coarse quantizer + residual encoding
+    assigned, cents = kmeans_fit(
+        emb, key_col, vec_col, k=k_coarse, n_iter=1, salt=salt
+    )
+    res = (
+        _widen(assigned.select("id", "vec", F.col("cluster").alias("cell")))
+        .join(F.broadcast(cents.withColumnRenamed("cluster", "cell")), "cell")
+        .select(
+            "id", "cell", "vec",
+            F.zip_with("vec", "centroid", lambda a, b: a - b).alias("v"),
+        )
+        .persist()
+    )
+    cb1, codes = _pq_train_encode(
+        res.select("id", "v"), m=m, k=k, ds=ds, salt=salt + "c"
+    )
+    coded = codes.join(res.select("id", "cell"), "id")
+
+    # --- probes: nprobe nearest cells per query (Q x k_coarse rows)
+    q_ids = queries.select(F.col(key_col).alias("q_id"))
+    q = (
+        emb.select(F.col(key_col).alias("q_id"), to_double(vec_col).alias("q_vec"))
+        .join(F.broadcast(q_ids), "q_id")
+    )
+    qd = q.crossJoin(F.broadcast(cents.withColumnRenamed("cluster", "cell"))).withColumn(
+        "cdist",
+        F.aggregate(
+            F.zip_with("q_vec", "centroid", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a_, v_: a_ + v_,
+        ),
+    )
+    wq = Window.partitionBy("q_id").orderBy("cdist", "cell")
+    probes = (
+        qd.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= nprobe)
+        .select(
+            "q_id", "cell",
+            F.zip_with("q_vec", "centroid", lambda a, b: a - b).alias("q_res"),
+        )
+    )
+
+    # --- per-(query, cell) ADC LUTs over the query RESIDUAL
+    q_sub = probes.select(
+        "q_id", "cell",
+        F.posexplode(
+            F.array(*[F.slice("q_res", ss * ds + 1, ds) for ss in range(m)])
+        ).alias("ss", "qsv"),
+    )
+    lut_r = q_sub.join(F.broadcast(cb1), "ss").select(
+        "q_id", "cell", "ss", "cluster",
+        F.round(
+            dot_unrolled("qsv", "centroid", ds) * F.lit(float(Q30))
+        ).cast("long").alias("p"),
+    )
+    spine = spark.range(m * k).select(
+        (F.col("id") / k).cast("int").alias("ss"),
+        (F.col("id") % k).cast("long").alias("cluster"),
+    )
+    lut = (
+        probes.select("q_id", "cell").crossJoin(F.broadcast(spine))
+        .join(lut_r, ["q_id", "cell", "ss", "cluster"], "left")
+        .select("q_id", "cell", "ss", "cluster", F.coalesce("p", F.lit(0)).alias("p"))
+        .groupBy("q_id", "cell")
+        .agg(F.array_sort(F.collect_list(F.struct("ss", "cluster", "p"))).alias("_t"))
+        .select("q_id", "cell", F.transform("_t", lambda s: s["p"]).alias("lut"))
+    )
+
+    # --- ADC over probed cells only
+    score = F.lit(0).cast("long")
+    for ss in range(m):
+        idx = (
+            F.lit(ss * k) + F.element_at("codes", ss + 1).cast("int") + F.lit(1)
+        ).cast("int")
+        score = score + F.element_at("lut", idx)
+    appr = (
+        coded.join(F.broadcast(lut), "cell")
+        .filter(F.col("id") != F.col("q_id"))
+        .withColumn("s", score)
+    )
+    wa = Window.partitionBy("q_id").orderBy(F.desc("s"), "id")
+    cand = (
+        appr.withColumn("_rk", F.row_number().over(wa))
+        .filter(F.col("_rk") <= refine)
+        .select("q_id", F.col("id").alias("n_id"))
+    )
+
+    # --- exact rerank on ORIGINAL vectors
+    pts = res.select("id", F.col("vec").alias("ov"))
+    qv = pts.select(F.col("id").alias("q_id"), F.col("ov").alias("q_vec")).join(
+        F.broadcast(q_ids), "q_id"
+    )
+    rer = (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(pts.select(F.col("id").alias("n_id"), F.col("ov").alias("n_vec")), "n_id")
         .withColumn("q_nrm", l2_norm("q_vec"))
         .withColumn("n_nrm", l2_norm("n_vec"))
         .withColumn("cos", _cos_with_norms("q_vec", "n_vec", "q_nrm", "n_nrm", d))
