@@ -108,3 +108,35 @@ def test_bpe_on_empty(spark):
                               "n_occurrences"}
     enc = encode_with_merges(word_vocab(docs), [("a", "b")])
     assert enc.count() == 0
+
+
+def test_r9_operators_on_empty(spark):
+    from ae_data_integration_spark.operators.bpe_batched import train_bpe_batched
+    from ae_data_integration_spark.operators.dedup import semantic_dedup_lsh
+    from ae_data_integration_spark.operators.similarity import (
+        ivfpq_adc_rerank,
+        pq_adc_rerank,
+    )
+
+    emb = _empty(spark, "vec_id long, embedding array<double>")
+
+    # semantic_dedup_lsh: n=0 -> bits=0, empty assignment, no crash
+    assignment, bits, n = semantic_dedup_lsh(emb)
+    assert n == 0 and bits == 0
+    assert assignment.count() == 0
+    assert set(assignment.columns) == {"id", "cluster", "is_dup"}
+
+    # PQ / IVF-PQ on an empty corpus: dim is unknowable -> the
+    # operators refuse loudly instead of building a 0-dim codebook
+    import pytest
+
+    with pytest.raises(ValueError, match="dim"):
+        pq_adc_rerank(emb, emb)
+    with pytest.raises(ValueError, match="dim"):
+        ivfpq_adc_rerank(emb, emb)
+
+    # batched BPE on an empty corpus: empty merge table, right schema
+    docs = _empty(spark, "doc_id long, text string")
+    out = train_bpe_batched(spark, docs, rounds=5)
+    assert out.count() == 0
+    assert out.columns == ["rank", "left", "right", "merged", "n_occurrences"]

@@ -51,6 +51,12 @@ QUERIES = [
     "scd3_point_in_time",        # interval-membership join (r8)
     "w5_cumulative_distinct",    # first-seen flag + running sum (r8)
     "pipe6_data_card",           # 4-operator composed data card (r8)
+    "pipe4b_semantic_dedup_scaled",  # bits-from-count LSH quantizer (r9)
+    "pipe5b_incremental_dedup_wide",  # wide-signature band join (r9)
+    "pipe7_temperature_mixture",  # budgeted md5-order selection (r9)
+    "s6_pq_adc_rerank",          # PQ codebooks + integer ADC (r9)
+    "s7_ivfpq_adc_rerank",       # coarse cells + residual PQ (r9)
+    "t22_bpe_batched",           # multi-merge batched trainer (r9)
 ]
 
 
