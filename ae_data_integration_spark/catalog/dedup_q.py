@@ -903,9 +903,13 @@ def pipe5_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # collision prob s^r for an s-similar pair must shrink like 1/N to
 # hold E[FP] ~ N). This is that next configuration step — 2 bands x
 # 8 rows — fully oracled like pipe5: measured at 100x, candidates
-# collapse 870k -> 10.4k (11.2x per decade — linear), wall 43.8 ->
-# 24.0 s, while retaining 98.2% of the r=4 drop set (the lost 1.8%
-# sit at jaccard 0.5-0.6 where the sharper S-curve trades recall).
+# collapse 870k -> 10.4k (11.2x per decade — linear) while retaining
+# 98.2% of the r=4 drop set (the lost 1.8% sit at jaccard 0.5-0.6
+# where the sharper S-curve trades recall). Wall at N=200k is EQUAL
+# to r=4 (23.9 vs 24.4 s, fresh JVMs): the candidate collapse is
+# bought back by the doubled (linear) minhash cost at this size —
+# the wide signature wins ASYMPTOTICALLY, where r=4's ~N^2 FP term
+# keeps growing 15.3x/decade; hence r ~ log N, not "widest always".
 
 _PIPE5B_SQL = f"""
 WITH sh AS (
@@ -957,8 +961,9 @@ ORDER BY b1.doc_id
           doc="pipe5 at the wide-signature scale configuration (MinHash 16, "
               "2 bands x 8 rows): the r ~ log N rule that holds LSH "
               "false-positive candidates linear in corpus size — measured "
-              "at 100x: candidates 870k -> 10.4k, wall 43.8 -> 24.0 s vs "
-              "the r=4 form, 98.2% of its drop set retained.",
+              "at 100x: candidates 870k -> 10.4k (the r=4 FP term grows "
+              "15.3x/decade), wall equal to r=4 at this SF, 98.2% of its "
+              "drop set retained.",
           tags=("dedup", "bench"))
 def pipe5b_incremental_dedup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ae_data_integration_spark.functions.text import fingerprint
