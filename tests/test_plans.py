@@ -462,3 +462,34 @@ def test_t21_bpe_encode_vocab_sized(spark):
     pa = plan_asserts(_df(spark, "t21_bpe_encode"))
     pa.no_python_row_udf().has_partial_agg()
     assert "BatchEvalPython" not in pa.plan
+
+
+def test_pipe4b_bucket_join_no_cartesian(spark):
+    # the quantizer is a per-row signature (zero shuffle); the only
+    # pair work is the cluster-key equi self-join; no row-Python.
+    pa = plan_asserts(_df(spark, "pipe4b_semantic_dedup_scaled"))
+    pa.no_python_row_udf().has_partial_agg()
+    assert "CartesianProduct" not in pa.plan
+
+
+def test_pipe5b_band_join_no_cartesian(spark):
+    pa = plan_asserts(_df(spark, "pipe5b_incremental_dedup_wide"))
+    pa.no_python_row_udf().has_partial_agg()
+    assert "CartesianProduct" not in pa.plan
+
+
+def test_pipe7_single_corpus_scan_shape(spark):
+    # one source-keyed window over integer sums, broadcast budget
+    # table, no cartesian beyond the 1-row totals attach.
+    pa = plan_asserts(_df(spark, "pipe7_temperature_mixture"))
+    pa.no_python_row_udf().has_partial_agg().has_broadcast_join(1)
+
+
+def test_s6_s7_adc_plans_stay_jvm_side(spark):
+    # PQ/IVF-PQ: codebooks, LUTs and probe tables all broadcast; the
+    # ADC scan is integer lookups (no row-Python anywhere); the only
+    # nested-loop products are broadcast-tiny (LUT x codes).
+    for name in ("s6_pq_adc_rerank", "s7_ivfpq_adc_rerank"):
+        pa = plan_asserts(_df(spark, name))
+        pa.no_python_row_udf().has_broadcast_exchange(2)
+        assert "CartesianProduct" not in pa.plan, name
