@@ -311,3 +311,91 @@ def sk4_gk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(p, v) for p, v in zip(_SK4_PROBS, vals)],
         "probability double, value double",
     ).orderBy("probability")
+
+
+# --- SK5: KMV-estimated cross-source vocabulary overlap matrix ---------------
+# The sketch-cost twin of d7's near-dup source matrix: how much does
+# each source's VOCABULARY overlap each other's? Exact pairwise
+# Jaccard needs the token-key self-join (Σ_token C(sources, 2) rows —
+# quadratic in overlapping sources at 100 TB); the KMV route needs
+# only each source's k-minima sketch (|sources| x k rows, mergeable),
+# and the pair stage merges 2k-row lists. Both the ESTIMATE and the
+# exact value are emitted and value-hash oracled, so the estimator's
+# error is itself under the correctness gate; the pytest contract
+# additionally bounds max |est - exact| by the ~1/sqrt(k) theory.
+
+_SK5_K = 64
+_SK5_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')"
+
+_SK5_SQL = f"""
+WITH d AS (
+  SELECT DISTINCT source AS g, tok
+  FROM (SELECT source, unnest({_SK5_TOKS}) AS tok FROM documents)
+),
+h AS (
+  SELECT g,
+         CAST(('0x' || substr(md5('kmvj:' || tok), 1, 12)) AS BIGINT)
+           / 281474976710656.0 AS h
+  FROM d
+),
+minima AS (
+  SELECT g, h FROM (
+    SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rk FROM h
+  ) WHERE rk <= {_SK5_K}
+),
+gs AS (SELECT DISTINCT g FROM d),
+tagged AS (
+  SELECT m.g AS src_a, o.g AS src_b, m.h, 1 AS in_a, 0 AS in_b
+  FROM minima m, gs o WHERE m.g < o.g
+  UNION ALL
+  SELECT o.g AS src_a, m.g AS src_b, m.h, 0 AS in_a, 1 AS in_b
+  FROM minima m, gs o WHERE o.g < m.g
+),
+merged AS (
+  SELECT src_a, src_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM tagged GROUP BY src_a, src_b, h
+),
+est AS (
+  SELECT src_a, src_b,
+         SUM(in_a * in_b) / CAST(LEAST(COUNT(*), {_SK5_K}) AS DOUBLE) AS kmv_jaccard
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rk
+    FROM merged
+  ) WHERE rk <= {_SK5_K}
+  GROUP BY src_a, src_b
+),
+sizes AS (SELECT g, COUNT(*) AS n FROM d GROUP BY g),
+inter AS (
+  SELECT a.g AS src_a, b.g AS src_b, COUNT(*) AS n_inter
+  FROM d a JOIN d b ON a.tok = b.tok AND a.g < b.g
+  GROUP BY a.g, b.g
+)
+SELECT e.src_a, e.src_b,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         / CAST(sa.n + sb.n - COALESCE(i.n_inter, 0) AS DOUBLE) AS exact_jaccard,
+       e.kmv_jaccard
+FROM est e
+JOIN sizes sa ON sa.g = e.src_a
+JOIN sizes sb ON sb.g = e.src_b
+LEFT JOIN inter i ON i.src_a = e.src_a AND i.src_b = e.src_b
+ORDER BY e.src_a, e.src_b
+"""
+
+
+@register("sk5_kmv_jaccard_matrix", oracle=_SK5_SQL,
+          doc="Cross-source vocabulary-overlap matrix from merged KMV "
+              "sketches (k=64) next to the exact pairwise Jaccard: the "
+              "sketch costs |sources|*k mergeable rows where exact needs "
+              "the token-key self-join; both columns value-hash oracled so "
+              "the estimator's error sits under the correctness gate.",
+          tags=("sketch", "dedup"))
+def sk5_kmv_jaccard_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.functions.sketch import kmv_jaccard_matrix
+    from ae_data_integration_spark.functions.text import tokens
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens("text")).alias("tok"))
+    return kmv_jaccard_matrix(
+        tok, key="tok", group="source", k=_SK5_K, salt="kmvj"
+    ).orderBy("src_a", "src_b")

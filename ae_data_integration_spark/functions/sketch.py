@@ -144,3 +144,103 @@ def kmv_distinct(
             F.col("hk").isNotNull(), F.lit(float(k - 1)) / F.col("hk")
         ).otherwise(F.col("n_exact").cast("double")).alias("kmv_est"),
     )
+
+
+def kmv_jaccard_matrix(
+    df: DataFrame,
+    key: str,
+    group: str,
+    k: int = 64,
+    salt: str = "kmvj",
+) -> DataFrame:
+    """Pairwise Jaccard similarity between every two groups' KEY SETS,
+    estimated from merged K-minimum-values sketches next to the exact
+    value (the error exhibit).
+
+    Estimator (Beyer et al. 2007 / the DataSketches theta-sketch
+    rule): among the k smallest hashes of A ∪ B — obtainable from the
+    two k-minima lists alone, since topk(A ∪ B) ⊆ topk(A) ∪ topk(B)
+    — count those present in BOTH groups; J_est = that count / k.
+    Standard error ~ 1/sqrt(k).
+
+    Scale shape: the sketches are ONE distinct + one per-group top-k
+    window (|groups| * k rows total — model-sized); the pair stage
+    merges 2k-row lists per pair, so the sketch-side cost is
+    |groups|^2 * k however large the corpus. The exact columns
+    require the token-key self-join (Σ_token C(groups_with_token, 2)
+    rows) — the quadratic term the sketch REPLACES at 100 TB; they
+    are computed here so the estimate's error is itself under test.
+
+    Everything is md5-deterministic, so both the estimates and the
+    exact values are value-hash oracled.
+    """
+    from pyspark.sql import Window
+
+    from ae_data_integration_spark.functions.hashing import md5_unit
+
+    d = df.select(group, key).distinct().persist()
+    h = d.select(F.col(group).alias("g"), md5_unit(key, salt=f"{salt}:").alias("h"))
+    w = Window.partitionBy("g").orderBy("h")
+    minima = (
+        h.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("g", "h")
+    )
+
+    # merged-minima pair stage: |groups|^2 * k rows, all tiny
+    ma = minima.select(F.col("g").alias("src_a"), "h")
+    mb = minima.select(F.col("g").alias("src_b"), "h")
+    merged = (
+        ma.join(mb.select("src_b").distinct(), F.lit(True))
+        .filter(F.col("src_a") < F.col("src_b"))
+        .select("src_a", "src_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            mb.join(ma.select("src_a").distinct(), F.lit(True))
+            .filter(F.col("src_a") < F.col("src_b"))
+            .select("src_a", "src_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+        )
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wp = Window.partitionBy("src_a", "src_b").orderBy("h")
+    est = (
+        merged.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= k)
+        .groupBy("src_a", "src_b")
+        .agg(
+            (F.sum(F.col("in_a") * F.col("in_b")) / F.least(
+                F.count(F.lit(1)), F.lit(k)
+            ).cast("double")).alias("kmv_jaccard")
+        )
+    )
+
+    # exact: token-key self-join (the cost the sketch replaces)
+    da = d.select(F.col(group).alias("src_a"), F.col(key).alias("_k"))
+    db = d.select(F.col(group).alias("src_b"), F.col(key).alias("_k"))
+    inter = (
+        da.join(db, "_k")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = d.groupBy(group).agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        est.select("src_a", "src_b")
+        .join(sizes.select(F.col(group).alias("src_a"), F.col("n").alias("n_a")), "src_a")
+        .join(sizes.select(F.col(group).alias("src_b"), F.col("n").alias("n_b")), "src_b")
+        .join(inter, ["src_a", "src_b"], "left")
+        .select(
+            "src_a", "src_b", "n_a", "n_b",
+            F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
+        )
+    )
+    return est.join(exact, ["src_a", "src_b"]).select(
+        "src_a", "src_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+        ).alias("exact_jaccard"),
+        "kmv_jaccard",
+    )

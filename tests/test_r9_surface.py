@@ -288,3 +288,22 @@ def test_s7_ivfpq_rerank_semantics(spark):
         ov.append(len(w & g) / len(w))
     recall = sum(ov) / len(ov)
     assert recall >= 0.3, f"IVF-PQ recall@10 collapsed: {recall:.3f}"
+
+
+# --- sk5: KMV cross-source overlap sketch -------------------------------------
+
+
+def test_sk5_kmv_error_within_theory(spark):
+    """The KMV Jaccard estimate must sit within the sketch's error
+    theory on every pair: with k=64 merged minima the standard error
+    is sqrt(J(1-J)/k) <= 1/(2 sqrt(k)) = 0.0625; assert max abs error
+    < 4 sigma (0.25) and mean abs error < 1.5 sigma. Exactness when a
+    pair's union fits inside k is also pinned."""
+    got = _run(spark, "sk5_kmv_jaccard_matrix")
+    err = (got.kmv_jaccard - got.exact_jaccard).abs()
+    assert err.max() < 0.25, f"max err {err.max():.3f}"
+    assert err.mean() < 0.094, f"mean err {err.mean():.3f}"
+    small = got[(got.n_a + got.n_b) <= 64]
+    for r in small.itertuples():
+        assert abs(r.kmv_jaccard - r.exact_jaccard) < 1e-12
+    assert ((got.kmv_jaccard >= 0) & (got.kmv_jaccard <= 1)).all()
