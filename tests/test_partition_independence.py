@@ -57,6 +57,7 @@ QUERIES = [
     "s6_pq_adc_rerank",          # PQ codebooks + integer ADC (r9)
     "s7_ivfpq_adc_rerank",       # coarse cells + residual PQ (r9)
     "t22_bpe_batched",           # multi-merge batched trainer (r9)
+    "sk5_kmv_jaccard_matrix",    # merged-KMV overlap estimates (r9)
 ]
 
 
