@@ -494,9 +494,19 @@ def s6_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # coarse Lloyd pass, residuals, PQ training, encoding, probing, ADC,
 # and the exact-cosine rerank.
 
-_S7_KC, _S7_NPROBE = 8, 2
+# nprobe=4 (r10): recall@10 is PROBE-bound on the isotropic fixture,
+# not ADC-bound — measured exact-cosine-within-probed-cells ceilings
+# 0.48/0.52 (nprobe=2) vs 0.70/0.76 (nprobe=4) at sf0.001/sf0.01,
+# with the negated-L2 ADC reaching ~96% of whichever ceiling. The
+# r9 advice fixed the ADC form (dot(q_res, x̂_res) -> faiss
+# -||q_res - centroid||² per subspace); the remaining gap was cells.
+_S7_KC, _S7_NPROBE = 8, 4
 _S7_M, _S7_K, _S7_DS = 8, 32, 8
-_S7_REFINE, _S7_TOPK = 60, 10
+# refine=120 (r10): with nprobe=4 the ADC scans 2x the candidates, so
+# the integer head doubles too — measured recall@10 0.58/0.54 at
+# refine=60 vs 0.70/0.74 at refine=120 (the ceiling); refine=200 adds
+# nothing (0.70/0.76). Cost is Q*refine rerank rows only.
+_S7_REFINE, _S7_TOPK = 120, 10
 
 
 def _s7_sql() -> str:
@@ -584,7 +594,7 @@ qsub AS (
 ),
 lut_r AS (
   SELECT q.q_id, q.cell, c.ss, c.cluster,
-         CAST(round({_dotp('q.qsv', 'c.centroid')} * {q30}) AS BIGINT) AS p
+         CAST(round(-({sqd.format(a='q.qsv', b='c.centroid')}) * {q30}) AS BIGINT) AS p
   FROM qsub q JOIN pcb1 c ON q.ss = c.ss
 ),
 spine AS (
@@ -631,9 +641,13 @@ ORDER BY q_id, rk
 @register("s7_ivfpq_adc_rerank", oracle=_s7_sql(),
           doc="IVF-PQ ANN: md5-seeded coarse quantizer (8 cells, one Lloyd "
               "pass), residual-encoded PQ codes (8 subspaces x 32 "
-              "centroids), nprobe=2 probed cells, per-(query, cell) ADC "
-              "tables over the query residual, integer top-60 -> exact-"
-              "cosine rerank to top-10. Probe budget pinned at 20 (s1b "
+              "centroids), nprobe=4 probed cells, per-(query, cell) "
+              "negated-L2 ADC tables (faiss IndexIVFPQ form: "
+              "-||q_res_ss - centroid||² per subspace, integer Q30), "
+              "integer top-120 -> exact-cosine rerank to top-10. Recall@10 "
+              "0.70 vs brute force (= the nprobe=4 exact-cosine ceiling; "
+              "ADC is ~96% of ceiling — recall is probe-bound on the "
+              "isotropic fixture). Probe budget pinned at 20 (s1b "
               "discipline). Oracle replays the whole index build and "
               "search end to end.",
           tags=("similarity", "bench"))

@@ -582,7 +582,14 @@ def ivfpq_adc_rerank(
         )
     )
 
-    # --- per-(query, cell) ADC LUTs over the query RESIDUAL
+    # --- per-(query, cell) ADC LUTs over the query RESIDUAL.
+    # LUT entry = round(-||q_res_ss - centroid||^2 * Q30): the faiss
+    # IndexIVFPQ ADC form — summing per-subspace squared distances
+    # gives the exact L2 distance to the reconstruction, so the
+    # integer argmax ranks candidates by distance-to-reconstruction.
+    # (The previous dot(q_res, x̂_res) form dropped the q·c and c·x̂
+    # cross terms and measured recall 0.46-0.50 vs 0.76 for plain PQ;
+    # negated-L2 restores it — see tests/test_r10_surface.py.)
     q_sub = probes.select(
         "q_id", "cell",
         F.posexplode(
@@ -592,7 +599,7 @@ def ivfpq_adc_rerank(
     lut_r = q_sub.join(F.broadcast(cb1), "ss").select(
         "q_id", "cell", "ss", "cluster",
         F.round(
-            dot_unrolled("qsv", "centroid", ds) * F.lit(float(Q30))
+            -_sqdist_unrolled("qsv", "centroid", ds) * F.lit(float(Q30))
         ).cast("long").alias("p"),
     )
     spine = spark.range(m * k).select(
