@@ -122,6 +122,65 @@ def d2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_verify(pairs, shs).orderBy("doc_a", "doc_b")
 
 
+# --- D2b: wide-signature MinHash-LSH (the r ~ log N scale config) ------------
+# d2's fixed r=4 signature has a per-band random-collision probability
+# of ~(1/2^48)·skew — fine at sf0.1, but the false-positive candidate
+# term grows ~N² with corpus size (measured 44.9x wall at 100x data,
+# SCALE.md round-9). The r ~ log N rule (rows-per-band grows one row
+# per corpus decade, so E[FP] stays ~N) was proven on pipe5b; this
+# twin applies the SAME 16-perm / 2 bands x 8 rows configuration to
+# the flagship standalone near-dup query and REPLACES d2 in the bench
+# scale legs (d2 stays registered as the knee-at-0.84 semantics row).
+# Knee moves to (1/2)^(1/8) ≈ 0.917 — true near-dups (j ≈ 1) keep
+# colliding; the random tail collapses.
+
+_D2B_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHS} AS shs FROM documents
+),
+hashed AS (
+  SELECT doc_id, shs,
+         list_transform(shs, x -> CAST(('0x' || substr(md5(x), 1, 12)) AS BIGINT)) AS hs
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, shs, {_perm_mins_sql(16)} AS sig FROM hashed
+),
+bands AS (
+  SELECT doc_id, b.b AS band,
+         md5(array_to_string(sig[b.b*8 + 1 : b.b*8 + 8], '|')) AS bucket
+  FROM sig, (SELECT unnest(range(0, 2)) AS b) b
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x
+  JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+{_HSET_CTE}
+SELECT p.doc_a, p.doc_b,
+       {_JACC} AS jaccard
+FROM pairs p
+JOIN hset a ON p.doc_a = a.doc_id
+JOIN hset b ON p.doc_b = b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("d2b_minhash_lsh_wide", oracle=_D2B_SQL,
+          doc="MinHash(16) + LSH(2 bands x 8 rows) candidates, exact shingle "
+              "Jaccard — the r ~ log N signature width that holds the "
+              "false-positive candidate term linear in N (d2's r=4 knee "
+              "admits an ~N² random tail, measured 44.9x wall at 100x "
+              "data). This is the scale-leg near-dup row; d2 stays as the "
+              "low-threshold semantics row.",
+          tags=("dedup", "bench"))
+def d2b_minhash_lsh_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).persist()
+    pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=16, num_bands=2)
+    return jaccard_verify(pairs, shs).orderBy("doc_a", "doc_b")
+
+
 # --- D5: word-n-gram Jaccard near-dup ---------------------------------------
 # Same bounded-candidate machinery as D2 (MinHash bands → bucket
 # join → exact verify) but over WORD 3-gram sets — the token-level

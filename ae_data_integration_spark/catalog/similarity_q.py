@@ -660,3 +660,67 @@ def s7_ivfpq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, q, k_coarse=_S7_KC, nprobe=_S7_NPROBE, m=_S7_M, k=_S7_K,
         refine=_S7_REFINE, topk=_S7_TOPK, salt="ivfpq",
     ).orderBy("q_id", "rk")
+
+
+# --- S6q/S7q: index BUILD/SERVE split (the deployed retrieval shape) --------
+# s6/s7 retrain codebooks and re-encode the corpus inside every query
+# — right for an oracle that replays the whole pipeline, wrong as the
+# per-query cost model: at 100 TB the index is built ONCE (a batch
+# job) and every search touches only the model-sized artifacts
+# (broadcast) plus the code-table scan. These rows register that
+# serving path: ensure_* builds the index on first use (content-
+# addressed by params + dataset fingerprint, so a regenerated dataset
+# rebuilds instead of serving stale artifacts), and the QUERY plan
+# contains no training term — its bench/scale-leg wall measures the
+# scanned-index + rerank cost a deployed pipeline actually pays
+# per query. Training is bit-deterministic and parquet round-trips
+# doubles/longs exactly, so serve-from-artifact equals
+# train-and-serve: the SAME oracle SQL (full build+serve replay)
+# value-hash-gates the stored artifact.
+
+@register("s6q_pq_serve", oracle=_pq_sql(),
+          doc="PQ-ADC search against a PERSISTED index (build/serve split): "
+              "codebooks trained once via ensure_pq_index (content-addressed "
+              "artifact under .artifacts/ann), query plan = broadcast "
+              "codebook + codes-table ADC scan (8 int lookups/doc) + exact "
+              "rerank of Q*60 rows. Same oracle as s6 — the value hash "
+              "proves the stored artifact equals the oracle's replayed "
+              "training bit-for-bit. Bench wall = per-query serving cost "
+              "only (the 100-TB cost model).",
+          tags=("similarity", "bench"))
+def s6q_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.ann_index import (
+        ensure_pq_index,
+        pq_serve_topk,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
+    path = ensure_pq_index(e, m=_S6_M, k=_S6_K, salt="pq")
+    return pq_serve_topk(
+        e, q, path, m=_S6_M, k=_S6_K, refine=_S6_REFINE, topk=_S6_TOPK
+    ).orderBy("q_id", "rk")
+
+
+@register("s7q_ivfpq_serve", oracle=_s7_sql(),
+          doc="IVF-PQ search against a PERSISTED index (build/serve split): "
+              "coarse centroids + residual codebooks broadcast from the "
+              "artifact, (cell, codes) scan restricted to nprobe=4 probed "
+              "cells, negated-L2 ADC, exact rerank of Q*120 rows. Same "
+              "oracle as s7 (full build+serve replay) — the value hash "
+              "gates the stored artifact. Bench wall = per-query serving "
+              "cost only.",
+          tags=("similarity", "bench"))
+def s7q_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.ann_index import (
+        ensure_ivfpq_index,
+        ivfpq_serve_topk,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
+    path = ensure_ivfpq_index(e, k_coarse=_S7_KC, m=_S7_M, k=_S7_K, salt="ivfpq")
+    return ivfpq_serve_topk(
+        e, q, path, m=_S7_M, k=_S7_K, nprobe=_S7_NPROBE,
+        refine=_S7_REFINE, topk=_S7_TOPK,
+    ).orderBy("q_id", "rk")

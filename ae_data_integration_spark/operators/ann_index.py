@@ -1,0 +1,262 @@
+"""Persisted ANN indexes: build once per corpus, serve per query.
+
+The all-in-one operators (similarity.pq_adc_rerank /
+ivfpq_adc_rerank) retrain codebooks and re-encode the corpus inside
+every query — right for an oracle that replays the whole pipeline,
+wrong as the deployed shape: at 100 TB, codebook training + encoding
+is a once-per-index batch job, and the serving path touches only
+(a) the model-sized artifacts (codebooks, coarse centroids — one
+broadcast each) and (b) the code table scan (m small ints per vector,
+a 32-64x byte reduction over the raw float64 vectors). This module is
+that split (faiss trains an Index once and serves many searches; same
+lifecycle as operators/artifacts.py's state-dict⇄parquet models):
+
+* ``build_pq_index`` / ``build_ivfpq_index`` — train the (md5-seeded,
+  fixed-point, bit-deterministic) quantizers via the SAME kernels the
+  all-in-one operators use (similarity._pq_train_encode, kmeans_fit)
+  and write the artifacts as plain parquet tables:
+      pq:    codebook(ss, cluster, centroid)   [model-sized]
+             codes(id, codes array<long>)      [written distributed]
+      ivfpq: cents(cell, centroid)             [model-sized]
+             codebook(ss, cluster, centroid)   [model-sized]
+             codes(id, cell, codes)            [written distributed]
+  plus a meta.json (params + dataset fingerprint) and a _DONE marker
+  written LAST, so a crashed build is re-run, never served.
+* ``pq_serve_topk`` / ``ivfpq_serve_topk`` — scan the artifacts back
+  and run only the query half (similarity._pq_serve/_ivfpq_serve:
+  ADC LUTs -> integer scan -> exact rerank).
+* ``ensure_*_index`` — content-addressed cache: the index directory
+  is keyed by (params, dataset fingerprint = each parquet file's
+  path+size+mtime), so a regenerated dataset or changed parameters
+  build a NEW index instead of serving a stale one.
+
+Because training is deterministic and parquet round-trips doubles and
+longs bit-for-bit, serve-from-artifact returns EXACTLY what the
+all-in-one operator returns — the catalog registers the serve path
+(s6q/s7q) under the same DuckDB oracle that replays build+serve, and
+the value hash proves the stored artifact equals the replayed one.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ae_data_integration_spark.functions.arrays import to_double
+from ae_data_integration_spark.functions.caching import persist_tracked
+from ae_data_integration_spark.operators.similarity import (
+    _ivfpq_serve,
+    _pq_serve,
+    _pq_train_encode,
+    _vec_dim,
+    _widen,
+)
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _dataset_fingerprint(df: DataFrame) -> str:
+    """Content key for the index cache: md5 over each input file's
+    (path, size, mtime) — the _DIM_CACHE discipline. A dataset
+    regenerated in place must not be served a stale index."""
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:  # noqa: BLE001 - planless inputs get no cache
+        files = []
+    parts = []
+    for uri in files:
+        path = uri[7:] if uri.startswith("file://") else uri
+        try:
+            st = os.stat(path)
+            parts.append(f"{uri}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append(uri)
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+
+
+def index_dir(emb: DataFrame, kind: str, params: dict) -> str:
+    base = os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR", os.path.join(_REPO, ".artifacts", "ann")
+    )
+    pkey = hashlib.md5(
+        json.dumps(params, sort_keys=True).encode()
+    ).hexdigest()[:12]
+    return os.path.join(base, f"{kind}_{pkey}_{_dataset_fingerprint(emb)}")
+
+
+def _done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_DONE"))
+
+
+def _finish(path: str, params: dict) -> None:
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(params, fh, indent=1, sort_keys=True)
+    with open(os.path.join(path, "_DONE"), "w") as fh:
+        fh.write("ok\n")
+
+
+def build_pq_index(
+    emb: DataFrame,
+    path: str,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 32,
+    salt: str = "pq",
+) -> None:
+    """Train PQ codebooks + encode the corpus; write the index to
+    `path`. The codes table is written DISTRIBUTED (one shuffle-free
+    map stage after the assignment window) — at 100 TB it is the only
+    large output and never visits the driver."""
+    d = _vec_dim(emb, vec_col)
+    if d is None or d % m != 0:
+        raise ValueError(f"vector dim {d} not divisible by m={m}")
+    pts = persist_tracked(
+        _widen(emb.select(F.col(key_col).alias("id"), to_double(vec_col).alias("v")))
+    )
+    cb1, codes = _pq_train_encode(pts, m=m, k=k, ds=d // m, salt=salt)
+    cb1.write.mode("overwrite").parquet(os.path.join(path, "codebook"))
+    codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    _finish(path, {"kind": "pq", "m": m, "k": k, "d": d, "salt": salt})
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_coarse: int = 8,
+    m: int = 8,
+    k: int = 32,
+    salt: str = "ivfpq",
+) -> None:
+    """Coarse quantizer + residual PQ codebooks + per-vector (cell,
+    codes); write the index to `path`."""
+    from ae_data_integration_spark.operators.kmeans import kmeans_fit
+
+    d = _vec_dim(emb, vec_col)
+    if d is None or d % m != 0:
+        raise ValueError(f"vector dim {d} not divisible by m={m}")
+    assigned, cents = kmeans_fit(
+        emb, key_col, vec_col, k=k_coarse, n_iter=1, salt=salt
+    )
+    res = persist_tracked(
+        _widen(assigned.select("id", "vec", F.col("cluster").alias("cell")))
+        .join(F.broadcast(cents.withColumnRenamed("cluster", "cell")), "cell")
+        .select(
+            "id", "cell",
+            F.zip_with("vec", "centroid", lambda a, b: a - b).alias("v"),
+        )
+    )
+    cb1, codes = _pq_train_encode(
+        res.select("id", "v"), m=m, k=k, ds=d // m, salt=salt + "c"
+    )
+    cents.withColumnRenamed("cluster", "cell").write.mode("overwrite").parquet(
+        os.path.join(path, "cents")
+    )
+    cb1.write.mode("overwrite").parquet(os.path.join(path, "codebook"))
+    codes.join(res.select("id", "cell"), "id").write.mode("overwrite").parquet(
+        os.path.join(path, "codes")
+    )
+    _finish(
+        path,
+        {"kind": "ivfpq", "k_coarse": k_coarse, "m": m, "k": k, "d": d,
+         "salt": salt},
+    )
+
+
+def ensure_pq_index(
+    emb: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 32,
+    salt: str = "pq",
+) -> str:
+    params = {"kind": "pq", "m": m, "k": k, "salt": salt}
+    path = index_dir(emb, "pq", params)
+    if not _done(path):
+        build_pq_index(emb, path, key_col, vec_col, m=m, k=k, salt=salt)
+    return path
+
+
+def ensure_ivfpq_index(
+    emb: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_coarse: int = 8,
+    m: int = 8,
+    k: int = 32,
+    salt: str = "ivfpq",
+) -> str:
+    params = {"kind": "ivfpq", "k_coarse": k_coarse, "m": m, "k": k, "salt": salt}
+    path = index_dir(emb, "ivfpq", params)
+    if not _done(path):
+        build_ivfpq_index(
+            emb, path, key_col, vec_col, k_coarse=k_coarse, m=m, k=k, salt=salt
+        )
+    return path
+
+
+def pq_serve_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    path: str,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 32,
+    refine: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """PQ-ADC search against a PERSISTED index: the plan reads the
+    model-sized codebook (broadcast), scans the codes table (m small
+    ints per vector — the production memory-bandwidth shape), and
+    touches original vectors only for the Q rows of LUT input and the
+    Q*refine rerank rows. No training term anywhere in the plan."""
+    spark = emb.sparkSession
+    d = _vec_dim(emb, vec_col)
+    cb1 = spark.read.parquet(os.path.join(path, "codebook"))
+    codes = _widen(spark.read.parquet(os.path.join(path, "codes")))
+    pts = persist_tracked(
+        emb.select(F.col(key_col).alias("id"), to_double(vec_col).alias("v"))
+    )
+    q_ids = queries.select(F.col(key_col).alias("q_id"))
+    return _pq_serve(
+        pts, cb1, codes, q_ids, m=m, k=k, ds=d // m, d=d,
+        refine=refine, topk=topk,
+    )
+
+
+def ivfpq_serve_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    path: str,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 32,
+    nprobe: int = 4,
+    refine: int = 120,
+    topk: int = 10,
+) -> DataFrame:
+    """IVF-PQ search against a PERSISTED index: broadcast the coarse
+    centroids + residual codebooks, scan only the (cell, codes) table
+    restricted to probed cells, exact-rerank Q*refine rows."""
+    spark = emb.sparkSession
+    d = _vec_dim(emb, vec_col)
+    cents = spark.read.parquet(os.path.join(path, "cents"))
+    cb1 = spark.read.parquet(os.path.join(path, "codebook"))
+    coded = _widen(spark.read.parquet(os.path.join(path, "codes")))
+    pts = persist_tracked(
+        emb.select(F.col(key_col).alias("id"), to_double(vec_col).alias("vec"))
+    )
+    q_ids = queries.select(F.col(key_col).alias("q_id"))
+    return _ivfpq_serve(
+        pts, cents, cb1, coded, q_ids, m=m, k=k, ds=d // m, d=d,
+        nprobe=nprobe, refine=refine, topk=topk,
+    )

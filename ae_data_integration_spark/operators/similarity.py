@@ -370,59 +370,39 @@ def _pq_train_encode(
     return cb1, codes
 
 
-def pq_adc_rerank(
-    emb: DataFrame,
-    queries: DataFrame,
-    key_col: str = "vec_id",
-    vec_col: str = "embedding",
-    m: int = 4,
-    k: int = 16,
-    refine: int = 30,
-    topk: int = 10,
-    salt: str = "pq",
+def _pq_serve(
+    pts: DataFrame,
+    cb1: DataFrame,
+    codes: DataFrame,
+    q_ids: DataFrame,
+    *,
+    m: int,
+    k: int,
+    ds: int,
+    d: int,
+    refine: int,
+    topk: int,
 ) -> DataFrame:
-    """Product-quantization ANN with ADC (asymmetric distance
-    computation) — the missing step between SQ8 and IVF for 100-TB
-    vector search (Jégou et al. 2011, faiss IndexPQ):
+    """Query-time half of PQ-ADC search, given a TRAINED index:
+    `cb1` = (ss, cluster, centroid) codebooks (model-sized, broadcast),
+    `codes` = (id, codes array<long>) — whether just trained in this
+    plan (pq_adc_rerank) or scanned back from a persisted artifact
+    (operators/ann_index.pq_serve_topk, the production shape where the
+    index is built once per corpus and served per query).
 
-    * the vector is split into `m` subspaces of d/m dims; each
-      subspace gets its OWN k-centroid codebook (md5-seeded init +
-      one fixed-point Lloyd pass — the kmeans_fit discipline, grouped
-      by subspace so all m codebooks train in the same two jobs);
-    * the corpus is encoded as m small ints per vector (PQ codes:
-      m bytes at k<=256 — a 32x storage/scan reduction on d=64
-      float64 vectors);
-    * per query, an m*k lookup table of quantized partial dots is
-      built once (ADC), and scanning the corpus is m array lookups +
-      integer adds per (query, doc) — NO float math against corpus
-      vectors, exactly the production memory-bandwidth shape;
-    * the integer-argmax top-`refine` candidates are reranked with
-      exact cosine on original vectors (Q*refine rows read back).
-
-    Deterministic end to end (md5 seeds, fixed-point centroid means,
-    Q30 integer LUT entries, (score, id) tie-breaks), so the DuckDB
-    oracle replays codebook training, encoding, ADC, and rerank
-    bit-for-bit. Scale shape: codebooks/LUTs are model-sized
-    broadcasts (m*k*(d/m) = k*d doubles); the corpus is scanned, never
-    shuffled; the only shuffles are the k*d-row centroid update and
-    the per-query top-k windows.
+    Builds the per-query m*k ADC lookup tables, scans `codes` with m
+    integer lookups per (query, doc), integer top-`refine`, then
+    exact-cosine reranks against `pts` = (id, v original vector).
+    Bit-deterministic given the index: Q30 integer LUT entries and
+    (score, id) tie-breaks, so serve-from-artifact equals
+    train-and-serve exactly (parquet round-trips doubles/longs
+    bit-for-bit) — one oracle covers both registrations.
     """
     from ae_data_integration_spark.functions.portable import Q30
 
-    d = _vec_dim(emb, vec_col)
-    if d is None or d % m != 0:
-        raise ValueError(f"vector dim {d} not divisible by m={m}")
-    ds = d // m
-    spark = emb.sparkSession
-
-    pts = _widen(
-        emb.select(F.col(key_col).alias("id"), to_double(vec_col).alias("v"))
-    ).persist()
-
-    cb1, codes = _pq_train_encode(pts, m=m, k=k, ds=ds, salt=salt)
+    spark = pts.sparkSession
 
     # --- per-query ADC lookup tables: Q*m*k quantized partial dots
-    q_ids = queries.select(F.col(key_col).alias("q_id"))
     q_sub = (
         pts.join(F.broadcast(q_ids), pts["id"] == q_ids["q_id"])
         .select(
@@ -497,74 +477,98 @@ def pq_adc_rerank(
     )
 
 
-def ivfpq_adc_rerank(
+def pq_adc_rerank(
     emb: DataFrame,
     queries: DataFrame,
     key_col: str = "vec_id",
     vec_col: str = "embedding",
-    k_coarse: int = 8,
-    nprobe: int = 2,
-    m: int = 8,
-    k: int = 32,
-    refine: int = 60,
+    m: int = 4,
+    k: int = 16,
+    refine: int = 30,
     topk: int = 10,
-    salt: str = "ivfpq",
+    salt: str = "pq",
 ) -> DataFrame:
-    """IVF-PQ ANN — the full faiss IndexIVFPQ shape, completing the
-    vector-search ladder (brute → LSH → IVF → SQ8 → PQ → IVF-PQ):
+    """Product-quantization ANN with ADC (asymmetric distance
+    computation) — the missing step between SQ8 and IVF for 100-TB
+    vector search (Jégou et al. 2011, faiss IndexPQ):
 
-    * a coarse md5-seeded quantizer (kmeans_fit, one Lloyd pass)
-      partitions the corpus into `k_coarse` cells;
-    * each vector is PQ-encoded on its RESIDUAL (vec − cell centroid)
-      — residuals concentrate near 0, so the shared m-subspace
-      codebooks spend their resolution where the data is (the reason
-      faiss encodes residuals, Jégou et al. 2011 §III-C);
-    * a query probes its `nprobe` nearest cells; per probed cell the
-      QUERY residual builds an m*k ADC lookup table, and only docs in
-      probed cells are scored — m integer lookups each;
-    * integer top-`refine` → exact-cosine rerank on original vectors.
+    * the vector is split into `m` subspaces of d/m dims; each
+      subspace gets its OWN k-centroid codebook (md5-seeded init +
+      one fixed-point Lloyd pass — the kmeans_fit discipline, grouped
+      by subspace so all m codebooks train in the same two jobs);
+    * the corpus is encoded as m small ints per vector (PQ codes:
+      m bytes at k<=256 — a 32x storage/scan reduction on d=64
+      float64 vectors);
+    * per query, an m*k lookup table of quantized partial dots is
+      built once (ADC), and scanning the corpus is m array lookups +
+      integer adds per (query, doc) — NO float math against corpus
+      vectors, exactly the production memory-bandwidth shape;
+    * the integer-argmax top-`refine` candidates are reranked with
+      exact cosine on original vectors (Q*refine rows read back).
 
-    At 100 TB: the scanned index is (cell id + m code bytes) per
-    vector, candidates drop by ~nprobe/k_coarse, and every model
-    artifact (coarse centroids, PQ codebooks, per-(query, cell) LUTs)
-    is a broadcast. Deterministic end to end — the DuckDB oracle
-    replays the coarse quantizer, residuals, codebook training,
-    encoding, probing, ADC, and rerank bit-for-bit.
+    Deterministic end to end (md5 seeds, fixed-point centroid means,
+    Q30 integer LUT entries, (score, id) tie-breaks), so the DuckDB
+    oracle replays codebook training, encoding, ADC, and rerank
+    bit-for-bit. Scale shape: codebooks/LUTs are model-sized
+    broadcasts (m*k*(d/m) = k*d doubles); the corpus is scanned, never
+    shuffled; the only shuffles are the k*d-row centroid update and
+    the per-query top-k windows.
     """
-    from ae_data_integration_spark.functions.portable import Q30
-    from ae_data_integration_spark.operators.kmeans import kmeans_fit
+    from ae_data_integration_spark.functions.caching import persist_tracked
 
     d = _vec_dim(emb, vec_col)
     if d is None or d % m != 0:
         raise ValueError(f"vector dim {d} not divisible by m={m}")
     ds = d // m
-    spark = emb.sparkSession
 
-    # --- coarse quantizer + residual encoding
-    assigned, cents = kmeans_fit(
-        emb, key_col, vec_col, k=k_coarse, n_iter=1, salt=salt
+    pts = persist_tracked(
+        _widen(emb.select(F.col(key_col).alias("id"), to_double(vec_col).alias("v")))
     )
-    res = (
-        _widen(assigned.select("id", "vec", F.col("cluster").alias("cell")))
-        .join(F.broadcast(cents.withColumnRenamed("cluster", "cell")), "cell")
-        .select(
-            "id", "cell", "vec",
-            F.zip_with("vec", "centroid", lambda a, b: a - b).alias("v"),
-        )
-        .persist()
+
+    cb1, codes = _pq_train_encode(pts, m=m, k=k, ds=ds, salt=salt)
+    q_ids = queries.select(F.col(key_col).alias("q_id"))
+    return _pq_serve(
+        pts, cb1, codes, q_ids, m=m, k=k, ds=ds, d=d, refine=refine, topk=topk
     )
-    cb1, codes = _pq_train_encode(
-        res.select("id", "v"), m=m, k=k, ds=ds, salt=salt + "c"
-    )
-    coded = codes.join(res.select("id", "cell"), "id")
+
+
+def _ivfpq_serve(
+    pts: DataFrame,
+    cents: DataFrame,
+    cb1: DataFrame,
+    coded: DataFrame,
+    q_ids: DataFrame,
+    *,
+    m: int,
+    k: int,
+    ds: int,
+    d: int,
+    nprobe: int,
+    refine: int,
+    topk: int,
+) -> DataFrame:
+    """Query-time half of IVF-PQ search, given a TRAINED index:
+    `cents` = (cell, centroid) coarse quantizer, `cb1` = (ss, cluster,
+    centroid) residual codebooks, `coded` = (id, cell, codes) — just
+    trained (ivfpq_adc_rerank) or scanned from a persisted artifact
+    (operators/ann_index.ivfpq_serve_topk). `pts` = (id, vec) original
+    vectors for the probe distances and the exact-cosine rerank.
+
+    Probes the `nprobe` nearest cells per query, builds per-(query,
+    cell) negated-L2 ADC tables from the QUERY residual, scores only
+    docs in probed cells (m integer lookups each), integer
+    top-`refine`, exact rerank. Bit-deterministic given the index —
+    serve-from-artifact equals train-and-serve exactly.
+    """
+    from ae_data_integration_spark.functions.portable import Q30
+
+    spark = pts.sparkSession
 
     # --- probes: nprobe nearest cells per query (Q x k_coarse rows)
-    q_ids = queries.select(F.col(key_col).alias("q_id"))
-    q = (
-        emb.select(F.col(key_col).alias("q_id"), to_double(vec_col).alias("q_vec"))
-        .join(F.broadcast(q_ids), "q_id")
+    q = pts.select(F.col("id").alias("q_id"), F.col("vec").alias("q_vec")).join(
+        F.broadcast(q_ids), "q_id"
     )
-    qd = q.crossJoin(F.broadcast(cents.withColumnRenamed("cluster", "cell"))).withColumn(
+    qd = q.crossJoin(F.broadcast(cents)).withColumn(
         "cdist",
         F.aggregate(
             F.zip_with("q_vec", "centroid", lambda x, y: (x - y) * (x - y)),
@@ -587,9 +591,6 @@ def ivfpq_adc_rerank(
     # IndexIVFPQ ADC form — summing per-subspace squared distances
     # gives the exact L2 distance to the reconstruction, so the
     # integer argmax ranks candidates by distance-to-reconstruction.
-    # (The previous dot(q_res, x̂_res) form dropped the q·c and c·x̂
-    # cross terms and measured recall 0.46-0.50 vs 0.76 for plain PQ;
-    # negated-L2 restores it — see tests/test_r10_surface.py.)
     q_sub = probes.select(
         "q_id", "cell",
         F.posexplode(
@@ -635,13 +636,12 @@ def ivfpq_adc_rerank(
     )
 
     # --- exact rerank on ORIGINAL vectors
-    pts = res.select("id", F.col("vec").alias("ov"))
-    qv = pts.select(F.col("id").alias("q_id"), F.col("ov").alias("q_vec")).join(
+    qv = pts.select(F.col("id").alias("q_id"), F.col("vec").alias("q_vec")).join(
         F.broadcast(q_ids), "q_id"
     )
     rer = (
         cand.join(F.broadcast(qv), "q_id")
-        .join(pts.select(F.col("id").alias("n_id"), F.col("ov").alias("n_vec")), "n_id")
+        .join(pts.select(F.col("id").alias("n_id"), F.col("vec").alias("n_vec")), "n_id")
         .withColumn("q_nrm", l2_norm("q_vec"))
         .withColumn("n_nrm", l2_norm("n_vec"))
         .withColumn("cos", _cos_with_norms("q_vec", "n_vec", "q_nrm", "n_nrm", d))
@@ -651,6 +651,76 @@ def ivfpq_adc_rerank(
         rer.withColumn("rk", F.row_number().over(wt))
         .filter(F.col("rk") <= topk)
         .select("q_id", "n_id", "cos", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def ivfpq_adc_rerank(
+    emb: DataFrame,
+    queries: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_coarse: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    k: int = 32,
+    refine: int = 60,
+    topk: int = 10,
+    salt: str = "ivfpq",
+) -> DataFrame:
+    """IVF-PQ ANN — the full faiss IndexIVFPQ shape, completing the
+    vector-search ladder (brute → LSH → IVF → SQ8 → PQ → IVF-PQ):
+
+    * a coarse md5-seeded quantizer (kmeans_fit, one Lloyd pass)
+      partitions the corpus into `k_coarse` cells;
+    * each vector is PQ-encoded on its RESIDUAL (vec − cell centroid)
+      — residuals concentrate near 0, so the shared m-subspace
+      codebooks spend their resolution where the data is (the reason
+      faiss encodes residuals, Jégou et al. 2011 §III-C);
+    * a query probes its `nprobe` nearest cells; per probed cell the
+      QUERY residual builds an m*k ADC lookup table, and only docs in
+      probed cells are scored — m integer lookups each;
+    * integer top-`refine` → exact-cosine rerank on original vectors.
+
+    At 100 TB: the scanned index is (cell id + m code bytes) per
+    vector, candidates drop by ~nprobe/k_coarse, and every model
+    artifact (coarse centroids, PQ codebooks, per-(query, cell) LUTs)
+    is a broadcast. Deterministic end to end — the DuckDB oracle
+    replays the coarse quantizer, residuals, codebook training,
+    encoding, probing, ADC, and rerank bit-for-bit.
+    """
+    from ae_data_integration_spark.functions.caching import persist_tracked
+    from ae_data_integration_spark.operators.kmeans import kmeans_fit
+
+    d = _vec_dim(emb, vec_col)
+    if d is None or d % m != 0:
+        raise ValueError(f"vector dim {d} not divisible by m={m}")
+    ds = d // m
+
+    # --- coarse quantizer + residual encoding
+    assigned, cents = kmeans_fit(
+        emb, key_col, vec_col, k=k_coarse, n_iter=1, salt=salt
+    )
+    res = persist_tracked(
+        _widen(assigned.select("id", "vec", F.col("cluster").alias("cell")))
+        .join(F.broadcast(cents.withColumnRenamed("cluster", "cell")), "cell")
+        .select(
+            "id", "cell", "vec",
+            F.zip_with("vec", "centroid", lambda a, b: a - b).alias("v"),
+        )
+    )
+    cb1, codes = _pq_train_encode(
+        res.select("id", "v"), m=m, k=k, ds=ds, salt=salt + "c"
+    )
+    coded = codes.join(res.select("id", "cell"), "id")
+
+    q_ids = queries.select(F.col(key_col).alias("q_id"))
+    return _ivfpq_serve(
+        res.select("id", "vec"),
+        cents.withColumnRenamed("cluster", "cell"),
+        cb1,
+        coded,
+        q_ids,
+        m=m, k=k, ds=ds, d=d, nprobe=nprobe, refine=refine, topk=topk,
     )
 
 
