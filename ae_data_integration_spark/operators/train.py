@@ -7,8 +7,9 @@ Spark-idiomatic shape: ALL folds train **in parallel** — the dataset
 is replicated once per test fold (exactly the 5× the reference also
 pays, serially), grouped by fold, and `applyInPandas` runs one
 training loop per group, one Spark task per fold. The driver-side
-search loop (Optuna when installed, an md5-deterministic random
-sampler otherwise) only sees (fold, val_loss) rows.
+search loop (Optuna's TPE when installed, the vendored seeded TPE of
+operators/tpe.py otherwise, or the md5-deterministic random sampler
+on request) only sees (fold, val_loss) rows.
 
 Kernels are numpy (torch absent by design — same swap point as
 operators/inference.py): full-batch/minibatch forward-backward for a
@@ -313,11 +314,20 @@ def random_search(
     df: DataFrame,
     n_trials: int = 3,
     n_folds: int = 3,
+    sampler: str = "auto",
     **kw,
 ) -> list[tuple[int, dict, float]]:
-    """O1 control plane without Optuna: deterministic random search;
-    each trial's folds run as one parallel Spark job. Uses Optuna's
-    TPE automatically when the package is installed."""
+    """O1 control plane: each trial's folds run as one parallel Spark
+    job; the driver-side search loop sees only (fold, val_loss) rows.
+
+    ``sampler``: "auto" = Optuna's TPE when the package is installed,
+    else the vendored seeded TPE (operators/tpe.py — the reference's
+    TPESampler + MedianPruner(n_warmup_steps=2) semantics,
+    CNC_AE_model_selection.py:528-534, vendored per Bergstra 2011
+    because optuna isn't installable everywhere); "md5" = the
+    deterministic random-search fallback; "optuna"/"tpe" force one
+    branch.
+    """
     results: list[tuple[int, dict, float]] = []
     try:
         import optuna  # noqa: F401
@@ -325,12 +335,37 @@ def random_search(
         have_optuna = True
     except ImportError:
         have_optuna = False
+    if sampler == "optuna" and not have_optuna:
+        raise ImportError("sampler='optuna' but optuna is not installed")
+    use_optuna = sampler == "optuna" or (sampler == "auto" and have_optuna)
+    use_tpe = sampler == "tpe" or (sampler == "auto" and not have_optuna)
 
     def run_trial(trial_idx: int, hyper: dict) -> float:
         rows = objective_cv(df, hyper=hyper, n_folds=n_folds, **kw).collect()
         return float(np.mean([r["val_loss"] for r in rows]))
 
-    if have_optuna:  # pragma: no cover - optuna absent in this container
+    if use_tpe:
+        from ae_data_integration_spark.operators.tpe import (
+            MedianPruner,
+            tpe_minimize,
+        )
+
+        def fold_losses(hyper: dict) -> list[float]:
+            rows = objective_cv(
+                df, hyper=hyper, n_folds=n_folds, **kw
+            ).collect()
+            return [r["val_loss"] for r in sorted(rows, key=lambda r: r["fold"])]
+
+        trials = tpe_minimize(
+            fold_losses,
+            SEARCH_SPACE,
+            n_trials=n_trials,
+            seed=21,
+            pruner=MedianPruner(n_warmup_steps=2),
+        )
+        return [(t, params, value) for t, params, value, _state in trials]
+
+    if use_optuna:  # pragma: no cover - optuna absent in this container
         import optuna
 
         def objective(trial):

@@ -8,6 +8,7 @@ import pytest
 
 from ae_data_integration_spark.operators.artifacts import load_weights, save_weights
 from ae_data_integration_spark.operators.train import (
+    SEARCH_SPACE,
     objective_cv,
     random_search,
     sample_params,
@@ -202,23 +203,27 @@ def test_objective_cv_dropout_partition_independent(spark):
     assert [r["last_train_loss"] for r in r1] == [r["last_train_loss"] for r in r2]
 
 
-def test_optuna_tpe_path_when_available(spark):
-    """O1 primary path: when optuna IS installed, random_search must
-    route through a seeded TPE study (3 trials, finite losses,
-    reproducible across two runs). In this container optuna is not
-    installable (no pip; documented limitation — the md5 fallback is
-    the exercised path, tested above), so this leg auto-skips; on an
-    optuna-equipped deployment it runs and guards the integration."""
-    pytest.importorskip("optuna")
+def test_tpe_primary_path(spark):
+    """O1 primary path: random_search's default ("auto") routes
+    through a seeded TPE study — Optuna's when installed, the
+    vendored operators/tpe.py implementation otherwise (r10: the
+    container has no optuna, so the vendored branch is what executes
+    here and the former importorskip no longer skips). 3 trials,
+    finite losses, reproducible across two runs."""
     from ae_data_integration_spark.tables import table
     from tests.conftest import SF_SMOKE
 
-    e = table(spark, SF_SMOKE, "embeddings")
+    e = table(spark, SF_SMOKE, "embeddings").limit(150)
     r1 = random_search(e, n_trials=3, n_folds=2)
     r2 = random_search(e, n_trials=3, n_folds=2)
     assert len(r1) == 3
     assert all(np.isfinite(v) and v > 0 for _, _, v in r1)
     assert [(n, v) for n, _, v in r1] == [(n, v) for n, _, v in r2]
+    # params come from the declared search space
+    for _, p, _ in r1:
+        assert 1e-4 <= p["lr"] <= 1e-2
+        assert p["batch_size"] in SEARCH_SPACE["batch_size"]
+        assert p["dropout"] in SEARCH_SPACE["dropout"]
 
 
 def test_optuna_branch_executes_with_minimal_tpe_stub(spark, monkeypatch):
