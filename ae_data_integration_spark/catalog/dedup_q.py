@@ -117,7 +117,7 @@ def d2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     # One persisted shingle pass feeds BOTH the signature path and
     # the a/b sides of the verify join (3 consumers, 1 computation).
-    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).persist()
+    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).transform(persist_tracked)
     pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=8, num_bands=2)
     return jaccard_verify(pairs, shs).orderBy("doc_a", "doc_b")
 
@@ -176,7 +176,7 @@ ORDER BY doc_a, doc_b
           tags=("dedup", "bench"))
 def d2b_minhash_lsh_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).persist()
+    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).transform(persist_tracked)
     pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=16, num_bands=2)
     return jaccard_verify(pairs, shs).orderBy("doc_a", "doc_b")
 
@@ -245,7 +245,7 @@ def d5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     if tok.rdd.getNumPartitions() < par:
         tok = tok.repartition(par, "doc")
-    shs = tok.select("doc", word_ngrams_from_tokens("_toks", 3).alias("shs")).persist()
+    shs = tok.select("doc", word_ngrams_from_tokens("_toks", 3).alias("shs")).transform(persist_tracked)
     pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=8, num_bands=2)
     return jaccard_verify(pairs, shs).orderBy("doc_a", "doc_b")
 
@@ -426,7 +426,7 @@ def d6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ae_data_integration_spark.operators.dedup import dup_clusters
 
     d = table(spark, sf_dir, "documents")
-    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).persist()
+    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).transform(persist_tracked)
     pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=8, num_bands=2)
     verified = jaccard_verify(pairs, shs, threshold=_D6_THRESH).select(
         "doc_a", "doc_b"
@@ -472,7 +472,7 @@ def pipe2_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ae_data_integration_spark.operators.dedup import dup_labels
 
     d = table(spark, sf_dir, "documents")
-    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).persist()
+    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).transform(persist_tracked)
     pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=8, num_bands=2)
     verified = jaccard_verify(pairs, shs, threshold=_D6_THRESH).select(
         "doc_a", "doc_b"
@@ -538,7 +538,7 @@ def g3_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ae_data_integration_spark.operators.graph import pagerank_fixed
 
     d = table(spark, sf_dir, "documents")
-    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).persist()
+    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).transform(persist_tracked)
     pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=8, num_bands=2)
     verified = jaccard_verify(pairs, shs, threshold=_D6_THRESH).select(
         "doc_a", "doc_b"
@@ -641,7 +641,7 @@ def pipe3_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 10s vs 1s at sf0.1 — the no-CSE-in-lambdas trap).
     surv = d.join(keep.select("doc_id"), "doc_id", "left_semi").select(
         "doc_id", "text", tokens("text").alias("t")
-    ).persist()
+    ).transform(persist_tracked)
     # Quality from the MATERIALIZED token column (quality_score(text)
     # would re-tokenize once per interpreted-HOF term — no CSE in
     # lambda land; same arithmetic, same oracle expression).
@@ -663,8 +663,8 @@ def pipe3_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once each (measured 30s vs 3s at sf0.1).
     gated = surv.filter((quality >= 0.5) & (rep <= 0.5)).select(
         "doc_id", "text"
-    ).persist()
-    ch = chunk_tokens(gated, "doc_id", "text", chunk=32, overlap=8).persist()
+    ).transform(persist_tracked)
+    ch = chunk_tokens(gated, "doc_id", "text", chunk=32, overlap=8).transform(persist_tracked)
     bins = pack_chunks(ch, "doc_id", ctx=512, n_shards=16)
     n_docs_in = d.count()
     g = gated.count()
@@ -867,6 +867,7 @@ def pipe4b_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only its own bands (operators/dedup.lsh_candidate_pairs_across).
 
 from ae_data_integration_spark.operators.dedup import lsh_candidate_pairs_across
+from ae_data_integration_spark.functions.caching import persist_tracked
 
 _P5_THRESH = 0.5
 _P5_FP_T = r"md5(trim(regexp_replace(lower({t}), '\s+', ' ', 'g')))"
@@ -933,10 +934,10 @@ def pipe5_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch.withColumn("fp", fingerprint("text"))
         .join(corpus_fp, "fp", "left_anti")
         .select("doc_id", "n_chars", "text")
-        .persist()
+        .transform(persist_tracked)
     )
-    sh_b = doc_shingles(b1, "doc_id", "text", k=5, spread=True).persist()
-    sh_c = doc_shingles(corpus, "doc_id", "text", k=5, spread=True).persist()
+    sh_b = doc_shingles(b1, "doc_id", "text", k=5, spread=True).transform(persist_tracked)
+    sh_c = doc_shingles(corpus, "doc_id", "text", k=5, spread=True).transform(persist_tracked)
     cands = lsh_candidate_pairs_across(sh_b, sh_c, num_perm=8, num_bands=2)
     near = (
         jaccard_verify(cands, sh_b.unionByName(sh_c), threshold=_P5_THRESH)
@@ -1035,10 +1036,10 @@ def pipe5b_incremental_dedup_wide(spark: SparkSession, sf_dir: str) -> DataFrame
         batch.withColumn("fp", fingerprint("text"))
         .join(corpus_fp, "fp", "left_anti")
         .select("doc_id", "n_chars", "text")
-        .persist()
+        .transform(persist_tracked)
     )
-    sh_b = doc_shingles(b1, "doc_id", "text", k=5, spread=True).persist()
-    sh_c = doc_shingles(corpus, "doc_id", "text", k=5, spread=True).persist()
+    sh_b = doc_shingles(b1, "doc_id", "text", k=5, spread=True).transform(persist_tracked)
+    sh_c = doc_shingles(corpus, "doc_id", "text", k=5, spread=True).transform(persist_tracked)
     cands = lsh_candidate_pairs_across(sh_b, sh_c, num_perm=16, num_bands=2)
     near = (
         jaccard_verify(cands, sh_b.unionByName(sh_c), threshold=_P5_THRESH)
@@ -1086,7 +1087,7 @@ ORDER BY src_a, src_b
           tags=("dedup",))
 def d7_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).persist()
+    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).transform(persist_tracked)
     pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=8, num_bands=2)
     verified = jaccard_verify(pairs, shs, threshold=_D6_THRESH).select(
         "doc_a", "doc_b"
@@ -1164,14 +1165,14 @@ LIMIT 20
           tags=("dedup", "graph"))
 def g5_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).persist()
+    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).transform(persist_tracked)
     pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=8, num_bands=2)
     verified = (
         jaccard_verify(pairs, shs, threshold=_D6_THRESH)
         .select("doc_a", "doc_b")
         # three self-join consumers below — compute the LSH+verify
         # lineage once (same discipline as d2's shingle persist)
-        .persist()
+        .transform(persist_tracked)
     )
     e1 = verified.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = verified.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))

@@ -19,6 +19,7 @@ from ae_data_integration_spark.operators.metrics import (
     munkres_accuracy,
 )
 from ae_data_integration_spark.tables import table
+from ae_data_integration_spark.functions.caching import persist_tracked
 
 # Deterministic noisy prediction: 30% of rows get an md5 bucket,
 # the rest keep their label.
@@ -230,7 +231,7 @@ def c4b_matched_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", md5_bucket("vec_id", 4, salt="alt4").cast("int").alias("pred")
     )
     ct = (
-        p.groupBy("label", "pred").agg(F.count(F.lit(1)).alias("n_ij")).persist()
+        p.groupBy("label", "pred").agg(F.count(F.lit(1)).alias("n_ij")).transform(persist_tracked)
     )
     labs = ct.select(F.col("label").alias("m")).distinct()
     inj = (

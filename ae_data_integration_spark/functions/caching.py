@@ -30,6 +30,14 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     return df
 
 
+def track(df: DataFrame) -> DataFrame:
+    """Register an ALREADY-persisted frame for release_tracked() —
+    for loop-style operators (dbscan label propagation) whose final
+    generation is persisted inside the loop and escapes via return."""
+    _LIVE.append(df)
+    return df
+
+
 def release_tracked() -> int:
     """Unpersist every tracked intermediate (non-blocking); returns
     how many were released. Safe to call at any point — queries whose

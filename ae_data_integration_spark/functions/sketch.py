@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ae_data_integration_spark.functions.hashing import md5_bucket
+from ae_data_integration_spark.functions.caching import persist_tracked
 
 
 def cms_build(
@@ -178,7 +179,7 @@ def kmv_jaccard_matrix(
 
     from ae_data_integration_spark.functions.hashing import md5_unit
 
-    d = df.select(group, key).distinct().persist()
+    d = df.select(group, key).distinct().transform(persist_tracked)
     h = d.select(F.col(group).alias("g"), md5_unit(key, salt=f"{salt}:").alias("h"))
     w = Window.partitionBy("g").orderBy("h")
     minima = (

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ae_data_integration_spark.functions.arrays import to_double
+from ae_data_integration_spark.functions.caching import persist_tracked, track
 
 
 def _sq_dist(a, b):
@@ -325,7 +326,7 @@ def dbscan(
             ).alias("p")
         )
         .select("p.ia", "p.ib")
-        .persist()
+        .transform(persist_tracked)
     )
 
     deg = sym.groupBy("ia").agg(F.count(F.lit(1)).alias("n_nb"))
@@ -334,7 +335,7 @@ def dbscan(
     core_edges = (
         sym.join(core.select(F.col("id").alias("ia")), "ia")
         .join(core.select(F.col("id").alias("ib")), "ib")
-        .persist()
+        .transform(persist_tracked)
     )
 
     n_core_edges = core_edges.count()
@@ -353,7 +354,7 @@ def dbscan(
     # (changed == 0), which is what makes it exact regardless. Each
     # pass persists its result and unpersists the previous one, so
     # O(1) generations stay cached.
-    labels = core.select("id", F.col("id").alias("lbl")).persist()
+    labels = core.select("id", F.col("id").alias("lbl")).transform(persist_tracked)
     changed = 0
     for it in range(max_iter):
         nb_min = (
@@ -401,7 +402,7 @@ def dbscan(
             "Raise max_iter.",
             stacklevel=2,
         )
-    return _attach_borders(pts, sym, core, labels)
+    return _attach_borders(pts, sym, core, track(labels))
 
 
 def _driver_union_find(core: DataFrame, core_edges: DataFrame) -> DataFrame:

@@ -27,6 +27,7 @@ from ae_data_integration_spark.functions.hashing import (
     shingles,
 )
 from ae_data_integration_spark.functions.text import fingerprint, tokens
+from ae_data_integration_spark.functions.caching import persist_tracked
 
 
 def exact_dup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -119,7 +120,7 @@ def lsh_candidate_pairs_from_shingles(
     # The self-join would recompute the whole shingle→md5→signature
     # lineage for each side; persist the (tiny: one row per doc per
     # band) band table so the expensive pass runs once.
-    bands = bands.persist()
+    bands = bands.transform(persist_tracked)
     x, y = bands.alias("x"), bands.alias("y")
     return (
         x.join(y, ["band", "bucket"])
@@ -148,8 +149,8 @@ def lsh_candidate_pairs_across(
     to the batch, never corpus², which is what makes continuous
     ingestion dedup feasible where a full-corpus re-pair is not.
     """
-    ba = lsh_band_table(batch_shingles, num_perm, num_bands, max_bucket).persist()
-    bb = lsh_band_table(corpus_shingles, num_perm, num_bands, max_bucket).persist()
+    ba = lsh_band_table(batch_shingles, num_perm, num_bands, max_bucket).transform(persist_tracked)
+    bb = lsh_band_table(corpus_shingles, num_perm, num_bands, max_bucket).transform(persist_tracked)
     return (
         ba.alias("x")
         .join(bb.alias("y"), ["band", "bucket"])
@@ -431,7 +432,7 @@ def semantic_dedup_lsh(
             l2_norm("vec").alias("nrm"),
             hyperplane_signature("vec", bits, salt=salt, dim=d or 64).alias("cluster"),
         )
-        .persist()
+        .transform(persist_tracked)
     )
     a, b = sig.alias("a"), sig.alias("b")
     pairs = (
@@ -494,7 +495,7 @@ def semantic_dedup(
     sig = (
         _widen(assigned.select("id", "vec", "cluster"))
         .withColumn("nrm", l2_norm("vec"))
-        .persist()
+        .transform(persist_tracked)
     )
     a, b = sig.alias("a"), sig.alias("b")
     pairs = (

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ae_data_integration_spark.functions.arrays import to_double
 from ae_data_integration_spark.functions.hashing import md5_rank
 from ae_data_integration_spark.functions.portable import Q30, Q40, fpsum
+from ae_data_integration_spark.functions.caching import persist_tracked
 
 _SQDIST = "sqdist"
 
@@ -85,7 +86,7 @@ def kmeans_fit(
     # iterative fitters cache their input.
     points = df.select(
         F.col(key_col).alias("id"), to_double(vec_col).alias("vec")
-    ).persist()
+    ).transform(persist_tracked)
     # Init = the k rows with smallest md5(salt‖key): a distributed
     # TopK (orderBy+limit is rewritten to TakeOrderedAndProject, no
     # global sort), enumerated on the driver — k×d doubles, the same

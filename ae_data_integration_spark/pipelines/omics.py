@@ -44,6 +44,7 @@ from ae_data_integration_spark.operators.train import (
     train_ae_numpy,
     train_full_on_executor,
 )
+from ae_data_integration_spark.functions.caching import persist_tracked
 from ae_data_integration_spark.sources.matrix_io import (
     align_views,
     assert_aligned,
@@ -234,7 +235,7 @@ def run_reference_pipeline(
         ).select("sample_id", F.col("label_id").cast("int").alias("label"))
         emb = emb_raw.join(F.broadcast(enc), "sample_id").select(
             "sample_id", "embedding", "label", "recon_loss"
-        ).persist()
+        ).transform(persist_tracked)
         st = emb.agg(
             (fpsum("recon_loss", Q30) / F.count(F.lit(1)).cast("double")).alias("m"),
             (
