@@ -96,11 +96,21 @@ def embed_and_recon(
     v2_col: str = "features_v2",
     view_dims: tuple[int, int] | None = None,
     key_type: str = "long",
+    forward=None,
 ) -> DataFrame:
     """C8 + A2: batched inference producing (key, embedding,
     recon_loss) where recon_loss is the per-subject
     sqrt(Σ(norm(x̂)−norm(x))²) sum over both views
     (ref reconloss_from_retrained_models.py:45,69-72).
+
+    ``forward`` is THE swap point the module docstring names: any
+    callable with ``ae_forward``'s signature (numpy batches in,
+    (z, x1_hat, x2_hat) out) — e.g.
+    ``operators.torch_exec.ae_forward_torch`` on a torch/GPU
+    deployment. Default None = the numpy kernel. The Spark side
+    (broadcast weights, Arrow batching, output schema) is identical
+    either way; kernel equivalence is pinned in
+    tests/test_torch_exec.py.
 
     ``view_dims`` sets the REAL per-view input widths (e.g.
     (20531, 1046) at the reference's production scale); None keeps
@@ -117,6 +127,7 @@ def embed_and_recon(
         view_dims = (d, d)
     weights = build_weights(arch, view_dims)
     bweights = spark.sparkContext.broadcast(weights)
+    fwd = forward if forward is not None else ae_forward
 
     schema = f"{key_col} {key_type}, embedding array<double>, recon_loss double"
 
@@ -127,7 +138,7 @@ def embed_and_recon(
                 continue
             x1 = np.stack(pdf[v1_col].to_numpy())
             x2 = np.stack(pdf[v2_col].to_numpy())
-            z, x1_hat, x2_hat = ae_forward(x1, x2, arch, w)
+            z, x1_hat, x2_hat = fwd(x1, x2, arch, w)
             r1 = _l2norm_rows(x1_hat) - _l2norm_rows(x1)
             r2 = _l2norm_rows(x2_hat) - _l2norm_rows(x2)
             loss = np.sqrt((r1 * r1).sum(axis=1)) + np.sqrt((r2 * r2).sum(axis=1))

@@ -602,3 +602,85 @@ def test_rolling_dau_stream_matches_batch_e11(spark, tmp_path):
         r["win_day"]: r["dau_7d"] for r in q.fn(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_stateful_checkpoint_recovery_sessionize(spark, tmp_path):
+    """Kill-and-restart recovery for the STATEFUL sessionizer: drain
+    half the source, stop, restart from the checkpoint with the rest
+    (sessions spanning the boundary must be stitched from recovered
+    state, not restarted), and assert the union of emissions across
+    both runs equals the batch e2 result exactly-once. A restart with
+    no new data must emit nothing. The split is at a global event-time
+    threshold so the phase-1 watermark cannot discard phase-2 rows —
+    the same ordering a replayable log (Kafka offsets) gives a real
+    deployment; see SCALE.md's recovery row."""
+    from pyspark.sql import Window
+
+    from ae_data_integration_spark.streaming.events import sessionize_stream
+
+    ev = table(spark, SF_SMOKE, "events").select("user_id", "event_id", "ts")
+    cut_us = ev.agg(
+        F.percentile_approx(F.unix_micros("ts"), 0.5).alias("m")
+    ).first()["m"]
+    ten_days_us = 10 * 24 * 3600 * 1_000_000
+    mx_us = ev.agg(F.max(F.unix_micros("ts")).alias("m")).first()["m"] + ten_days_us
+    flush = ev.select("user_id").distinct().select(
+        "user_id",
+        F.lit(-1).cast("long").alias("event_id"),
+        F.timestamp_micros(F.lit(mx_us)).alias("ts"),
+    )
+
+    src = str(tmp_path / "rec_src")
+    out = str(tmp_path / "rec_out")
+    ckpt = str(tmp_path / "rec_ckpt")
+    ev.filter(F.unix_micros("ts") < cut_us).write.mode("overwrite").parquet(src)
+
+    def drain():
+        q = (
+            sessionize_stream(spark.readStream.schema(ev.schema).parquet(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).count()
+
+    n1 = drain()          # phase 1: first half, then the query stops
+    assert drain() == n1  # restart, no new data: exactly-once, no re-emission
+    # phase 2: the rest + the sentinel arrive; recovered state stitches
+    # sessions that were open at the cut
+    ev.filter(F.unix_micros("ts") >= cut_us).unionByName(flush).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+
+    got = sorted(
+        (r["user_id"], r["session_start_us"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert len(got) == len(set(got)), "duplicate session emissions after restart"
+
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    base = ev.select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
+    flagged = base.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sess_id", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    want = sorted(
+        (r["user_id"], r["session_start_us"], r["n_events"])
+        for r in sess.groupBy("user_id", "sess_id")
+        .agg(F.min("ts_us").alias("session_start_us"),
+             F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    assert got == want
