@@ -776,9 +776,12 @@ _P4B_MD5U = (
 
 
 def _p4b_proj(j: str) -> str:
+    # Width comes from the vector itself (len(v)), matching the Spark
+    # side's runtime _vec_dim probe — a fixture-width change breaks
+    # neither side, or both identically, never silently one.
     unit = _P4B_MD5U.format(key=f"{j} || ':' || p[2]")
     return (
-        f"list_reduce(list_transform(list_zip(v, range(0, 64)),"
+        f"list_reduce(list_transform(list_zip(v, range(0, len(v))),"
         f" p -> p[1] * ({unit} - 0.5)), (a, b) -> a + b)"
     )
 

@@ -65,7 +65,13 @@ def cipher(i: int) -> str:
     ))
 
 
-def generate(src: str = DEFAULT_SRC, out: str = DEFAULT_OUT, factor: int = 10) -> str:
+def generate(src: str = DEFAULT_SRC, out: str = DEFAULT_OUT, factor: int = 10,
+             tables: tuple[str, ...] | None = None) -> str:
+    """``tables=None`` generates the full star schema. A subset (e.g.
+    ("documents", "embeddings") for the third-decade 1000x spot-leg,
+    whose three queries touch only the corpus tables) skips the rest —
+    at factor 1000 the full schema would be ~17 GB dominated by a
+    600M-row lineitem no 1000x query reads."""
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
 
@@ -73,6 +79,8 @@ def generate(src: str = DEFAULT_SRC, out: str = DEFAULT_OUT, factor: int = 10) -
         return f"read_parquet('{os.path.join(src, t)}.parquet')"
 
     def copy(t: str, select_sql: str) -> None:
+        if tables is not None and t not in tables:
+            return
         con.execute(
             f"COPY ({select_sql}) TO '{os.path.join(out, t)}.parquet' (FORMAT PARQUET)"
         )
@@ -173,4 +181,5 @@ if __name__ == "__main__":
     src = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_SRC
     out = sys.argv[2] if len(sys.argv) > 2 else DEFAULT_OUT
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    print(generate(src, out, factor))
+    tables = tuple(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    print(generate(src, out, factor, tables=tables))

@@ -55,17 +55,40 @@ def _run_leg(script: str, sf_dir: str) -> dict:
         tmp = tf.name
     try:
         t0 = time.time()
-        proc = subprocess.run(
-            [sys.executable, os.path.join(REPO, "scripts", script),
-             "--json", tmp, sf_dir],
-            cwd=REPO, capture_output=True, text=True, timeout=3600,
-        )
-        with open(tmp) as fh:
-            record = json.load(fh)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "scripts", script),
+                 "--json", tmp, sf_dir],
+                cwd=REPO, capture_output=True, text=True, timeout=3600,
+            )
+        except subprocess.TimeoutExpired as exc:
+            return {
+                "failed": True,
+                "error": f"timeout after {exc.timeout}s",
+                "wall_sec": round(time.time() - t0, 1),
+                "exit_code": None,
+                "stdout_tail": (exc.stdout or b"")[-2000:].decode("utf-8", "replace")
+                if isinstance(exc.stdout, bytes) else (exc.stdout or "")[-2000:],
+                "stderr_tail": (exc.stderr or b"")[-4000:].decode("utf-8", "replace")
+                if isinstance(exc.stderr, bytes) else (exc.stderr or "")[-4000:],
+            }
+        try:
+            with open(tmp) as fh:
+                record = json.load(fh)
+        except (OSError, json.JSONDecodeError) as exc:
+            # A leg that died before writing its JSON (Spark OOM,
+            # import error, timeout) must still leave a durable record
+            # with the context needed to diagnose it, not crash the
+            # recorder and lose the captured output.
+            record = {
+                "failed": True,
+                "error": f"{type(exc).__name__}: {exc}",
+                "stderr_tail": proc.stderr[-4000:],
+            }
         record["wall_sec"] = round(time.time() - t0, 1)
         record["exit_code"] = proc.returncode
         # keep the tail of stdout for context on failures
-        if proc.returncode != 0:
+        if proc.returncode != 0 or record.get("failed"):
             record["stdout_tail"] = proc.stdout[-2000:]
         return record
     finally:
@@ -88,14 +111,20 @@ def main() -> int:
         json.dump(out, fh, indent=1, sort_keys=True)
         fh.write("\n")
     p, h = out["parity"], out["hostile"]
+
+    def leg_line(r: dict) -> str:
+        if r.get("failed"):
+            return f"FAILED ({r['error']}, {r['wall_sec']}s)"
+        return f"{r['n_ok']}/{r['n_total']} ({r['wall_sec']}s)"
+
     print(
-        f"wrote {name}: parity {p['n_ok']}/{p['n_total']} "
-        f"({p['wall_sec']}s), hostile {h['n_ok']}/{h['n_total']} "
-        f"({h['wall_sec']}s), dtype divergences: "
-        f"{len(h.get('dtype_divergences', []))}"
+        f"wrote {name}: parity {leg_line(p)}, hostile {leg_line(h)}, "
+        f"dtype divergences: {len(h.get('dtype_divergences', []))}"
     )
     ok = (
-        p["n_ok"] == p["n_total"]
+        not p.get("failed")
+        and not h.get("failed")
+        and p["n_ok"] == p["n_total"]
         and h["n_ok"] == h["n_total"]
         and not h.get("dtype_divergences")
     )
