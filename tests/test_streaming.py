@@ -684,3 +684,51 @@ def test_stateful_checkpoint_recovery_sessionize(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_rocksdb_state_store_provider_swap(spark, tmp_path):
+    """SCALE.md's cluster-deltas table claims the streaming state
+    shapes survive swapping the default (HDFS-backed in-memory) state
+    store for RocksDB — the provider a durable 100-node deployment
+    runs. Prove it: the stateful sessionizer under
+    RocksDBStateStoreProvider (rocksdbjni ships with pyspark) emits
+    exactly the sessions the default provider emits. The conf is
+    per-query (read at stream start), so set/restore around the run."""
+    from ae_data_integration_spark.streaming.events import (
+        run_available_now,
+        sessionize_stream,
+    )
+
+    ev = table(spark, SF_SMOKE, "events").select("user_id", "event_id", "ts")
+    ten_days_us = 10 * 24 * 3600 * 1_000_000
+    mx_us = ev.agg(F.max(F.unix_micros("ts")).alias("m")).first()["m"] + ten_days_us
+    flush = ev.select("user_id").distinct().select(
+        "user_id",
+        F.lit(-1).cast("long").alias("event_id"),
+        F.timestamp_micros(F.lit(mx_us)).alias("ts"),
+    )
+    src = str(tmp_path / "rocks_src")
+    ev.unionByName(flush).write.mode("overwrite").parquet(src)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    prev = spark.conf.get(key, None)
+
+    def drain(tag):
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        run_available_now(sessionize_stream(stream), tag, mode="append")
+        return sorted(
+            (r["user_id"], r["session_start_us"], r["n_events"])
+            for r in spark.table(tag).collect()
+        )
+
+    base = drain("t_rocks_base")
+    try:
+        spark.conf.set(key, rocks)
+        got = drain("t_rocks_swap")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert got == base and len(base) > 0
