@@ -58,6 +58,9 @@ QUERIES = [
     "s7_ivfpq_adc_rerank",       # coarse cells + residual PQ (r9)
     "t22_bpe_batched",           # multi-merge batched trainer (r9)
     "sk5_kmv_jaccard_matrix",    # merged-KMV overlap estimates (r9)
+    "d2b_minhash_lsh_wide",      # 16-perm / 2x8-band near-dup twin (r10)
+    "s6q_pq_serve",              # PQ serve from persisted artifact (r10)
+    "s7q_ivfpq_serve",           # IVF-PQ serve from artifact (r10)
 ]
 
 
