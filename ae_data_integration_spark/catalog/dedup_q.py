@@ -939,8 +939,13 @@ def pipe5_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars", "text")
         .transform(persist_tracked)
     )
-    sh_b = doc_shingles(b1, "doc_id", "text", k=5, spread=True).transform(persist_tracked)
-    sh_c = doc_shingles(corpus, "doc_id", "text", k=5, spread=True).transform(persist_tracked)
+    # NOT cached (r10): a corpus-sized shingle cache pinned enough
+    # storage memory at the 1000x spot leg to starve execution
+    # (UNABLE_TO_ACQUIRE_MEMORY). The band table is the small reusable
+    # artifact; the verify side recomputes shingles for the
+    # broadcast-pruned candidate docs only (jaccard_verify r10 note).
+    sh_b = doc_shingles(b1, "doc_id", "text", k=5, spread=True)
+    sh_c = doc_shingles(corpus, "doc_id", "text", k=5, spread=True)
     cands = lsh_candidate_pairs_across(sh_b, sh_c, num_perm=8, num_bands=2)
     near = (
         jaccard_verify(cands, sh_b.unionByName(sh_c), threshold=_P5_THRESH)
@@ -1041,8 +1046,13 @@ def pipe5b_incremental_dedup_wide(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_id", "n_chars", "text")
         .transform(persist_tracked)
     )
-    sh_b = doc_shingles(b1, "doc_id", "text", k=5, spread=True).transform(persist_tracked)
-    sh_c = doc_shingles(corpus, "doc_id", "text", k=5, spread=True).transform(persist_tracked)
+    # NOT cached (r10): a corpus-sized shingle cache pinned enough
+    # storage memory at the 1000x spot leg to starve execution
+    # (UNABLE_TO_ACQUIRE_MEMORY). The band table is the small reusable
+    # artifact; the verify side recomputes shingles for the
+    # broadcast-pruned candidate docs only (jaccard_verify r10 note).
+    sh_b = doc_shingles(b1, "doc_id", "text", k=5, spread=True)
+    sh_c = doc_shingles(corpus, "doc_id", "text", k=5, spread=True)
     cands = lsh_candidate_pairs_across(sh_b, sh_c, num_perm=16, num_bands=2)
     near = (
         jaccard_verify(cands, sh_b.unionByName(sh_c), threshold=_P5_THRESH)

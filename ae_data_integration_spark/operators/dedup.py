@@ -224,14 +224,33 @@ def jaccard_verify(
     text through the shuffle and hashed every string again inside
     array_intersect's set build — 54.4 s for 2.7M pairs; the 8-byte
     long form measured 7.3 s for the identical result (r8).
+
+    Why pruned (r10): only docs that appear in a candidate pair need
+    their hashed arrays, and the candidate DOC set is small by LSH
+    design (r ~ log N holds candidates ~linear in the batch — if it
+    weren't small, no verify strategy would be feasible). Broadcasting
+    it filters the corpus-sized array side MAP-SIDE, so the verify
+    shuffle carries |candidate docs| arrays instead of |corpus| — the
+    unpruned form shipped ~12 GB of shingle arrays at the 1000x spot
+    leg and starved execution memory (UNABLE_TO_ACQUIRE_MEMORY,
+    SCALE_SPOT_r10 first attempt). ``pairs`` is persisted (tracked,
+    pair-ids-only) because the broadcast makes it a second consumer.
     """
+    pairs = persist_tracked(pairs)
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
     hs = F.array_distinct(
         F.transform(
             "shs",
             lambda x: F.conv(F.substring(F.md5(x), 1, 12), 16, 10).cast("long"),
         )
     )
-    hashed = shingle_df.select(F.col("doc"), hs.alias("hs"))
+    hashed = shingle_df.join(F.broadcast(cand_docs), "doc").select(
+        F.col("doc"), hs.alias("hs")
+    )
     a = hashed.select(F.col("doc").alias("doc_a"), F.col("hs").alias("hs_a"))
     b = hashed.select(F.col("doc").alias("doc_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
