@@ -27,6 +27,11 @@ Usage:
       keys absent from BENCH_STEADY.json and merge them in — the way
       NEW queries get baseline rows without resetting the existing
       wall (a full re-baseline every round would hide slow drift).
+  python scripts/make_bench_steady.py --keys a,b,c    # re-time ONLY the
+      named keys and merge — for queries whose PLAN deliberately
+      changed (e.g. the r10 verify-prune family), where the old wall
+      measures a plan that no longer exists. Never use this to absorb
+      an unexplained regression: the merge list records every use.
   python scripts/make_bench_steady.py --report        # record steady
       rows for the §3.3 report chain (fixture: warmup + min-of-2;
       full reference width: one-shot, same as bench.py's protocol)
@@ -92,6 +97,9 @@ def main() -> None:
         _report_baseline()
         return
     missing_only = "--missing-only" in sys.argv
+    keys: set[str] | None = None
+    if "--keys" in sys.argv:
+        keys = set(sys.argv[sys.argv.index("--keys") + 1].split(","))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry = load_all()
     bench_queries = {
@@ -100,7 +108,15 @@ def main() -> None:
 
     path = os.path.join(REPO, "BENCH_STEADY.json")
     prior: dict = {}
-    if missing_only:
+    if keys is not None:
+        with open(path) as fh:
+            prior = json.load(fh)
+        unknown = keys - set(bench_queries)
+        if unknown:
+            raise SystemExit(f"--keys not bench-tagged: {sorted(unknown)}")
+        bench_queries = {n: q for n, q in bench_queries.items() if n in keys}
+        print(f"re-timing {len(bench_queries)} keys: {sorted(bench_queries)}")
+    elif missing_only:
         with open(path) as fh:
             prior = json.load(fh)
         have = set(prior["protocols"]["shared"])
