@@ -202,7 +202,10 @@ def embedding_near_dup_drops(
 
 
 def jaccard_verify(
-    pairs: DataFrame, shingle_df: DataFrame, threshold: float = 0.0
+    pairs: DataFrame,
+    shingle_df: DataFrame,
+    threshold: float = 0.0,
+    prune: bool | None = None,
 ) -> DataFrame:
     """Exact set Jaccard for candidate pairs, over 48-bit-hashed
     shingles.
@@ -225,32 +228,55 @@ def jaccard_verify(
     array_intersect's set build — 54.4 s for 2.7M pairs; the 8-byte
     long form measured 7.3 s for the identical result (r8).
 
-    Why pruned (r10): only docs that appear in a candidate pair need
-    their hashed arrays, and the candidate DOC set is small by LSH
-    design (r ~ log N holds candidates ~linear in the batch — if it
-    weren't small, no verify strategy would be feasible). Broadcasting
-    it filters the corpus-sized array side MAP-SIDE, so the verify
-    shuffle carries |candidate docs| arrays instead of |corpus| — the
-    unpruned form shipped ~12 GB of shingle arrays at the 1000x spot
-    leg and starved execution memory (UNABLE_TO_ACQUIRE_MEMORY,
-    SCALE_SPOT_r10 first attempt). ``pairs`` is persisted (tracked,
-    pair-ids-only) because the broadcast makes it a second consumer.
+    Why pruned at scale (r10): only docs that appear in a candidate
+    pair need their hashed arrays, and the candidate DOC set is small
+    by LSH design (r ~ log N holds candidates ~linear in the batch —
+    if it weren't small, no verify strategy would be feasible).
+    Broadcasting it filters the corpus-sized array side MAP-SIDE, so
+    the verify shuffle carries |candidate docs| arrays instead of
+    |corpus| — the unpruned form shipped ~12 GB of shingle arrays at
+    the 1000x spot leg and starved execution memory
+    (UNABLE_TO_ACQUIRE_MEMORY, SCALE_SPOT_r10 first attempt). When
+    pruning, ``pairs`` is persisted (tracked, pair-ids-only) because
+    the broadcast makes it a second consumer.
+
+    Why ADAPTIVE (``prune=None``): the prune adds three fixed stages
+    (pairs cache, doc-set distinct, broadcast build) that cost ~1-2 s
+    of codegen/scheduling — pure overhead on a sub-second fixture
+    query, pure necessity at the third decade. The switch reads
+    Catalyst's sizeInBytes estimate for the shingle side (driver-side
+    plan stats, no job; measured 0.3 MB at sf0.1, 24 MB at 100x,
+    277 MB at 1000x) and prunes above 128 MB — the same
+    size-threshold logic Spark's own broadcast planning applies.
+    Results are identical either way; tests pin both branches.
     """
-    pairs = persist_tracked(pairs)
-    cand_docs = (
-        pairs.select(F.col("doc_a").alias("doc"))
-        .unionByName(pairs.select(F.col("doc_b").alias("doc")))
-        .distinct()
-    )
+    if prune is None:
+        try:
+            est = int(str(
+                shingle_df._jdf.queryExecution().optimizedPlan()
+                .stats().sizeInBytes()
+            ))
+            prune = est > 128 * 1024 * 1024
+        except Exception:  # noqa: BLE001 - stats are an optimization only
+            prune = True  # unknown size: take the scale-safe branch
     hs = F.array_distinct(
         F.transform(
             "shs",
             lambda x: F.conv(F.substring(F.md5(x), 1, 12), 16, 10).cast("long"),
         )
     )
-    hashed = shingle_df.join(F.broadcast(cand_docs), "doc").select(
-        F.col("doc"), hs.alias("hs")
-    )
+    if prune:
+        pairs = persist_tracked(pairs)
+        cand_docs = (
+            pairs.select(F.col("doc_a").alias("doc"))
+            .unionByName(pairs.select(F.col("doc_b").alias("doc")))
+            .distinct()
+        )
+        hashed = shingle_df.join(F.broadcast(cand_docs), "doc").select(
+            F.col("doc"), hs.alias("hs")
+        )
+    else:
+        hashed = shingle_df.select(F.col("doc"), hs.alias("hs"))
     a = hashed.select(F.col("doc").alias("doc_a"), F.col("hs").alias("hs_a"))
     b = hashed.select(F.col("doc").alias("doc_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")

@@ -112,3 +112,30 @@ def test_ivfpq_recall_floor(spark, emb_q):
         for r in REGISTRY[resolve("s7_ivfpq_adc_rerank")].fn(spark, SF_SMOKE).collect()
     }
     assert len(got & truth) / len(truth) >= 0.65
+
+
+def test_jaccard_verify_prune_branches_identical(spark):
+    """The size-adaptive verify prune (r10) is semantics-free: the
+    pruned (broadcast candidate-doc filter) and unpruned plans return
+    identical (doc_a, doc_b, jaccard) rows; auto mode picks the
+    unpruned branch at fixture scale (plan-stats far below the 128 MB
+    switch) and its plan carries no broadcast of the doc set."""
+    from ae_data_integration_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_verify,
+        lsh_candidate_pairs_from_shingles,
+    )
+    from ae_data_integration_spark.tables import table
+    from tests.conftest import SF_SMOKE
+
+    d = table(spark, SF_SMOKE, "documents")
+    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True)
+    pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=8, num_bands=2)
+
+    rows = lambda df: sorted(  # noqa: E731
+        (r["doc_a"], r["doc_b"], r["jaccard"]) for r in df.collect()
+    )
+    pruned = rows(jaccard_verify(pairs, shs, prune=True))
+    unpruned = rows(jaccard_verify(pairs, shs, prune=False))
+    auto = rows(jaccard_verify(pairs, shs))
+    assert pruned == unpruned == auto and len(auto) > 0
