@@ -90,9 +90,12 @@ _MD5U = (
 
 
 def _proj(j: str) -> str:
+    # len(v), not a hardcoded width: the Spark side probes the real
+    # dimension at runtime (similarity._vec_dim), so a fixture-width
+    # change must move both sides together (same fix as pipe4b, r10).
     unit = _MD5U.format(key=f"{j} || ':' || p[2]")
     return (
-        f"list_reduce(list_transform(list_zip(v, range(0, 64)),"
+        f"list_reduce(list_transform(list_zip(v, range(0, len(v))),"
         f" p -> p[1] * ({unit} - 0.5)), (a, b) -> a + b)"
     )
 
