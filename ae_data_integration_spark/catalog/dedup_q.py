@@ -117,7 +117,7 @@ def d2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     # One persisted shingle pass feeds BOTH the signature path and
     # the a/b sides of the verify join (3 consumers, 1 computation).
-    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).transform(persist_tracked)
+    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).transform(persist_tracked_if_small)
     pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=8, num_bands=2)
     return jaccard_verify(pairs, shs).orderBy("doc_a", "doc_b")
 
@@ -176,7 +176,7 @@ ORDER BY doc_a, doc_b
           tags=("dedup", "bench"))
 def d2b_minhash_lsh_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).transform(persist_tracked)
+    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).transform(persist_tracked_if_small)
     pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=16, num_bands=2)
     return jaccard_verify(pairs, shs).orderBy("doc_a", "doc_b")
 
@@ -245,7 +245,7 @@ def d5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     if tok.rdd.getNumPartitions() < par:
         tok = tok.repartition(par, "doc")
-    shs = tok.select("doc", word_ngrams_from_tokens("_toks", 3).alias("shs")).transform(persist_tracked)
+    shs = tok.select("doc", word_ngrams_from_tokens("_toks", 3).alias("shs")).transform(persist_tracked_if_small)
     pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=8, num_bands=2)
     return jaccard_verify(pairs, shs).orderBy("doc_a", "doc_b")
 
@@ -426,7 +426,7 @@ def d6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ae_data_integration_spark.operators.dedup import dup_clusters
 
     d = table(spark, sf_dir, "documents")
-    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).transform(persist_tracked)
+    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).transform(persist_tracked_if_small)
     pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=8, num_bands=2)
     verified = jaccard_verify(pairs, shs, threshold=_D6_THRESH).select(
         "doc_a", "doc_b"
@@ -472,7 +472,7 @@ def pipe2_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ae_data_integration_spark.operators.dedup import dup_labels
 
     d = table(spark, sf_dir, "documents")
-    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).transform(persist_tracked)
+    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).transform(persist_tracked_if_small)
     pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=8, num_bands=2)
     verified = jaccard_verify(pairs, shs, threshold=_D6_THRESH).select(
         "doc_a", "doc_b"
@@ -538,7 +538,7 @@ def g3_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ae_data_integration_spark.operators.graph import pagerank_fixed
 
     d = table(spark, sf_dir, "documents")
-    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).transform(persist_tracked)
+    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).transform(persist_tracked_if_small)
     pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=8, num_bands=2)
     verified = jaccard_verify(pairs, shs, threshold=_D6_THRESH).select(
         "doc_a", "doc_b"
@@ -664,7 +664,7 @@ def pipe3_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = surv.filter((quality >= 0.5) & (rep <= 0.5)).select(
         "doc_id", "text"
     ).transform(persist_tracked)
-    ch = chunk_tokens(gated, "doc_id", "text", chunk=32, overlap=8).transform(persist_tracked)
+    ch = chunk_tokens(gated, "doc_id", "text", chunk=32, overlap=8).transform(persist_tracked_if_small)
     bins = pack_chunks(ch, "doc_id", ctx=512, n_shards=16)
     n_docs_in = d.count()
     g = gated.count()
@@ -870,7 +870,10 @@ def pipe4b_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only its own bands (operators/dedup.lsh_candidate_pairs_across).
 
 from ae_data_integration_spark.operators.dedup import lsh_candidate_pairs_across
-from ae_data_integration_spark.functions.caching import persist_tracked
+from ae_data_integration_spark.functions.caching import (
+    persist_tracked,
+    persist_tracked_if_small,
+)
 
 _P5_THRESH = 0.5
 _P5_FP_T = r"md5(trim(regexp_replace(lower({t}), '\s+', ' ', 'g')))"
@@ -1100,7 +1103,7 @@ ORDER BY src_a, src_b
           tags=("dedup",))
 def d7_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).transform(persist_tracked)
+    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).transform(persist_tracked_if_small)
     pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=8, num_bands=2)
     verified = jaccard_verify(pairs, shs, threshold=_D6_THRESH).select(
         "doc_a", "doc_b"
@@ -1178,7 +1181,7 @@ LIMIT 20
           tags=("dedup", "graph"))
 def g5_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).transform(persist_tracked)
+    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).transform(persist_tracked_if_small)
     pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=8, num_bands=2)
     verified = (
         jaccard_verify(pairs, shs, threshold=_D6_THRESH)

@@ -30,6 +30,27 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     return df
 
 
+def persist_tracked_if_small(
+    df: DataFrame, max_bytes: int = 128 * 1024 * 1024
+) -> DataFrame:
+    """persist_tracked when Catalyst's sizeInBytes estimate is under
+    ``max_bytes``; pass through UNCACHED otherwise. For frames whose
+    size follows the corpus (shingle tables): a cache that saves one
+    recompute at bench scale pins the storage pool and starves
+    execution at the third decade (d2b's 1000x cache build OOM'd in
+    CachedRDDBuilder; pipe5b's equivalent starved
+    UNABLE_TO_ACQUIRE_MEMORY — SCALE_SPOT_r10). The estimate is
+    driver-side plan stats, no job; when stats are unavailable the
+    frame streams uncached — the scale-safe default."""
+    try:
+        est = int(str(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        ))
+    except Exception:  # noqa: BLE001 - stats are an optimization only
+        return df
+    return persist_tracked(df) if est <= max_bytes else df
+
+
 def track(df: DataFrame) -> DataFrame:
     """Register an ALREADY-persisted frame for release_tracked() —
     for loop-style operators (dbscan label propagation) whose final
