@@ -705,6 +705,45 @@ def s6q_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rk")
 
 
+# --- S6r: serve with the refine ~ N rule (the recall knob at scale) --------
+# Fixed refine decays recall with corpus size (measured at 1000x:
+# 0.53 -> 0.13 @ refine=60; 0.69 restored @ refine=6000 — recall
+# tracks the refine FRACTION of the corpus on structure-free
+# embeddings, SCALE.md r10 / SCALE_SPOT_r10.ann_recall_1000x). This
+# row makes the rule first-class: refine = max(60, ceil(N / 333)) —
+# ~0.3% of the corpus — computed by integer ceil-div on BOTH sides
+# (same in-SQL-rule discipline as pipe4b's bits = f(N)). The rerank
+# stays Q x refine exact-cosine rows: trivial next to the ADC scan.
+
+_S6R_SQL = _pq_sql(
+    refine="greatest(60, ((SELECT COUNT(*) FROM embeddings) + 332) // 333)"
+)
+
+
+@register("s6r_pq_serve_scaled", oracle=_S6R_SQL,
+          doc="PQ-ADC serve with the corpus-following refine rule "
+              "(max(60, ceil(N/333)) ~ 0.3% of the corpus): the recall "
+              "knob a growing deployment turns instead of rebuilding the "
+              "index. Same persisted artifact and oracle family as s6q; "
+              "the integer refine rule is replayed in-SQL.",
+          tags=("similarity",))
+def s6r_pq_serve_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.ann_index import (
+        ensure_pq_index,
+        pq_serve_topk,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
+    n = e.count()
+    refine = max(_S6_REFINE, (n + 332) // 333)
+    path = ensure_pq_index(e, m=_S6_M, k=_S6_K, salt="pq")
+    return pq_serve_topk(
+        e, q, path, m=_S6_M, k=_S6_K, refine=refine, topk=_S6_TOPK
+    ).orderBy("q_id", "rk")
+
+
+
 @register("s7q_ivfpq_serve", oracle=_s7_sql(),
           doc="IVF-PQ search against a PERSISTED index (build/serve split): "
               "coarse centroids + residual codebooks broadcast from the "
