@@ -611,3 +611,50 @@ def c2_dbscan_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("cluster")
     )
+
+
+# --- C7c: the t-SNE itself (plot-scale, exact, seeded) ------------------------
+# Closes the "t-SNE substituted by PCA" residual: the reference's
+# visualization leg (tsn_visulization.py:8-27, sklearn
+# TSNE(n_components=2, init='pca')) now runs as the engine's own
+# exact implementation (operators/tsne.py — van der Maaten 2008,
+# PCA-initialized so the fit is bit-deterministic with NO RNG).
+# Gradient descent + perplexity binary search are not SQL →
+# rows-only; the contract pins row count, finite centered
+# coordinates, and the plot-scale input cap; KL descent, blob
+# separation, and partition-independence are golden-tested
+# (tests/test_tsne.py). c7b's distributed PCA remains the
+# scale-bearing projection; this row is the plot-scale endpoint the
+# reference actually ships.
+
+
+def _check_tsne_contract(sdf, spark, sf_dir: str) -> str:
+    import numpy as np
+
+    for col in ("tsne_1", "tsne_2"):
+        v = sdf[col].to_numpy(dtype=float)
+        if not np.isfinite(v).all():
+            return f"{col} has non-finite values"
+        if abs(float(v.mean())) > 1e-6 * max(1.0, float(np.abs(v).max())):
+            return f"{col} not centered (mean={v.mean()})"
+    if sdf["vec_id"].duplicated().any():
+        return "duplicate keys in t-SNE output"
+    return ""
+
+
+@register("z_c7c_tsne_2d", oracle=None,
+          doc="Exact 2-D t-SNE on a plot-scale embedding sample "
+              "(perplexity 30, PCA init, 250 iters) — the reference's "
+              "visualization leg run for real instead of substituted. "
+              "Rows-only (gradient descent is not SQL); contract pins one "
+              "row per input, finite centered coords; determinism / KL "
+              "descent / separation golden-tested in tests/test_tsne.py.",
+          tags=("clustering", "projection"),
+          min_rows=200,
+          columns=("vec_id", "tsne_1", "tsne_2"),
+          check=_check_tsne_contract)
+def c7c_tsne_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.tsne import tsne_2d
+
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return tsne_2d(e, n_iter=250)
