@@ -1205,3 +1205,92 @@ def g5_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "doc_id")
         .limit(20)
     )
+
+
+# --- DQ4: dedup mixture drift ------------------------------------------------
+# What exact dedup DOES to the source mixture — the report a curation
+# run ships next to pipe6's data card: per-source doc counts and
+# corpus shares before vs after keep-first exact dedup (the d1/pipe2
+# canonical rule), plus the per-source KL(after ‖ before) term that
+# quantifies how much the dedup pass re-weighted the mixture a
+# downstream t12/pipe7 sampler will see. Duplicate-heavy sources
+# shrink; the KL sum is the single drift number to alert on.
+#
+# Exactness: shares divide exactly-representable longs (bit-portable
+# unrounded); the KL term takes a non-correctly-rounded ln, so it is
+# rounded to 6 decimals on both sides (the mix_weight discipline).
+# Scale shape: one fingerprint groupBy (the d1 aggregate), one
+# doc_id-keyed semi join, source-keyed counts, and a 1-row totals
+# broadcast — |sources| rows out at any corpus size.
+
+_DQ4_SQL = r"""
+WITH per_doc AS (
+  SELECT source, doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+canon AS (SELECT MIN(doc_id) AS keep_id FROM per_doc GROUP BY fp),
+b AS (SELECT source, COUNT(*) AS n_b FROM per_doc GROUP BY source),
+a AS (
+  SELECT p.source, COUNT(*) AS n_a
+  FROM per_doc p JOIN canon c ON p.doc_id = c.keep_id
+  GROUP BY p.source
+),
+tot AS (
+  SELECT (SELECT SUM(n_b) FROM b) AS nb_tot,
+         (SELECT SUM(n_a) FROM a) AS na_tot
+)
+SELECT b.source,
+       CAST(b.n_b AS BIGINT) AS n_docs_before,
+       CAST(COALESCE(a.n_a, 0) AS BIGINT) AS n_docs_after,
+       b.n_b / CAST(t.nb_tot AS DOUBLE) AS share_before,
+       COALESCE(a.n_a, 0) / CAST(t.na_tot AS DOUBLE) AS share_after,
+       CASE WHEN COALESCE(a.n_a, 0) > 0
+            THEN round((COALESCE(a.n_a, 0) / CAST(t.na_tot AS DOUBLE))
+                       * ln((COALESCE(a.n_a, 0) / CAST(t.na_tot AS DOUBLE))
+                            / (b.n_b / CAST(t.nb_tot AS DOUBLE))), 6)
+            ELSE 0.0 END AS kl_term
+FROM b LEFT JOIN a ON b.source = a.source CROSS JOIN tot t
+ORDER BY b.source
+"""
+
+
+@register("dq4_dedup_drift", oracle=_DQ4_SQL,
+          doc="Per-source mixture drift under keep-first exact dedup: "
+              "before/after doc counts and shares plus the KL(after‖before) "
+              "term — the alert metric for dedup re-weighting the mixture. "
+              "One fingerprint groupBy + one semi join + source counts; "
+              "|sources| rows out at any scale.",
+          tags=("dedup", "quality"))
+def dq4_dedup_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.functions.text import fingerprint
+
+    d = table(spark, sf_dir, "documents")
+    per_doc = d.select("source", "doc_id", fingerprint("text").alias("fp"))
+    canon = per_doc.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = per_doc.join(canon.select("doc_id"), "doc_id", "left_semi")
+    b = per_doc.groupBy("source").agg(F.count(F.lit(1)).alias("n_b"))
+    a = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_a"))
+    tot = b.agg(F.sum("n_b").alias("nb_tot")).crossJoin(
+        a.agg(F.sum("n_a").alias("na_tot"))
+    )
+    share_b = F.col("n_b") / F.col("nb_tot").cast("double")
+    n_a0 = F.coalesce("n_a", F.lit(0).cast("long"))
+    share_a = n_a0 / F.col("na_tot").cast("double")
+    return (
+        b.join(a, "source", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_b").alias("n_docs_before"),
+            n_a0.alias("n_docs_after"),
+            share_b.alias("share_before"),
+            share_a.alias("share_after"),
+            F.when(
+                n_a0 > 0, F.round(share_a * F.log(share_a / share_b), 6)
+            )
+            .otherwise(F.lit(0.0))
+            .alias("kl_term"),
+        )
+        .orderBy("source")
+    )

@@ -1643,3 +1643,265 @@ def pipe7_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- T23: n-gram LM perplexity quality filter (CCNet-style) ------------------
+# The canonical LLM-corpus quality stage this catalog was still
+# missing: train a smoothed bigram language model on a REFERENCE
+# slice (here lang='en' — the CCNet recipe trains on Wikipedia),
+# score every document by average per-token negative log-likelihood
+# (monotone in perplexity; exp() is deliberately never taken), and
+# bucket the corpus into head/middle/tail perplexity terciles — the
+# standard keep/downsample/drop split.
+#
+# Exactness: per-token -ln P is Q30-quantized before the per-doc sum
+# (ln is not correctly-rounded IEEE; the quantized partials make the
+# sum order- and partition-independent — t14's discipline); the
+# per-doc average divides two exactly-representable integers, so it
+# is bit-portable unrounded. Vocabulary is top-64 train tokens by
+# (count DESC, token) — an exact, tie-broken rule; OOV maps to
+# '<unk>', document starts to a '<s>' context; add-1 smoothing over
+# the 65-symbol emission space.
+#
+# Scale shape: the LM is MODEL-SIZED (≤ 65×65 bigram rows + 65
+# contexts) and broadcasts to the scoring scan; token→vocab mapping
+# is a 64-literal isin inside an array transform (zero shuffle);
+# bigram pairs come from a transform-with-index over the mapped
+# array (zero shuffle, no per-token lag window); scoring is one
+# doc_id-keyed aggregate. The terciles use functions/ranks.py's
+# distributed order statistics — per-partition offsets + two direct
+# row fetches — NEVER a global single-partition row_number/ntile;
+# the oracle replays the identical boundaries with a plain ntile(3)
+# because order-statistic VALUES are partition-independent.
+
+_T23_V = 64           # reference vocabulary size
+_T23_EMIT = _T23_V + 1  # |vocab ∪ {<unk>}| — add-1 smoothing mass
+
+_T23_SQL = f"""
+WITH tok AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+tr AS (SELECT unnest(t) AS w FROM tok WHERE lang = 'en'),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, COUNT(*) AS n FROM tr GROUP BY w
+    ORDER BY n DESC, w LIMIT {_T23_V}
+  )
+),
+tokpos AS (
+  SELECT tw.doc_id, tw.lang, tw.i,
+         CASE WHEN v.w IS NOT NULL THEN tw.w ELSE '<unk>' END AS m
+  FROM (SELECT doc_id, lang, u.i AS i, t[u.i] AS w
+        FROM tok, unnest(range(1, len(t) + 1)) AS u(i)) tw
+  LEFT JOIN vocab v ON tw.w = v.w
+),
+pairs AS (
+  SELECT doc_id, lang,
+         lag(m, 1, '<s>') OVER (PARTITION BY doc_id ORDER BY i) AS prev,
+         m AS cur
+  FROM tokpos
+),
+bg AS (SELECT prev, cur, COUNT(*) AS c FROM pairs WHERE lang = 'en'
+       GROUP BY prev, cur),
+ctx AS (SELECT prev, COUNT(*) AS c FROM pairs WHERE lang = 'en'
+        GROUP BY prev),
+nll AS (
+  SELECT p.doc_id,
+         CAST(round(-ln((COALESCE(bg.c, 0) + 1.0)
+                        / (COALESCE(ctx.c, 0) + {_T23_EMIT}.0))
+                    * 1073741824) AS BIGINT) AS q
+  FROM pairs p
+  LEFT JOIN bg ON p.prev = bg.prev AND p.cur = bg.cur
+  LEFT JOIN ctx ON p.prev = ctx.prev
+),
+doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         SUM(q) / (COUNT(*) * 1073741824.0) AS avg_nll
+  FROM nll GROUP BY doc_id
+)
+SELECT doc_id, n_tok, avg_nll,
+       CASE ntile(3) OVER (ORDER BY avg_nll, doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM doc
+ORDER BY doc_id
+"""
+
+
+def _t23_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tok, avg_nll) under the t23 bigram LM — the scored
+    frame before tercile bucketing (twin of _T23_SQL's `doc` CTE)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", tokens("text").alias("t"))
+    vocab = [
+        r["w"]
+        for r in (
+            toks.filter(F.col("lang") == "en")
+            .select(F.explode("t").alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "w")
+            .limit(_T23_V)
+            .collect()
+        )
+    ]
+    mm = toks.withColumn(
+        "m",
+        F.transform(
+            "t",
+            lambda w: F.when(w.isin(*vocab), w).otherwise(F.lit("<unk>")),
+        ),
+    )
+    pairs = (
+        mm.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(m, (x, i) -> struct("
+                    "CASE WHEN i = 0 THEN '<s>' ELSE m[i-1] END AS prev, "
+                    "x AS cur))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "lang", "p.prev", "p.cur")
+    )
+    train = pairs.filter(F.col("lang") == "en")
+    bg = train.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = train.groupBy("prev").agg(F.count(F.lit(1)).alias("c_ctx"))
+    nll_q = F.round(
+        -F.log(
+            (F.coalesce("c_bg", F.lit(0)) + F.lit(1.0))
+            / (F.coalesce("c_ctx", F.lit(0)) + F.lit(float(_T23_EMIT)))
+        )
+        * F.lit(Q30)
+    ).cast("long")
+    return (
+        pairs.join(F.broadcast(bg), ["prev", "cur"], "left")
+        .join(F.broadcast(ctx), ["prev"], "left")
+        .withColumn("q", nll_q)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("q").alias("s"))
+        .select(
+            "doc_id",
+            "n_tok",
+            (F.col("s") / (F.col("n_tok") * F.lit(float(Q30)))).alias("avg_nll"),
+        )
+    )
+
+
+@register("t23_lm_perplexity", oracle=_T23_SQL,
+          doc="CCNet-style quality filter: bigram LM (add-1, top-64 vocab) "
+              "trained on the lang='en' reference slice, every doc scored "
+              "by Q30-quantized avg token NLL, corpus bucketed into exact "
+              "head/middle/tail perplexity terciles via distributed order "
+              "statistics (functions/ranks.py) — no single-partition "
+              "window; the oracle replays the boundaries with ntile(3).",
+          tags=("text", "quality", "bench"))
+def t23_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ae_data_integration_spark.functions.ranks import order_statistics
+
+    scored = _t23_scored(spark, sf_dir).localCheckpoint()
+    (b1, b2), _n = order_statistics(
+        scored,
+        ["avg_nll", "doc_id"],
+        lambda n: [math.ceil(n / 3), math.ceil(2 * n / 3)],
+    )
+
+    def le(bound) -> F.Column:  # (avg_nll, doc_id) <= bound, tuple order
+        return (F.col("avg_nll") < F.lit(bound["avg_nll"])) | (
+            (F.col("avg_nll") == F.lit(bound["avg_nll"]))
+            & (F.col("doc_id") <= F.lit(bound["doc_id"]))
+        )
+
+    return (
+        scored.select(
+            "doc_id",
+            "n_tok",
+            "avg_nll",
+            F.when(le(b1), F.lit("head"))
+            .when(le(b2), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- T24: tokenizer fertility / compression per source -----------------------
+# The tokenizer-evaluation report a pretraining pipeline runs before
+# committing to a vocabulary: subword fertility (BPE tokens per
+# word) and chars-per-subword compression, per source, under the
+# SAME fixed 8-merge table t21 encodes with. The corpus is never
+# re-encoded per token: the encoded vocabulary (word → subword
+# count) is a vocab-sized broadcast joined onto one corpus word
+# scan — the t21 serving pattern, measured here instead of sampled.
+# All output ratios divide exactly-representable longs: bit-portable
+# unrounded.
+
+_T24_SQL = f"""
+WITH vocab AS (
+  SELECT tok, COUNT(*) AS n FROM (
+    SELECT unnest({_TOKS}) AS tok FROM documents
+  ) WHERE regexp_matches(tok, '^[a-z]+$') GROUP BY tok
+),
+enc AS (
+  SELECT tok, len(regexp_extract_all({_t21_rep_sql()}, '<([^>]*)>', 1)) AS ns
+  FROM vocab
+),
+w AS (
+  SELECT source, tok FROM (
+    SELECT source, unnest({_TOKS}) AS tok FROM documents
+  ) WHERE regexp_matches(tok, '^[a-z]+$')
+)
+SELECT w.source,
+       COUNT(*) AS n_words,
+       CAST(SUM(e.ns) AS BIGINT) AS n_subwords,
+       CAST(SUM(length(w.tok)) AS BIGINT) AS n_chars,
+       SUM(e.ns) / COUNT(*) AS fertility,
+       SUM(length(w.tok)) / CAST(SUM(e.ns) AS DOUBLE) AS chars_per_subword
+FROM w JOIN enc e ON w.tok = e.tok
+GROUP BY w.source
+ORDER BY w.source
+"""
+
+
+@register("t24_tokenizer_fertility", oracle=_T24_SQL,
+          doc="Tokenizer evaluation under the fixed 8-merge BPE table: "
+              "per-source subword fertility (subwords/word) and "
+              "chars-per-subword compression. Encoded vocab is a "
+              "vocab-sized broadcast onto one corpus word scan (the t21 "
+              "serving pattern); one source-keyed aggregate out.",
+          tags=("text",))
+def t24_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.bpe import (
+        encode_with_merges,
+        word_vocab,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    enc = encode_with_merges(word_vocab(d), _T21_MERGES).select(
+        "tok", F.size("subwords").cast("long").alias("ns")
+    )
+    w = d.select(
+        "source", F.explode(tokens("text")).alias("tok")
+    ).filter(F.col("tok").rlike("^[a-z]+$"))
+    return (
+        w.join(F.broadcast(enc), "tok")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("ns").alias("n_subwords"),
+            F.sum(F.length("tok")).alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_subwords",
+            "n_chars",
+            (F.col("n_subwords") / F.col("n_words")).alias("fertility"),
+            (F.col("n_chars") / F.col("n_subwords").cast("double")).alias(
+                "chars_per_subword"
+            ),
+        )
+        .orderBy("source")
+    )

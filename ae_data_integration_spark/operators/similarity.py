@@ -844,3 +844,73 @@ def sq8_rerank_topk(
         .filter(F.col("rk") <= topk)
         .select("q_id", "n_id", "cos", F.col("rk").cast("long").alias("rk"))
     )
+
+
+def truncated_rerank_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trunc_dim: int = 16,
+    shortlist: int = 50,
+    k: int = 10,
+) -> DataFrame:
+    """Coarse-to-fine exact retrieval over prefix-truncated vectors
+    (the Matryoshka/adaptive-retrieval serving pattern): stage 1
+    scores the WHOLE corpus with cosine over only the first
+    ``trunc_dim`` dimensions and keeps a ``shortlist`` per query;
+    stage 2 reranks the shortlist with full-dimension exact cosine
+    and returns the top ``k``.
+
+    Why it scales: the corpus-sized scan does ``trunc_dim/d`` of the
+    arithmetic (and, with a prefix-truncated stored copy, the IO) of
+    brute force; the full-width vectors are only touched for
+    Q·shortlist rows. Same broadcast-Q/scan-N shape as
+    brute_force_topk — no shuffle until the per-query top-k window,
+    and the stage-2 window input is shortlist-bounded.
+
+    Exactness: both stages are plain slices + the usual sequential
+    fold cosine, so a SQL oracle replays the whole cascade
+    bit-for-bit (catalog s8). Final scores are EXACT cosines; only
+    candidate selection is approximate (prefix truncation), which
+    the s8 tests quantify as recall vs brute force.
+    """
+    d = _vec_dim(emb, vec_col)
+    q = (
+        queries.select(
+            F.col(key_col).alias("q_id"), to_double(vec_col).alias("q_vec")
+        )
+        .withColumn("q_t", F.slice("q_vec", 1, trunc_dim))
+        .withColumn("q_nrm", l2_norm("q_vec"))
+        .withColumn("q_tnrm", l2_norm("q_t"))
+    )
+    c = (
+        _widen(
+            emb.select(
+                F.col(key_col).alias("n_id"), to_double(vec_col).alias("n_vec")
+            )
+        )
+        .withColumn("n_t", F.slice("n_vec", 1, trunc_dim))
+        .withColumn("n_nrm", l2_norm("n_vec"))
+        .withColumn("n_tnrm", l2_norm("n_t"))
+    )
+    coarse = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn(
+            "cos_t", _cos_with_norms("q_t", "n_t", "q_tnrm", "n_tnrm", trunc_dim)
+        )
+    )
+    w1 = Window.partitionBy("q_id").orderBy(F.desc("cos_t"), "n_id")
+    short = coarse.withColumn("rk_t", F.row_number().over(w1)).filter(
+        F.col("rk_t") <= shortlist
+    )
+    fine = short.withColumn(
+        "cos", _cos_with_norms("q_vec", "n_vec", "q_nrm", "n_nrm", d)
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("cos"), "n_id")
+    return (
+        fine.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "cos", F.col("rk").cast("long").alias("rk"))
+    )

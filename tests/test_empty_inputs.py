@@ -140,3 +140,27 @@ def test_r9_operators_on_empty(spark):
     out = train_bpe_batched(spark, docs, rounds=5)
     assert out.count() == 0
     assert out.columns == ["rank", "left", "right", "merged", "n_occurrences"]
+
+
+def test_r10b_operators_on_empty(spark):
+    from ae_data_integration_spark.functions.ranks import order_statistics
+    from ae_data_integration_spark.operators.similarity import truncated_rerank_topk
+
+    # order_statistics: empty frame + no ranks is a valid no-op; any
+    # requested rank on it is out of bounds and fails loudly
+    empty = _empty(spark, "v long, k long")
+    rows, n = order_statistics(empty, ["v", "k"], [])
+    assert rows == [] and n == 0
+    import pytest
+
+    with pytest.raises(IndexError):
+        order_statistics(empty, ["v", "k"], [1])
+    rows, n = order_statistics(empty, ["v", "k"], lambda n: [])
+    assert rows == [] and n == 0
+
+    # truncated_rerank_topk: empty corpus/queries -> empty result with
+    # the contract schema (dim probe returns None, HOF fold path)
+    emb = _empty(spark, "vec_id long, embedding array<double>")
+    out = truncated_rerank_topk(emb, emb)
+    assert out.count() == 0
+    assert out.columns == ["q_id", "n_id", "cos", "rk"]

@@ -61,6 +61,10 @@ QUERIES = [
     "d2b_minhash_lsh_wide",      # 16-perm / 2x8-band near-dup twin (r10)
     "s6q_pq_serve",              # PQ serve from persisted artifact (r10)
     "s7q_ivfpq_serve",           # IVF-PQ serve from artifact (r10)
+    "t23_lm_perplexity",         # LM NLL + order-statistic terciles (r10)
+    "t24_tokenizer_fertility",   # vocab-broadcast fertility report (r10)
+    "s8_truncated_rerank",       # prefix-cosine cascade retrieval (r10)
+    "dq4_dedup_drift",           # dedup mixture drift + KL term (r10)
 ]
 
 

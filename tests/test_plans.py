@@ -493,3 +493,37 @@ def test_s6_s7_adc_plans_stay_jvm_side(spark):
         pa = plan_asserts(_df(spark, name))
         pa.no_python_row_udf().has_broadcast_exchange(2)
         assert "CartesianProduct" not in pa.plan, name
+
+
+def test_t23_lm_broadcast_and_no_global_window(spark):
+    # the bigram LM (bg + ctx) broadcasts to the scoring scan; the
+    # returned plan (classification over the checkpointed scored
+    # frame) carries no single-partition global window — terciles
+    # come from functions/ranks.py order statistics, not ntile().
+    pa = plan_asserts(_df(spark, "t23_lm_perplexity"))
+    pa.no_python_row_udf()
+    assert "SinglePartition" not in pa.plan
+    assert "CartesianProduct" not in pa.plan
+
+
+def test_s8_cascade_broadcasts_probes_no_cartesian(spark):
+    # both stages hang off one broadcast of the 20-probe set; the
+    # only nested-loop product is that broadcast; shortlist/topk are
+    # per-query windows (hash-partitioned by q_id, never global).
+    pa = plan_asserts(_df(spark, "s8_truncated_rerank"))
+    pa.no_python_row_udf().has_broadcast_exchange(1)
+    assert "CartesianProduct" not in pa.plan
+    assert "SinglePartition" not in pa.plan
+
+
+def test_t24_vocab_broadcast_onto_word_scan(spark):
+    # encoded vocab is the broadcast side; the corpus word scan joins
+    # against it and rolls straight up to |sources| rows.
+    pa = plan_asserts(_df(spark, "t24_tokenizer_fertility"))
+    pa.no_python_row_udf().has_broadcast_join(1).has_partial_agg()
+
+
+def test_dq4_semi_join_and_source_aggregates(spark):
+    pa = plan_asserts(_df(spark, "dq4_dedup_drift"))
+    pa.no_python_row_udf().has_partial_agg()
+    assert "CartesianProduct" not in pa.plan

@@ -1,0 +1,187 @@
+"""Round-10 second-wave surface: distributed exact order statistics
+(functions/ranks.py), the t23 perplexity filter's tercile semantics,
+s8's coarse-to-fine recall, t24 fertility invariants, and dq4's
+probability-mass conservation.
+
+The value hashes are pinned by the parity harness; these tests pin
+the properties the hashes can't see (order-statistic correctness
+under any partitioning, recall floors, mass conservation).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ae_data_integration_spark.catalog import REGISTRY, load_all, resolve
+from ae_data_integration_spark.functions.ranks import order_statistics
+from tests.conftest import SF_SMOKE
+
+load_all()
+
+
+def _run(spark, name, sf=SF_SMOKE):
+    return REGISTRY[resolve(name)].fn(spark, sf)
+
+
+# --- order_statistics --------------------------------------------------------
+
+
+def test_order_statistics_matches_sorted_golden(spark):
+    """Every rank of a shuffled 997-row frame equals the Python-sorted
+    golden, under an adversarial 32-way repartition (the helper must
+    be partition-count independent)."""
+    vals = [((i * 7919) % 997, i) for i in range(997)]  # distinct keys
+    df = spark.createDataFrame(vals, "v long, k long").repartition(32)
+    want = sorted(vals)
+    ranks = [1, 2, 332, 333, 334, 665, 666, 997]
+    rows, n = order_statistics(df, ["v", "k"], ranks)
+    assert n == 997
+    assert [(r["v"], r["k"]) for r in rows] == [want[rk - 1] for rk in ranks]
+
+
+def test_order_statistics_callable_ranks_and_bounds(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "v long")
+    rows, n = order_statistics(df, ["v"], lambda n: [math.ceil(n / 3)])
+    assert n == 10 and rows[0]["v"] == 3  # ceil(10/3)=4th of 0..9
+    with pytest.raises(IndexError):
+        order_statistics(df, ["v"], [11])
+
+
+# --- t23 perplexity filter ---------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def t23(spark):
+    return _run(spark, "t23_lm_perplexity").collect()
+
+
+def test_t23_tercile_sizes_follow_ntile_rule(t23):
+    n = len(t23)
+    sizes = {b: sum(1 for r in t23 if r["bucket"] == b)
+             for b in ("head", "middle", "tail")}
+    assert sizes["head"] == math.ceil(n / 3)
+    assert sizes["head"] + sizes["middle"] == math.ceil(2 * n / 3)
+    assert sum(sizes.values()) == n
+
+
+def test_t23_buckets_are_ordered_by_nll(t23):
+    """max(head) <= min(middle) <= ... on (avg_nll, doc_id) order —
+    the buckets tile the total order."""
+    key = {r["doc_id"]: (r["avg_nll"], r["doc_id"]) for r in t23}
+    hi_head = max(key[r["doc_id"]] for r in t23 if r["bucket"] == "head")
+    lo_mid = min(key[r["doc_id"]] for r in t23 if r["bucket"] == "middle")
+    hi_mid = max(key[r["doc_id"]] for r in t23 if r["bucket"] == "middle")
+    lo_tail = min(key[r["doc_id"]] for r in t23 if r["bucket"] == "tail")
+    assert hi_head < lo_mid < hi_mid < lo_tail
+
+
+def test_t23_train_domain_scores_lower_nll(spark, t23):
+    """The LM is trained on lang='en': English docs must have lower
+    mean NLL than the rest of the corpus (the CCNet discrimination
+    the filter exists for), and the head bucket must be majority-en."""
+    from ae_data_integration_spark.tables import table
+
+    lang = {
+        r["doc_id"]: r["lang"]
+        for r in table(spark, SF_SMOKE, "documents").select("doc_id", "lang").collect()
+    }
+    en = [r["avg_nll"] for r in t23 if lang[r["doc_id"]] == "en"]
+    other = [r["avg_nll"] for r in t23 if lang[r["doc_id"]] != "en"]
+    assert sum(en) / len(en) < sum(other) / len(other)
+    head = [r for r in t23 if r["bucket"] == "head"]
+    assert sum(1 for r in head if lang[r["doc_id"]] == "en") > len(head) / 2
+
+
+def test_t23_avg_nll_is_plausible_bigram_nll(t23):
+    """NLL of a 65-symbol add-1 bigram model lies in (0, ln(huge)):
+    every value positive and below ln(2^20) — a sanity corridor that
+    catches sign errors and un-normalized probabilities."""
+    for r in t23:
+        assert 0.0 < r["avg_nll"] < 14.0
+        assert r["n_tok"] > 0
+
+
+# --- s8 truncated rerank -----------------------------------------------------
+
+
+def test_s8_recall_vs_exact_and_exact_scores(spark):
+    """Final top-10 overlaps brute-force top-10 (same probes) at >=
+    0.8 recall, and every returned cosine equals the exact full-width
+    cosine brute force computed for that same (q, n) pair."""
+    s8 = _run(spark, "s8_truncated_rerank").collect()
+    exact = _run(spark, "s1b_ann_fixed_probes").collect()
+    truth = {(r["q_id"], r["n_id"]) for r in exact}
+    got = {(r["q_id"], r["n_id"]) for r in s8}
+    assert len(got & truth) / len(truth) >= 0.8
+    exact_cos = {(r["q_id"], r["n_id"]): r["cos"] for r in exact}
+    for r in s8:
+        k = (r["q_id"], r["n_id"])
+        if k in exact_cos:
+            assert r["cos"] == exact_cos[k]  # bit-equal, same op sequence
+
+
+def test_s8_shortlist_bounds_output(spark):
+    s8 = _run(spark, "s8_truncated_rerank").collect()
+    per_q = {}
+    for r in s8:
+        per_q.setdefault(r["q_id"], []).append(r["rk"])
+    for q, rks in per_q.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)) and len(rks) <= 10
+
+
+# --- t24 fertility -----------------------------------------------------------
+
+
+def test_t24_fertility_invariants(spark):
+    rows = _run(spark, "t24_tokenizer_fertility").collect()
+    assert rows, "at least one source"
+    for r in rows:
+        # every word is >= 1 subword; merges never grow the count
+        assert r["n_subwords"] >= r["n_words"] > 0
+        assert r["fertility"] == r["n_subwords"] / r["n_words"]
+        # subwords partition the word's characters exactly
+        assert r["chars_per_subword"] <= 4.0  # fixture words are short
+        assert r["n_chars"] >= r["n_subwords"]
+
+
+def test_t24_char_mass_conserved(spark):
+    """Sum over subwords of their lengths == total char mass of the
+    encoded words (BPE merges re-segment, never drop characters)."""
+    from ae_data_integration_spark.catalog.text_q import _T21_MERGES
+    from ae_data_integration_spark.operators.bpe import (
+        encode_with_merges,
+        word_vocab,
+    )
+    from ae_data_integration_spark.tables import table
+
+    d = table(spark, SF_SMOKE, "documents")
+    enc = encode_with_merges(word_vocab(d), _T21_MERGES)
+    bad = enc.filter(
+        F.aggregate(
+            "subwords", F.lit(0), lambda a, s: a + F.length(s)
+        ) != F.length("tok")
+    ).count()
+    assert bad == 0
+
+
+# --- dq4 dedup drift ---------------------------------------------------------
+
+
+def test_dq4_mass_and_count_conservation(spark):
+    rows = _run(spark, "dq4_dedup_drift").collect()
+    assert abs(sum(r["share_before"] for r in rows) - 1.0) < 1e-12
+    assert abs(sum(r["share_after"] for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        assert 0 <= r["n_docs_after"] <= r["n_docs_before"]
+
+
+def test_dq4_matches_d1_redundancy_total(spark):
+    """before − after summed over sources == d1's n_redundant (the
+    same keep-first rule, partitioned by source)."""
+    rows = _run(spark, "dq4_dedup_drift").collect()
+    dropped = sum(r["n_docs_before"] - r["n_docs_after"] for r in rows)
+    d1 = _run(spark, "d1_exact_dup").collect()[0]
+    assert dropped == d1["n_redundant"]
