@@ -1677,7 +1677,7 @@ def pipe7_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T23_V = 64           # reference vocabulary size
 _T23_EMIT = _T23_V + 1  # |vocab ∪ {<unk>}| — add-1 smoothing mass
 
-_T23_SQL = f"""
+_T23_CTES = f"""
 WITH tok AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
 tr AS (SELECT unnest(t) AS w FROM tok WHERE lang = 'en'),
 vocab AS (
@@ -1716,75 +1716,52 @@ doc AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
          SUM(q) / (COUNT(*) * 1073741824.0) AS avg_nll
   FROM nll GROUP BY doc_id
-)
-SELECT doc_id, n_tok, avg_nll,
-       CASE ntile(3) OVER (ORDER BY avg_nll, doc_id)
-         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
-FROM doc
+),
+bucketed AS (
+  SELECT doc_id, n_tok, avg_nll,
+         CASE ntile(3) OVER (ORDER BY avg_nll, doc_id)
+           WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+  FROM doc
+)"""
+
+# The WITH...bucketed prefix is shared with pipe8_ccnet_curation,
+# which cuts the corpus by (language, perplexity bucket) — keep the
+# CTE text in ONE place so both oracles replay the identical LM and
+# tercile boundaries (the BM25_SCORED_CTES discipline).
+_T23_SQL = f"""{_T23_CTES}
+SELECT doc_id, n_tok, avg_nll, bucket
+FROM bucketed
 ORDER BY doc_id
 """
+
+
+def _t23_lm(spark: SparkSession, sf_dir: str):
+    """(vocab, bg, ctx) — the t23 bigram-LM artifact, trained on the
+    lang='en' reference slice (operators/lm.py primitives)."""
+    from ae_data_integration_spark.operators.lm import (
+        bigram_pairs,
+        top_vocab,
+        train_bigram_counts,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", tokens("text").alias("t"))
+    vocab = top_vocab(toks.filter(F.col("lang") == "en"), "t", _T23_V)
+    train = bigram_pairs(
+        toks.filter(F.col("lang") == "en"), vocab, "t", keep=("doc_id",)
+    )
+    bg, ctx = train_bigram_counts(train)
+    return toks, vocab, bg, ctx
 
 
 def _t23_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_tok, avg_nll) under the t23 bigram LM — the scored
     frame before tercile bucketing (twin of _T23_SQL's `doc` CTE)."""
-    d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "lang", tokens("text").alias("t"))
-    vocab = [
-        r["w"]
-        for r in (
-            toks.filter(F.col("lang") == "en")
-            .select(F.explode("t").alias("w"))
-            .groupBy("w")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.desc("n"), "w")
-            .limit(_T23_V)
-            .collect()
-        )
-    ]
-    mm = toks.withColumn(
-        "m",
-        F.transform(
-            "t",
-            lambda w: F.when(w.isin(*vocab), w).otherwise(F.lit("<unk>")),
-        ),
-    )
-    pairs = (
-        mm.select(
-            "doc_id",
-            "lang",
-            F.explode(
-                F.expr(
-                    "transform(m, (x, i) -> struct("
-                    "CASE WHEN i = 0 THEN '<s>' ELSE m[i-1] END AS prev, "
-                    "x AS cur))"
-                )
-            ).alias("p"),
-        )
-        .select("doc_id", "lang", "p.prev", "p.cur")
-    )
-    train = pairs.filter(F.col("lang") == "en")
-    bg = train.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bg"))
-    ctx = train.groupBy("prev").agg(F.count(F.lit(1)).alias("c_ctx"))
-    nll_q = F.round(
-        -F.log(
-            (F.coalesce("c_bg", F.lit(0)) + F.lit(1.0))
-            / (F.coalesce("c_ctx", F.lit(0)) + F.lit(float(_T23_EMIT)))
-        )
-        * F.lit(Q30)
-    ).cast("long")
-    return (
-        pairs.join(F.broadcast(bg), ["prev", "cur"], "left")
-        .join(F.broadcast(ctx), ["prev"], "left")
-        .withColumn("q", nll_q)
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("q").alias("s"))
-        .select(
-            "doc_id",
-            "n_tok",
-            (F.col("s") / (F.col("n_tok") * F.lit(float(Q30)))).alias("avg_nll"),
-        )
-    )
+    from ae_data_integration_spark.operators.lm import bigram_pairs, score_pairs
+
+    toks, vocab, bg, ctx = _t23_lm(spark, sf_dir)
+    pairs = bigram_pairs(toks, vocab, "t", keep=("doc_id",))
+    return score_pairs(pairs, bg, ctx, _T23_EMIT)
 
 
 @register("t23_lm_perplexity", oracle=_T23_SQL,
@@ -1904,4 +1881,81 @@ def t24_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("source")
+    )
+
+
+# --- PIPE8: CCNet-style curation cut (language × perplexity bucket) ----------
+# The shard manifest the CCNet pipeline actually ships: the corpus
+# cut by (predicted language, perplexity tercile), with doc counts,
+# token mass and each cell's share of total tokens — the table a
+# pretraining run reads to decide which (lang, head/middle/tail)
+# shards to keep, downsample or drop. Composes two already-◆-checked
+# operators: t3's marker-vote language ID (docs with no marker hits
+# fall to 'und') and t23's LM terciles; the oracle replays BOTH
+# end-to-end via the shared _T23_CTES prefix, so the hash gate covers
+# the composition, not just the parts.
+# Scale shape: everything corpus-sized is one of the already-audited
+# t3/t23 passes; the final rollup is a ≤ |langs|×3-row aggregate with
+# a 1-row totals broadcast.
+
+_PIPE8_SQL = f"""{_T23_CTES},
+tok8 AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+hits8 AS (
+  SELECT t.doc_id, m.lang_pred, COUNT(*) AS n_hits
+  FROM tok8 t JOIN {_markers_values_sql()} ON t.tok = m.marker
+  GROUP BY t.doc_id, m.lang_pred
+),
+ld8 AS (
+  SELECT doc_id, lang_pred FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY n_hits DESC, lang_pred) AS rk
+    FROM hits8
+  ) WHERE rk = 1
+),
+tot8 AS (SELECT SUM(n_tok) AS all_tokens FROM bucketed)
+SELECT COALESCE(l.lang_pred, 'und') AS lang_pred, b.bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(b.n_tok) AS BIGINT) AS n_tokens,
+       SUM(b.n_tok) / CAST(t.all_tokens AS DOUBLE) AS token_share
+FROM bucketed b
+LEFT JOIN ld8 l ON b.doc_id = l.doc_id
+CROSS JOIN tot8 t
+GROUP BY 1, 2, t.all_tokens
+ORDER BY 1, 2
+"""
+
+
+@register("pipe8_ccnet_curation", oracle=_PIPE8_SQL,
+          doc="CCNet-style shard manifest: corpus cut by (t3 predicted "
+              "language, t23 perplexity tercile) with doc counts, token "
+              "mass and token share — the keep/downsample/drop table a "
+              "pretraining run ships. Composition of two oracled "
+              "operators, replayed end-to-end; final rollup is "
+              "|langs|x3 rows with a 1-row totals broadcast.",
+          tags=("text", "quality", "pipeline"))
+def pipe8_ccnet_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = t23_lm_perplexity(spark, sf_dir)
+    ld = t3_lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    tot = b.agg(F.sum("n_tok").alias("all_tokens"))
+    return (
+        b.join(ld, "doc_id", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"), "bucket"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.max("all_tokens").alias("_t"),
+        )
+        .select(
+            "lang_pred",
+            "bucket",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens") / F.col("_t").cast("double")).alias(
+                "token_share"
+            ),
+        )
+        .orderBy("lang_pred", "bucket")
     )

@@ -65,6 +65,7 @@ QUERIES = [
     "t24_tokenizer_fertility",   # vocab-broadcast fertility report (r10)
     "s8_truncated_rerank",       # prefix-cosine cascade retrieval (r10)
     "dq4_dedup_drift",           # dedup mixture drift + KL term (r10)
+    "pipe8_ccnet_curation",      # lang x perplexity-bucket manifest (r10)
 ]
 
 

@@ -185,3 +185,35 @@ def test_dq4_matches_d1_redundancy_total(spark):
     dropped = sum(r["n_docs_before"] - r["n_docs_after"] for r in rows)
     d1 = _run(spark, "d1_exact_dup").collect()[0]
     assert dropped == d1["n_redundant"]
+
+
+# --- pipe8 CCNet curation cut ------------------------------------------------
+
+
+def test_pipe8_conserves_corpus_mass(spark):
+    """Cells tile the corpus: doc counts and token shares sum to the
+    t23 totals (every doc lands in exactly one (lang, bucket) cell)."""
+    cells = _run(spark, "pipe8_ccnet_curation").collect()
+    t23 = _run(spark, "t23_lm_perplexity").collect()
+    assert sum(r["n_docs"] for r in cells) == len(t23)
+    assert sum(r["n_tokens"] for r in cells) == sum(r["n_tok"] for r in t23)
+    assert abs(sum(r["token_share"] for r in cells) - 1.0) < 1e-12
+    assert {r["bucket"] for r in cells} <= {"head", "middle", "tail"}
+
+
+def test_pipe8_cell_counts_match_joined_parts(spark):
+    """Each cell equals the direct (t3 lang ∪ 'und') × (t23 bucket)
+    cross-tabulation — the composition adds nothing beyond its
+    oracled parts."""
+    cells = {
+        (r["lang_pred"], r["bucket"]): r["n_docs"]
+        for r in _run(spark, "pipe8_ccnet_curation").collect()
+    }
+    lang = {
+        r["doc_id"]: r["lang_pred"] for r in _run(spark, "t3_lang_id").collect()
+    }
+    want = {}
+    for r in _run(spark, "t23_lm_perplexity").collect():
+        key = (lang.get(r["doc_id"], "und"), r["bucket"])
+        want[key] = want.get(key, 0) + 1
+    assert cells == want

@@ -732,3 +732,47 @@ def test_rocksdb_state_store_provider_swap(spark, tmp_path):
         else:
             spark.conf.set(key, prev)
     assert got == base and len(base) > 0
+
+
+def test_streaming_lm_scoring_matches_batch_t23(spark, tmp_path):
+    """LM perplexity scoring on a document stream == the batch t23
+    scored frame EXACTLY: the bigram model trains offline (batch),
+    broadcasts into every micro-batch via stream-static joins, and
+    the Q30-quantized NLL math reproduces bit-for-bit — the artifact
+    serve pattern for the CCNet stage on an ingestion pipeline."""
+    from ae_data_integration_spark.catalog.text_q import (
+        _T23_EMIT,
+        _t23_lm,
+        _t23_scored,
+    )
+    from ae_data_integration_spark.functions.text import tokens
+    from ae_data_integration_spark.streaming.scoring import lm_score_stream
+
+    toks, vocab, bg, ctx = _t23_lm(spark, SF_SMOKE)
+    # materialize the model artifact (what a deployment would load)
+    bg = spark.createDataFrame(bg.collect(), bg.schema)
+    ctx = spark.createDataFrame(ctx.collect(), ctx.schema)
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "lm_src")
+    docs.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("doc_id", tokens("text").alias("t"))
+    )
+    run_available_now(
+        lm_score_stream(stream, vocab, bg, ctx, _T23_EMIT), "t_lm", mode="complete"
+    )
+    got = {
+        r["doc_id"]: (r["n_tok"], r["avg_nll"])
+        for r in spark.table("t_lm").collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_tok"], r["avg_nll"])
+        for r in _t23_scored(spark, SF_SMOKE).collect()
+    }
+    assert got == want  # bit-exact, including OOV-miss smoothing
