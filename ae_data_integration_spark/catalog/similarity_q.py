@@ -842,3 +842,104 @@ def s8_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truncated_rerank_topk(
         e, q, trunc_dim=_S8_TRUNC, shortlist=_S8_SHORT, k=_S8_K
     ).orderBy("q_id", "rk")
+
+
+# --- S9: retrieval-quality metrics (recall@k / MRR / nDCG) -------------------
+# The evaluation harness the ANN family reports through, as a
+# first-class oracled row instead of ad-hoc test arithmetic: the
+# cascade retriever (s8) is scored against exact brute force (s1b,
+# same fixed 20-probe budget) with the three standard metrics —
+# recall@10, reciprocal rank of the first relevant hit, and binary-
+# relevance nDCG@10. Per-query rows, so regressions localize.
+#
+# Exactness: recall and RR divide exact integers; DCG takes a
+# non-correctly-rounded ln per hit, so each term is Q30-quantized
+# before the per-query sum (the t14 discipline) and the final ratio
+# is rounded to 6 decimals. The ideal-DCG mass for 10 binary-
+# relevant positions is pinned as a PROTOCOL CONSTANT (the Q30 fold
+# of ln2/ln(k+1), k=1..10) so both engines divide by the identical
+# integer rather than re-deriving it through their own libm.
+#
+# Scale shape: two already-audited retrieval plans + one rank-join on
+# (q_id, n_id) (Q×10 rows a side) + a q_id-keyed aggregate — the
+# evaluation itself is probe-bounded at any corpus size.
+
+_LN2 = 0.6931471805599453
+_S9_IDCG_Q30 = 4878609691  # sum_{k=1..10} round(ln2/ln(k+1) * 2^30)
+
+_S9_SQL = f"""
+WITH truth AS (SELECT * FROM ({_S1B_SQL})),
+sys AS (SELECT * FROM ({_S8_SQL})),
+hits AS (
+  SELECT s.q_id, s.rk AS srk
+  FROM sys s JOIN truth t ON s.q_id = t.q_id AND s.n_id = t.n_id
+),
+m AS (
+  SELECT q_id,
+         COUNT(*) AS n_hit,
+         MIN(srk) AS first_rel,
+         SUM(CAST(round({_LN2} / ln(srk + 1) * 1073741824) AS BIGINT)) AS dcg_q
+  FROM hits GROUP BY q_id
+),
+probes AS (SELECT DISTINCT q_id FROM truth)
+SELECT p.q_id,
+       CAST(COALESCE(m.n_hit, 0) AS BIGINT) AS n_hit,
+       COALESCE(m.n_hit, 0) / 10.0 AS recall_at_10,
+       CASE WHEN m.first_rel IS NOT NULL THEN 1.0 / m.first_rel ELSE 0.0 END AS rr,
+       round(COALESCE(m.dcg_q, 0) / {_S9_IDCG_Q30}.0, 6) AS ndcg_at_10
+FROM probes p LEFT JOIN m ON p.q_id = m.q_id
+ORDER BY p.q_id
+"""
+
+
+@register("s9_retrieval_metrics", oracle=_S9_SQL,
+          doc="Retrieval evaluation as an oracled row: s8's cascade vs "
+              "s1b exact brute force — per-query recall@10, MRR and "
+              "binary nDCG@10 (Q30-quantized DCG terms, protocol-constant "
+              "ideal mass). Probe-bounded work at any corpus size.",
+          tags=("similarity", "quality"))
+def s9_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.similarity import (
+        brute_force_topk,
+        truncated_rerank_topk,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
+    truth = brute_force_topk(e, q, k=10)
+    sys = truncated_rerank_topk(
+        e, q, trunc_dim=_S8_TRUNC, shortlist=_S8_SHORT, k=_S8_K
+    )
+    hits = sys.select("q_id", "n_id", F.col("rk").alias("srk")).join(
+        truth.select("q_id", "n_id"), ["q_id", "n_id"]
+    )
+    m = hits.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.min("srk").alias("first_rel"),
+        F.sum(
+            F.round(F.lit(_LN2) / F.log(F.col("srk") + 1) * F.lit(1073741824))
+            .cast("long")
+        ).alias("dcg_q"),
+    )
+    probes = truth.select("q_id").distinct()
+    return (
+        probes.join(m, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hit", F.lit(0).cast("long")).alias("n_hit"),
+            (F.coalesce("n_hit", F.lit(0).cast("long")) / F.lit(10.0)).alias(
+                "recall_at_10"
+            ),
+            F.when(
+                F.col("first_rel").isNotNull(), F.lit(1.0) / F.col("first_rel")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rr"),
+            F.round(
+                F.coalesce("dcg_q", F.lit(0).cast("long"))
+                / F.lit(float(_S9_IDCG_Q30)),
+                6,
+            ).alias("ndcg_at_10"),
+        )
+        .orderBy("q_id")
+    )

@@ -1764,20 +1764,15 @@ def _t23_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_pairs(pairs, bg, ctx, _T23_EMIT)
 
 
-@register("t23_lm_perplexity", oracle=_T23_SQL,
-          doc="CCNet-style quality filter: bigram LM (add-1, top-64 vocab) "
-              "trained on the lang='en' reference slice, every doc scored "
-              "by Q30-quantized avg token NLL, corpus bucketed into exact "
-              "head/middle/tail perplexity terciles via distributed order "
-              "statistics (functions/ranks.py) — no single-partition "
-              "window; the oracle replays the boundaries with ntile(3).",
-          tags=("text", "quality", "bench"))
-def t23_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _t23_bucketize(scored: DataFrame) -> DataFrame:
+    """Exact head/middle/tail terciles of a (doc_id, n_tok, avg_nll)
+    frame via distributed order statistics — the twin of _T23_CTES'
+    `bucketed` (ntile(3)) without a single-partition window."""
     import math
 
     from ae_data_integration_spark.functions.ranks import order_statistics
 
-    scored = _t23_scored(spark, sf_dir).localCheckpoint()
+    scored = scored.localCheckpoint()
     (b1, b2), _n = order_statistics(
         scored,
         ["avg_nll", "doc_id"],
@@ -1802,6 +1797,37 @@ def t23_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register("t23_lm_perplexity", oracle=_T23_SQL,
+          doc="CCNet-style quality filter: bigram LM (add-1, top-64 vocab) "
+              "trained on the lang='en' reference slice, every doc scored "
+              "by Q30-quantized avg token NLL, corpus bucketed into exact "
+              "head/middle/tail perplexity terciles via distributed order "
+              "statistics (functions/ranks.py) — no single-partition "
+              "window; the oracle replays the boundaries with ntile(3).",
+          tags=("text", "quality", "bench"))
+def t23_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t23_bucketize(_t23_scored(spark, sf_dir))
+
+
+@register("t23q_lm_serve", oracle=_T23_SQL,
+          doc="t23 as a deployed stage: the bigram LM trains ONCE into a "
+              "content-addressed parquet artifact (vocab/bg/ctx + _DONE, "
+              "the ann_index discipline) and scoring runs against the "
+              "stored tables — same oracle as t23, so the value hash "
+              "proves the artifact equals the replayed training "
+              "bit-for-bit.",
+          tags=("text", "quality"))
+def t23q_lm_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.lm import ensure_lm, lm_serve_scored
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", tokens("text").alias("t"))
+    path = ensure_lm(
+        toks, "t", train_filter=(F.col("lang") == "en"), v=_T23_V, salt="t23"
+    )
+    return _t23_bucketize(lm_serve_scored(toks, path, "t"))
 
 
 # --- T24: tokenizer fertility / compression per source -----------------------

@@ -66,6 +66,8 @@ QUERIES = [
     "s8_truncated_rerank",       # prefix-cosine cascade retrieval (r10)
     "dq4_dedup_drift",           # dedup mixture drift + KL term (r10)
     "pipe8_ccnet_curation",      # lang x perplexity-bucket manifest (r10)
+    "t23q_lm_serve",             # LM artifact serve twin (r10)
+    "s9_retrieval_metrics",      # recall/MRR/nDCG eval row (r10)
 ]
 
 

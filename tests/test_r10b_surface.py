@@ -217,3 +217,84 @@ def test_pipe8_cell_counts_match_joined_parts(spark):
         key = (lang.get(r["doc_id"], "und"), r["bucket"])
         want[key] = want.get(key, 0) + 1
     assert cells == want
+
+
+# --- t23q LM artifact lifecycle ----------------------------------------------
+
+
+def test_t23q_serve_equals_train_and_reuses_artifact(spark):
+    """The served frame equals the all-in-one t23 EXACTLY, and a
+    second call reuses the content-addressed artifact instead of
+    rebuilding (mtime of the _DONE marker is stable)."""
+    import os
+
+    from ae_data_integration_spark.operators.lm import ensure_lm
+    from ae_data_integration_spark.functions.text import tokens as _tok
+    from ae_data_integration_spark.tables import table
+    from pyspark.sql import functions as F
+
+    rows = lambda df: [  # noqa: E731
+        (r["doc_id"], r["n_tok"], r["avg_nll"], r["bucket"])
+        for r in df.orderBy("doc_id").collect()
+    ]
+    served = rows(_run(spark, "t23q_lm_serve"))
+    trained = rows(_run(spark, "t23_lm_perplexity"))
+    assert served == trained  # bit-equal, incl. tercile boundaries
+
+    d = table(spark, SF_SMOKE, "documents")
+    toks = d.select("doc_id", "lang", _tok("text").alias("t"))
+    path = ensure_lm(toks, "t", train_filter=(F.col("lang") == "en"),
+                     v=64, salt="t23")
+    marker = os.path.join(path, "_DONE")
+    m0 = os.stat(marker).st_mtime_ns
+    ensure_lm(toks, "t", train_filter=(F.col("lang") == "en"), v=64, salt="t23")
+    assert os.stat(marker).st_mtime_ns == m0  # not rebuilt
+
+
+def test_t23q_smoothing_uses_declared_budget(spark):
+    """The fixture train slice has < 64 distinct tokens; the serve
+    path must smooth with the DECLARED v+1=65 (meta.json), not the
+    realized vocab length — a len(vocab)+1 bug would shift every NLL."""
+    import json
+    import os
+
+    from ae_data_integration_spark.operators.lm import ensure_lm
+    from ae_data_integration_spark.functions.text import tokens as _tok
+    from ae_data_integration_spark.tables import table
+    from pyspark.sql import functions as F
+
+    d = table(spark, SF_SMOKE, "documents")
+    toks = d.select("doc_id", "lang", _tok("text").alias("t"))
+    path = ensure_lm(toks, "t", train_filter=(F.col("lang") == "en"),
+                     v=64, salt="t23")
+    with open(os.path.join(path, "meta.json")) as fh:
+        assert json.load(fh)["v"] == 64
+    assert spark.read.parquet(f"{path}/vocab").count() < 64
+
+
+# --- s9 retrieval metrics ----------------------------------------------------
+
+
+def test_s9_metrics_match_direct_overlap(spark):
+    """recall@10 equals the directly-computed s8∩s1b overlap per
+    query; all metrics live in [0, 1]; a full-recall query has
+    rr == 1 and ndcg == 1."""
+    m = {r["q_id"]: r for r in _run(spark, "s9_retrieval_metrics").collect()}
+    s8 = _run(spark, "s8_truncated_rerank").collect()
+    ex = _run(spark, "s1b_ann_fixed_probes").collect()
+    truth, got = {}, {}
+    for r in ex:
+        truth.setdefault(r["q_id"], set()).add(r["n_id"])
+    for r in s8:
+        got.setdefault(r["q_id"], set()).add(r["n_id"])
+    for q, row in m.items():
+        overlap = len(got.get(q, set()) & truth[q])
+        assert row["n_hit"] == overlap
+        assert row["recall_at_10"] == overlap / 10.0
+        assert 0.0 <= row["rr"] <= 1.0 and 0.0 <= row["ndcg_at_10"] <= 1.0001
+        if row["recall_at_10"] == 1.0 and got[q] == truth[q]:
+            # identical ranked sets in identical order -> perfect nDCG
+            s8_order = [r["n_id"] for r in s8 if r["q_id"] == q]
+            ex_order = [r["n_id"] for r in ex if r["q_id"] == q]
+            if s8_order == ex_order:
+                assert row["rr"] == 1.0 and abs(row["ndcg_at_10"] - 1.0) < 1e-5
