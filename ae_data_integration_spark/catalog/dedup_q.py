@@ -1294,3 +1294,66 @@ def dq4_dedup_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- G6: label-propagation communities over the dup graph --------------------
+# Community detection on the verified near-dup graph — the grouping a
+# curation run uses when connected components over-merge (a single
+# spurious verified pair chains two clusters; LPA needs a MAJORITY of
+# neighbor votes to absorb a node, so bridge edges don't fuse dense
+# groups). Synchronous updates, 3 fixed iterations, most-frequent-
+# neighbor-label with (count DESC, label ASC) tie-break — fully
+# deterministic, replayed by the oracle iteration-for-iteration.
+# Scale shape per iteration: one edge⋈label join + one (node, label)
+# count + one per-node top-1 window, O(E) shuffle rows.
+
+
+def _lpa_iter_sql(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT id, lbl FROM (
+    SELECT e.a AS id, l.lbl, COUNT(*) AS c,
+           ROW_NUMBER() OVER (PARTITION BY e.a
+                              ORDER BY COUNT(*) DESC, l.lbl) AS rk
+    FROM g6e e JOIN {prev} l ON e.b = l.id
+    GROUP BY e.a, l.lbl
+  ) WHERE rk = 1
+)"""
+
+
+_G6_SQL = f"""{_D6_VERIFIED},
+g6e AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM verified
+),
+g6l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM g6e),
+{_lpa_iter_sql('g6l0', 'g6l1')},
+{_lpa_iter_sql('g6l1', 'g6l2')},
+{_lpa_iter_sql('g6l2', 'g6l3')},
+g6s AS (SELECT lbl, COUNT(*) AS community_size FROM g6l3 GROUP BY lbl)
+SELECT l.id AS doc_id, l.lbl AS label, g6s.community_size
+FROM g6l3 l JOIN g6s ON l.lbl = g6s.lbl
+ORDER BY doc_id
+"""
+
+
+@register("g6_label_propagation", oracle=_G6_SQL,
+          doc="Label-propagation communities over the verified near-dup "
+              "graph: 3 synchronous iterations, majority-neighbor label "
+              "with (count DESC, label) tie-break — denser-than-component "
+              "groupings where a bridge edge would make CC over-merge; "
+              "O(E) shuffle per iteration, oracle replays every "
+              "iteration.",
+          tags=("dedup", "graph"))
+def g6_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.graph import label_propagation_fixed
+
+    d = table(spark, sf_dir, "documents")
+    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).transform(
+        persist_tracked_if_small
+    )
+    pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=8, num_bands=2)
+    verified = jaccard_verify(pairs, shs, threshold=_D6_THRESH).select(
+        "doc_a", "doc_b"
+    )
+    return label_propagation_fixed(verified, n_iters=3).orderBy("doc_id")

@@ -659,3 +659,171 @@ def e11_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("dau_7d"))
         .orderBy("win_day")
     )
+
+
+# --- E12: bucketed interval-overlap join (sessions × incidents) --------------
+# The interval×interval overlap join done the distributed way: which
+# user sessions overlapped an incident window (the on-call question,
+# and the join shape behind ad attribution and maintenance-impact
+# reports). Naive form is a range-predicate cross join (N×M); the
+# scale form EXPLODES each interval into the hour buckets it spans
+# (bounded: sessions are gap-bounded, incidents are hot-hour runs),
+# equi-joins on the bucket, dedups the pair ids, and computes the
+# exact microsecond overlap from the interval bounds — never a
+# cartesian, one bucket-keyed shuffle.
+#
+# Left side: the e2 sessions as intervals [min ts_us, max ts_us].
+# Right side: "incidents" = maximal runs of HOT hours per event type,
+# hot = hourly count strictly above 2x that type's average hourly
+# count, tested integer-exactly as n * n_hours > 2 * total (no
+# division). Runs merge via the e10 gaps-and-islands key. All output
+# columns are integers — bit-exact on any engine.
+
+_E12_GAP_US = 1_800_000_000
+_E12_HOUR_US = 3_600_000_000
+
+_E12_SQL = f"""
+WITH x AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us > {_E12_GAP_US} THEN 1 ELSE 0 END AS new_s
+  FROM x
+),
+sess AS (
+  SELECT user_id, ts_us,
+         -- CAST: DuckDB's windowed SUM(int) is HUGEINT (pandas
+         -- float64); Spark's is BIGINT — pin the output dtype.
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+  FROM flagged
+),
+si AS (
+  SELECT user_id, sess_id, MIN(ts_us) AS s_us, MAX(ts_us) AS e_us
+  FROM sess GROUP BY user_id, sess_id
+),
+hr AS (
+  SELECT event_type, epoch_us(ts) // {_E12_HOUR_US} AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT event_type, SUM(n) AS total, COUNT(*) AS n_hours FROM hr GROUP BY event_type),
+hot AS (
+  SELECT h.event_type, h.hour
+  FROM hr h JOIN tot t ON h.event_type = t.event_type
+  WHERE h.n * t.n_hours > 2 * t.total
+),
+inc AS (
+  SELECT event_type, hour,
+         hour - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour) AS isl
+  FROM hot
+),
+incidents AS (
+  SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1, MIN(hour) AS incident_id
+  FROM inc GROUP BY event_type, isl
+),
+sh AS (
+  SELECT user_id, sess_id, s_us, e_us, u.h AS hour
+  FROM si, unnest(range(s_us // {_E12_HOUR_US}, e_us // {_E12_HOUR_US} + 1)) AS u(h)
+),
+ih AS (
+  SELECT event_type, incident_id, h0, h1, u.h AS hour
+  FROM incidents, unnest(range(h0, h1 + 1)) AS u(h)
+),
+hits AS (
+  SELECT DISTINCT s.user_id, s.sess_id, s.s_us, s.e_us,
+                  i.event_type, i.incident_id, i.h0, i.h1
+  FROM sh s JOIN ih i ON s.hour = i.hour
+)
+SELECT user_id, sess_id, event_type, CAST(incident_id AS BIGINT) AS incident_id,
+       CAST(greatest(0,
+         least(e_us + 1, (h1 + 1) * {_E12_HOUR_US})
+         - greatest(s_us, h0 * {_E12_HOUR_US})) AS BIGINT) AS overlap_us
+FROM hits
+ORDER BY user_id, sess_id, event_type, incident_id
+"""
+
+
+@register("e12_session_incident_overlap", oracle=_E12_SQL,
+          doc="Bucketed interval-overlap join: e2 sessions x hot-hour "
+              "incident runs (hourly count > 2x type average, integer-"
+              "exact rule) — intervals exploded to bounded hour buckets, "
+              "equi-joined, deduped, exact microsecond overlap from the "
+              "bounds; never a range cross join.",
+          tags=("events", "window"))
+def e12_session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    w_order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts_us").over(w_order).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w_order)) > _E12_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    si = (
+        flagged.withColumn("sess_id", F.sum("new_s").over(w_run))
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("ts_us").alias("s_us"), F.max("ts_us").alias("e_us"))
+    )
+    hr = ev.groupBy(
+        "event_type", F.expr(f"ts_us div {_E12_HOUR_US}").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = hr.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_hours")
+    )
+    hot = hr.join(F.broadcast(tot), "event_type").filter(
+        F.col("n") * F.col("n_hours") > 2 * F.col("total")
+    )
+    w_isl = Window.partitionBy("event_type").orderBy("hour")
+    incidents = (
+        hot.withColumn("isl", F.col("hour") - F.row_number().over(w_isl))
+        .groupBy("event_type", "isl")
+        .agg(
+            F.min("hour").alias("h0"),
+            F.max("hour").alias("h1"),
+            F.min("hour").alias("incident_id"),
+        )
+    )
+    sh = si.select(
+        "user_id", "sess_id", "s_us", "e_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_us div {_E12_HOUR_US}"),
+                F.expr(f"e_us div {_E12_HOUR_US}"),
+            )
+        ).alias("hour"),
+    )
+    ih = incidents.select(
+        "event_type", "incident_id", "h0", "h1",
+        F.explode(F.sequence("h0", "h1")).alias("hour"),
+    )
+    hits = (
+        sh.join(F.broadcast(ih), "hour")
+        .select(
+            "user_id", "sess_id", "s_us", "e_us",
+            "event_type", "incident_id", "h0", "h1",
+        )
+        .distinct()
+    )
+    hour_us = F.lit(_E12_HOUR_US).cast("long")
+    overlap = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("e_us") + 1, (F.col("h1") + 1) * hour_us)
+        - F.greatest(F.col("s_us"), F.col("h0") * hour_us),
+    )
+    return (
+        hits.select(
+            "user_id", "sess_id", "event_type",
+            F.col("incident_id").cast("long").alias("incident_id"),
+            overlap.cast("long").alias("overlap_us"),
+        )
+        .orderBy("user_id", "sess_id", "event_type", "incident_id")
+    )

@@ -72,3 +72,63 @@ def pagerank_fixed(
             .localCheckpoint()
         )
     return r
+
+
+def label_propagation_fixed(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    n_iters: int = 3,
+) -> DataFrame:
+    """(id, label, community_size) after ``n_iters`` SYNCHRONOUS label
+    propagation updates on the symmetrized pair graph — community
+    detection (denser-than-component groupings) where dup_clusters
+    gives connectivity.
+
+    Update rule: label_{t+1}(v) = the most frequent label among v's
+    neighbors at t, ties broken by smallest label — fully
+    deterministic, so the DuckDB oracle replays the unrolled
+    iterations CTE-for-CTE (catalog g6). Fixed iteration count for
+    the same reason as pagerank_fixed: determinism + replayability.
+
+    Scale shape per iteration: one join of edges against the label
+    vector (both keyed by node), one (node, label) count aggregate
+    and one per-node top-1 window — O(E) shuffle rows, the standard
+    distributed LPA layout. Generations are localCheckpointed:
+    each is read by the next join, and unbounded lineage would re-run
+    the upstream candidate pipeline per generation.
+    """
+    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    edges = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    lab = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint()
+    )
+    from pyspark.sql import Window
+
+    for _ in range(n_iters):
+        votes = (
+            edges.join(lab.withColumnRenamed("id", "b"), "b")
+            .groupBy("a", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("a").orderBy(F.desc("c"), "lbl")
+        lab = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(F.col("a").alias("id"), "lbl")
+            .localCheckpoint()
+        )
+    sizes = lab.groupBy("lbl").agg(F.count(F.lit(1)).alias("community_size"))
+    return (
+        lab.join(sizes, "lbl")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("lbl").alias("label"),
+            "community_size",
+        )
+    )

@@ -68,6 +68,8 @@ QUERIES = [
     "pipe8_ccnet_curation",      # lang x perplexity-bucket manifest (r10)
     "t23q_lm_serve",             # LM artifact serve twin (r10)
     "s9_retrieval_metrics",      # recall/MRR/nDCG eval row (r10)
+    "g6_label_propagation",      # majority-vote LPA communities (r10)
+    "e12_session_incident_overlap",  # bucketed interval-overlap join (r10)
 ]
 
 

@@ -527,3 +527,20 @@ def test_dq4_semi_join_and_source_aggregates(spark):
     pa = plan_asserts(_df(spark, "dq4_dedup_drift"))
     pa.no_python_row_udf().has_partial_agg()
     assert "CartesianProduct" not in pa.plan
+
+
+def test_g6_lpa_no_cartesian_no_python(spark):
+    # each LPA generation is an edge-keyed join + (node, label) count
+    # + per-node top-1 window; nothing cartesian, nothing row-Python.
+    pa = plan_asserts(_df(spark, "g6_label_propagation"))
+    pa.no_python_row_udf()
+    assert "CartesianProduct" not in pa.plan
+
+
+def test_e12_bucket_join_no_range_cartesian(spark):
+    # the interval overlap is resolved by an hour-bucket equi-join
+    # (incident side broadcast); a naive plan would show a nested-loop
+    # range cross join here.
+    pa = plan_asserts(_df(spark, "e12_session_incident_overlap"))
+    pa.no_python_row_udf().has_broadcast_join(1)
+    assert "CartesianProduct" not in pa.plan

@@ -298,3 +298,137 @@ def test_s9_metrics_match_direct_overlap(spark):
             ex_order = [r["n_id"] for r in ex if r["q_id"] == q]
             if s8_order == ex_order:
                 assert row["rr"] == 1.0 and abs(row["ndcg_at_10"] - 1.0) < 1e-5
+
+
+# --- g6 label propagation ----------------------------------------------------
+
+
+def test_g6_python_golden_and_node_set(spark):
+    """g6 equals a pure-Python synchronous-LPA replay of the same
+    verified pair graph, and covers exactly the d6 node set."""
+    from ae_data_integration_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_verify,
+        lsh_candidate_pairs_from_shingles,
+    )
+    from ae_data_integration_spark.tables import table
+
+    d = table(spark, SF_SMOKE, "documents")
+    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True)
+    pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=8, num_bands=2)
+    edges = [
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_verify(pairs, shs, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .collect()
+    ]
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    lab = {v: v for v in nbrs}
+    for _ in range(3):
+        new = {}
+        for v, ns in nbrs.items():
+            cnt = {}
+            for u in ns:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            new[v] = min(
+                cnt, key=lambda L: (-cnt[L], L)
+            )  # (count DESC, label ASC)
+        lab = new
+    sizes = {}
+    for L in lab.values():
+        sizes[L] = sizes.get(L, 0) + 1
+    want = {(v, lab[v], sizes[lab[v]]) for v in lab}
+    got = {
+        (r["doc_id"], r["label"], r["community_size"])
+        for r in _run(spark, "g6_label_propagation").collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_g6_bridge_edge_does_not_fuse_dense_groups(spark):
+    """Two triangles joined by ONE bridge edge: connected components
+    merge them; 3-iteration majority LPA keeps two communities — the
+    over-merge resistance g6 exists for."""
+    from ae_data_integration_spark.operators.dedup import dup_clusters
+    from ae_data_integration_spark.operators.graph import label_propagation_fixed
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "doc_a long, doc_b long",
+    )
+    lpa = {r["doc_id"]: r["label"]
+           for r in label_propagation_fixed(pairs, n_iters=3).collect()}
+    assert len(set(lpa.values())) == 2
+    assert lpa[1] == lpa[2] == lpa[3] and lpa[4] == lpa[5] == lpa[6]
+    cc = dup_clusters(pairs, n_iters=4)
+    assert cc.count() == 1  # CC fuses them into ONE component row
+
+
+# --- e12 bucketed interval-overlap join --------------------------------------
+
+
+def test_e12_matches_naive_python_overlap_join(spark):
+    """The bucketed (explode-to-hours, equi-join, dedup) plan returns
+    EXACTLY the rows a naive range-predicate replay produces — bucket
+    decomposition is a physical strategy, not a semantics change."""
+    from ae_data_integration_spark.tables import table
+    from pyspark.sql import functions as F
+
+    HOUR, GAP = 3_600_000_000, 1_800_000_000
+    ev = [
+        (r["user_id"], r["event_id"], r["event_type"], r["ts_us"])
+        for r in table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_id", "event_type",
+                F.unix_micros("ts").alias("ts_us"))
+        .collect()
+    ]
+    # sessions
+    by_user = {}
+    for u, eid, _t, ts in ev:
+        by_user.setdefault(u, []).append((ts, eid))
+    sessions = []
+    for u, rows in by_user.items():
+        rows.sort()
+        sid, s0, e0 = 0, None, None
+        for ts, _eid in rows:
+            if s0 is None or ts - e0 > GAP:
+                if s0 is not None:
+                    sessions.append((u, sid, s0, e0))
+                sid += 1
+                s0 = ts
+            e0 = ts
+        sessions.append((u, sid, s0, e0))
+    # incidents
+    hr, tot = {}, {}
+    for _u, _eid, t, ts in ev:
+        hr[(t, ts // HOUR)] = hr.get((t, ts // HOUR), 0) + 1
+    for (t, _h), n in hr.items():
+        c, s = tot.get(t, (0, 0))
+        tot[t] = (c + 1, s + n)
+    hot = sorted(
+        (t, h) for (t, h), n in hr.items()
+        if n * tot[t][0] > 2 * tot[t][1]
+    )
+    incidents = []
+    for t, h in hot:
+        if incidents and incidents[-1][0] == t and incidents[-1][2] == h - 1:
+            incidents[-1] = (t, incidents[-1][1], h)
+        else:
+            incidents.append((t, h, h))
+    # naive overlap join
+    want = set()
+    for u, sid, s0, e0 in sessions:
+        for t, h0, h1 in incidents:
+            lo, hi = h0 * HOUR, (h1 + 1) * HOUR
+            if s0 < hi and lo <= e0:
+                want.add((u, sid, t, h0,
+                          min(e0 + 1, hi) - max(s0, lo)))
+    got = {
+        (r["user_id"], r["sess_id"], r["event_type"], r["incident_id"],
+         r["overlap_us"])
+        for r in _run(spark, "e12_session_incident_overlap").collect()
+    }
+    assert got == want and len(got) > 0
