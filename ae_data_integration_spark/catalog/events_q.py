@@ -827,3 +827,88 @@ def e12_session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "sess_id", "event_type", "incident_id")
     )
+
+
+# --- DQ5: temporal drift report ----------------------------------------------
+# The training/serving-skew monitor: split the event stream at its
+# temporal midpoint (integer epoch-µs arithmetic) and compare the
+# event-type mixture between halves — per-type counts, shares, and an
+# add-1-smoothed log-odds drift score. The alerting rule a pipeline
+# applies before assuming yesterday's distribution still holds.
+# Exactness: the midpoint and both count vectors are integers; shares
+# divide exact longs; the one ln is rounded to 6 decimals (mix_weight
+# discipline). Scale: two 1-row aggregates broadcast + one
+# type-keyed count — |types| rows out at any volume.
+
+_DQ5_SQL = """
+WITH b AS (
+  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+),
+c AS (
+  SELECT event_type,
+         COUNT(*) FILTER (WHERE epoch_us(ts) <= (lo + hi) // 2) AS n_first,
+         COUNT(*) FILTER (WHERE epoch_us(ts) >  (lo + hi) // 2) AS n_second
+  FROM events CROSS JOIN b
+  GROUP BY event_type
+),
+t AS (SELECT SUM(n_first) AS tot1, SUM(n_second) AS tot2, COUNT(*) AS k FROM c)
+SELECT event_type,
+       CAST(n_first AS BIGINT) AS n_first,
+       CAST(n_second AS BIGINT) AS n_second,
+       n_first / CAST(tot1 AS DOUBLE) AS share_first,
+       n_second / CAST(tot2 AS DOUBLE) AS share_second,
+       round(ln(((n_second + 1) / CAST(tot2 + k AS DOUBLE))
+                / ((n_first + 1) / CAST(tot1 + k AS DOUBLE))), 6) AS drift_log_odds
+FROM c CROSS JOIN t
+ORDER BY event_type
+"""
+
+
+@register("dq5_temporal_drift", oracle=_DQ5_SQL,
+          doc="Temporal drift monitor: event-type mixture of the first vs "
+              "second half of the time range (integer midpoint split), "
+              "with add-1-smoothed log-odds drift per type — the "
+              "distribution-shift alert a pipeline runs before reusing "
+              "yesterday's statistics. Two 1-row broadcasts + one "
+              "type-keyed count.",
+          tags=("events", "quality"))
+def dq5_temporal_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    b = ev.agg(F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi"))
+    mid = F.expr("(lo + hi) div 2")
+    c = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("ts_us") <= mid, 1)).alias("n_first"),
+            F.count(F.when(F.col("ts_us") > mid, 1)).alias("n_second"),
+        )
+    )
+    t = c.agg(
+        F.sum("n_first").alias("tot1"),
+        F.sum("n_second").alias("tot2"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    sh1 = F.col("n_first") / F.col("tot1").cast("double")
+    sh2 = F.col("n_second") / F.col("tot2").cast("double")
+    drift = F.round(
+        F.log(
+            ((F.col("n_second") + 1) / (F.col("tot2") + F.col("k")).cast("double"))
+            / ((F.col("n_first") + 1) / (F.col("tot1") + F.col("k")).cast("double"))
+        ),
+        6,
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "event_type",
+            "n_first",
+            "n_second",
+            sh1.alias("share_first"),
+            sh2.alias("share_second"),
+            drift.alias("drift_log_odds"),
+        )
+        .orderBy("event_type")
+    )

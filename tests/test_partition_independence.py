@@ -70,6 +70,7 @@ QUERIES = [
     "s9_retrieval_metrics",      # recall/MRR/nDCG eval row (r10)
     "g6_label_propagation",      # majority-vote LPA communities (r10)
     "e12_session_incident_overlap",  # bucketed interval-overlap join (r10)
+    "dq5_temporal_drift",        # midpoint-split mixture drift (r10)
 ]
 
 

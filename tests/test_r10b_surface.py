@@ -432,3 +432,25 @@ def test_e12_matches_naive_python_overlap_join(spark):
         for r in _run(spark, "e12_session_incident_overlap").collect()
     }
     assert got == want and len(got) > 0
+
+
+# --- dq5 temporal drift ------------------------------------------------------
+
+
+def test_dq5_counts_partition_the_stream(spark):
+    """First + second half counts sum to the table total; shares sum
+    to 1 on both sides; a type with equal halves has ~zero drift."""
+    from ae_data_integration_spark.tables import table
+
+    rows = _run(spark, "dq5_temporal_drift").collect()
+    n = table(spark, SF_SMOKE, "events").count()
+    assert sum(r["n_first"] + r["n_second"] for r in rows) == n
+    assert abs(sum(r["share_first"] for r in rows) - 1.0) < 1e-12
+    assert abs(sum(r["share_second"] for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        # log-odds sign tracks the share movement (smoothed, so only
+        # assert on clear movers)
+        if r["share_second"] > r["share_first"] * 1.05:
+            assert r["drift_log_odds"] > 0
+        if r["share_second"] * 1.05 < r["share_first"]:
+            assert r["drift_log_odds"] < 0
