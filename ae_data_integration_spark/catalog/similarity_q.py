@@ -368,14 +368,23 @@ _S6_Q30 = 1 << 30
 
 
 def _pq_sql(m: int = _S6_M, k: int = _S6_K, ds: int = _S6_DS,
-            refine: int = _S6_REFINE, topk: int = _S6_TOPK) -> str:
+            refine: int = _S6_REFINE, topk: int = _S6_TOPK,
+            salt: str = "pq", train_pred: str = "") -> str:
+    # train_pred: optional predicate on `id` restricting which vectors
+    # TRAIN the codebooks (seeds + the Lloyd pass); encoding/serving
+    # always covers every vector. This is how the s6i incremental-
+    # append oracle replays "train on the base corpus, encode the
+    # appended batch under the FROZEN codebooks" — the same cb1 is
+    # trained from the base subset and then assigns ALL ids.
+    tw = f"WHERE {train_pred}" if train_pred else ""
+    ta = f"AND s.{train_pred}" if train_pred else ""  # predicate on bare `id`
     sqd = ("list_reduce(list_transform(list_zip({a}, {b}),"
            " q -> (q[1]-q[2]) * (q[1]-q[2])), (x, y) -> x + y)")
     return f"""
 WITH pts AS (SELECT vec_id AS id, {_V} AS v FROM embeddings),
 seeds AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY md5('pq' || CAST(id AS VARCHAR)), id) - 1 AS j, v
-  FROM (SELECT * FROM pts ORDER BY md5('pq' || CAST(id AS VARCHAR)), id LIMIT {k})
+  SELECT ROW_NUMBER() OVER (ORDER BY md5('{salt}' || CAST(id AS VARCHAR)), id) - 1 AS j, v
+  FROM (SELECT * FROM pts {tw} ORDER BY md5('{salt}' || CAST(id AS VARCHAR)), id LIMIT {k})
 ),
 sspace AS (SELECT unnest(range(0, {m})) AS ss),
 cb0 AS (
@@ -390,7 +399,7 @@ sub AS (
 ),
 a1_d AS (
   SELECT s.id, s.ss, s.sv, c.cluster, {sqd.format(a='s.sv', b='c.centroid')} AS sqdist
-  FROM sub s JOIN cb0 c ON s.ss = c.ss
+  FROM sub s JOIN cb0 c ON s.ss = c.ss {ta}
 ),
 a1 AS (
   SELECT id, ss, sv, cluster FROM (
@@ -943,3 +952,53 @@ def s9_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+# --- S6i: incremental index append (the faiss add() pattern) -----------------
+# How a deployed vector index actually grows: the base corpus (here
+# vec_id % 5 != 0, 80%) trains the codebooks ONCE; the arriving batch
+# (vec_id % 5 == 0) is encoded under those FROZEN codebooks and its
+# codes are APPENDED as a separate parquet increment — work ∝ batch,
+# no retraining, no rewrite of existing codes (the
+# pipe5_incremental_dedup discipline applied to the ANN family).
+# Serving scans the union of base + increment code tables.
+# The oracle replays the exact lifecycle: codebooks trained from the
+# base subset only (train_pred), assignment/encoding over ALL ids —
+# which is precisely what build-then-append produces — then the
+# standard ADC + rerank. The value hash therefore proves the appended
+# artifact equals a from-scratch base-trained encode bit-for-bit.
+
+_S6I_PRED = "id % 5 != 0"
+
+
+@register("s6i_pq_append_serve",
+          oracle=_pq_sql(salt="pqi", train_pred=_S6I_PRED),
+          doc="Incremental PQ index: codebooks trained on the 80% base "
+              "corpus, the 20% batch encoded under FROZEN codebooks and "
+              "appended as a codes increment (idempotent per tag); serve "
+              "scans base+increment. Oracle replays train-on-base/"
+              "encode-all end-to-end — the faiss add() lifecycle under "
+              "the value-hash gate.",
+          tags=("similarity",))
+def s6i_pq_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.ann_index import (
+        _done,
+        append_to_pq_index,
+        build_pq_index,
+        index_dir,
+        pq_serve_topk,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    batch = e.filter(F.col("vec_id") % 5 == 0)
+    params = {"kind": "pq", "m": _S6_M, "k": _S6_K, "salt": "pqi",
+              "train": "mod5"}
+    path = index_dir(base, "pq", params)
+    if not _done(path):
+        build_pq_index(base, path, m=_S6_M, k=_S6_K, salt="pqi")
+    append_to_pq_index(batch, path, tag="mod5batch")
+    q = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
+    return pq_serve_topk(
+        e, q, path, m=_S6_M, k=_S6_K, refine=_S6_REFINE, topk=_S6_TOPK
+    ).orderBy("q_id", "rk")

@@ -221,7 +221,9 @@ def pq_serve_topk(
     spark = emb.sparkSession
     d = _vec_dim(emb, vec_col)
     cb1 = spark.read.parquet(os.path.join(path, "codebook"))
-    codes = _widen(spark.read.parquet(os.path.join(path, "codes")))
+    # "codes" plus any "codes_<tag>" increments written by
+    # append_to_pq_index — the served index is their union.
+    codes = _widen(spark.read.parquet(*_code_dirs(path)))
     pts = persist_tracked(
         emb.select(F.col(key_col).alias("id"), to_double(vec_col).alias("v"))
     )
@@ -259,4 +261,53 @@ def ivfpq_serve_topk(
     return _ivfpq_serve(
         pts, cents, cb1, coded, q_ids, m=m, k=k, ds=d // m, d=d,
         nprobe=nprobe, refine=refine, topk=topk,
+    )
+
+
+def _code_dirs(path: str) -> list[str]:
+    """The base "codes" table plus every "codes_<tag>" increment
+    (sorted for deterministic scan order)."""
+    import glob as _glob
+
+    return sorted(
+        d for d in _glob.glob(os.path.join(path, "codes*")) if os.path.isdir(d)
+    )
+
+
+def append_to_pq_index(
+    emb_batch: DataFrame,
+    path: str,
+    tag: str,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Add a NEW batch of vectors to an existing PQ index — the faiss
+    ``add()`` pattern: the batch is encoded under the index's FROZEN
+    codebooks (read from the artifact, broadcast) and its codes land
+    in a separate ``codes_<tag>`` parquet directory that serving
+    unions with the base table.
+
+    Work ∝ batch (the incremental-ingest discipline of
+    pipe5_incremental_dedup, applied to the ANN family): no
+    retraining, no rewrite of existing codes, no corpus re-scan.
+    mode="overwrite" per tag makes re-appending the same batch
+    idempotent — a retried ingest job cannot duplicate codes. The
+    codebook staleness trade is the standard one: recall degrades as
+    the appended distribution drifts from the training corpus;
+    retrain (a fresh content-addressed build) when it does.
+    """
+    from ae_data_integration_spark.operators.similarity import _pq_encode
+
+    spark = emb_batch.sparkSession
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    m, d = int(meta["m"]), int(meta["d"])
+    cb1 = spark.read.parquet(os.path.join(path, "codebook"))
+    pts = _widen(
+        emb_batch.select(
+            F.col(key_col).alias("id"), to_double(vec_col).alias("v")
+        )
+    )
+    _pq_encode(pts, cb1, m, d // m).write.mode("overwrite").parquet(
+        os.path.join(path, f"codes_{tag}")
     )

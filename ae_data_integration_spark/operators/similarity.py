@@ -361,13 +361,34 @@ def _pq_train_encode(
     )
     cb1 = spark.createDataFrame(upd.collect(), cb0.schema)  # model-sized
 
-    codes = (
-        _assign(cb1)
+    return cb1, _pq_encode(pts, cb1, m, ds)
+
+
+def _pq_encode(pts: DataFrame, cb1: DataFrame, m: int, ds: int) -> DataFrame:
+    """Encode (id, v) rows under FROZEN codebooks — (id, codes
+    array<long>) in subspace order. This is the faiss ``add()`` path:
+    new vectors join an existing index with work ∝ batch (one
+    broadcast of the model-sized codebook, one per-(id, subspace)
+    nearest-centroid window), no retraining and no touch of the codes
+    already stored. Shared by _pq_train_encode (the build) and
+    ann_index.append_to_pq_index (the increment)."""
+    sub = pts.select(
+        "id",
+        F.posexplode(
+            F.array(*[F.slice("v", ss * ds + 1, ds) for ss in range(m)])
+        ).alias("ss", "sv"),
+    )
+    j = sub.join(F.broadcast(cb1), "ss").withColumn(
+        "sqd", _sqdist_unrolled("sv", "centroid", ds)
+    )
+    w = Window.partitionBy("id", "ss").orderBy("sqd", "cluster")
+    return (
+        j.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
         .groupBy("id")
         .agg(F.array_sort(F.collect_list(F.struct("ss", "cluster"))).alias("_sc"))
         .select("id", F.transform("_sc", lambda s: s["cluster"]).alias("codes"))
     )
-    return cb1, codes
 
 
 def _pq_serve(

@@ -71,6 +71,7 @@ QUERIES = [
     "g6_label_propagation",      # majority-vote LPA communities (r10)
     "e12_session_incident_overlap",  # bucketed interval-overlap join (r10)
     "dq5_temporal_drift",        # midpoint-split mixture drift (r10)
+    "s6i_pq_append_serve",       # incremental PQ index append (r10)
 ]
 
 

@@ -454,3 +454,81 @@ def test_dq5_counts_partition_the_stream(spark):
             assert r["drift_log_odds"] > 0
         if r["share_second"] * 1.05 < r["share_first"]:
             assert r["drift_log_odds"] < 0
+
+
+# --- s6i incremental index append ---------------------------------------------
+
+
+def test_s6i_append_is_idempotent_and_covers_corpus(spark):
+    """Re-running the append (a retried ingest job) must not duplicate
+    codes: the served code tables union to exactly one row per corpus
+    vector, and a second run returns the identical top-k frame. The
+    base build is untouched by the append (its _DONE mtime is
+    stable)."""
+    import os
+
+    from ae_data_integration_spark.catalog import similarity_q as sq
+    from ae_data_integration_spark.operators.ann_index import (
+        _code_dirs,
+        index_dir,
+    )
+    from ae_data_integration_spark.tables import table
+
+    rows = lambda df: [  # noqa: E731
+        (r["q_id"], r["n_id"], r["cos"], r["rk"])
+        for r in df.orderBy("q_id", "rk").collect()
+    ]
+    first = rows(_run(spark, "s6i_pq_append_serve"))
+
+    e = table(spark, SF_SMOKE, "embeddings")
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    params = {"kind": "pq", "m": sq._S6_M, "k": sq._S6_K, "salt": "pqi",
+              "train": "mod5"}
+    path = index_dir(base, "pq", params)
+    marker = os.path.join(path, "_DONE")
+    m0 = os.stat(marker).st_mtime_ns
+
+    second = rows(_run(spark, "s6i_pq_append_serve"))  # re-appends
+    assert first == second
+    assert os.stat(marker).st_mtime_ns == m0  # base never rebuilt
+
+    dirs = _code_dirs(path)
+    assert len(dirs) == 2  # codes + codes_mod5batch, no duplicates
+    union = spark.read.parquet(*dirs)
+    assert union.count() == e.count()
+    assert union.select("id").distinct().count() == e.count()
+
+
+def test_s6i_batch_encoded_under_frozen_codebooks(spark):
+    """The increment's codes must equal encoding the batch directly
+    with the stored codebook — proof no retraining happened in the
+    append path."""
+    import os
+
+    from ae_data_integration_spark.catalog import similarity_q as sq
+    from ae_data_integration_spark.functions.arrays import to_double
+    from ae_data_integration_spark.operators.ann_index import index_dir
+    from ae_data_integration_spark.operators.similarity import _pq_encode
+    from ae_data_integration_spark.tables import table
+
+    _run(spark, "s6i_pq_append_serve").collect()  # materialize artifact
+    e = table(spark, SF_SMOKE, "embeddings")
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    params = {"kind": "pq", "m": sq._S6_M, "k": sq._S6_K, "salt": "pqi",
+              "train": "mod5"}
+    path = index_dir(base, "pq", params)
+    cb1 = spark.read.parquet(os.path.join(path, "codebook"))
+    batch = e.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("id"), to_double("embedding").alias("v")
+    )
+    want = {
+        (r["id"], tuple(r["codes"]))
+        for r in _pq_encode(batch, cb1, sq._S6_M, sq._S6_DS).collect()
+    }
+    got = {
+        (r["id"], tuple(r["codes"]))
+        for r in spark.read.parquet(
+            os.path.join(path, "codes_mod5batch")
+        ).collect()
+    }
+    assert got == want and len(got) > 0
