@@ -1985,3 +1985,72 @@ def pipe8_ccnet_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_pred", "bucket")
     )
+
+
+# --- T23b: per-language perplexity terciles (the CCNet per-lang form) --------
+# CCNet buckets perplexity WITHIN each language (a hard corpus is not
+# a bad corpus — tail-of-French ≠ tail-of-English): docs carry their
+# t3 predicted language ('und' when no marker hits), and terciles are
+# computed per language group. The per-group split is a KEYED window
+# (partition-local ntile over lang groups — the standard w1-w5
+# shape), not a global sort; if one language dominated a 100-TB
+# corpus its group becomes the hot task, and the escape hatch is the
+# per-group generalization of functions/ranks.py (boundary order
+# statistics per key, broadcast back) — documented, not needed at
+# these group sizes.
+
+_T23B_SQL = f"""{_T23_CTES},
+tok8 AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+hits8 AS (
+  SELECT t.doc_id, m.lang_pred, COUNT(*) AS n_hits
+  FROM tok8 t JOIN {_markers_values_sql()} ON t.tok = m.marker
+  GROUP BY t.doc_id, m.lang_pred
+),
+ld8 AS (
+  SELECT doc_id, lang_pred FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY n_hits DESC, lang_pred) AS rk
+    FROM hits8
+  ) WHERE rk = 1
+),
+scored8 AS (
+  SELECT d.doc_id, COALESCE(l.lang_pred, 'und') AS lang_pred,
+         d.n_tok, d.avg_nll
+  FROM doc d LEFT JOIN ld8 l ON d.doc_id = l.doc_id
+)
+SELECT doc_id, lang_pred, n_tok, avg_nll,
+       CASE ntile(3) OVER (PARTITION BY lang_pred ORDER BY avg_nll, doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM scored8
+ORDER BY doc_id
+"""
+
+
+@register("t23b_lang_terciles", oracle=_T23B_SQL,
+          doc="Per-language perplexity terciles (the CCNet per-lang cut: "
+              "hard != bad across languages): t23 NLL scores bucketed by "
+              "ntile(3) WITHIN each t3-predicted language ('und' "
+              "fallback) — a keyed, partition-local window, no global "
+              "sort.",
+          tags=("text", "quality"))
+def t23b_lang_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _t23_scored(spark, sf_dir)
+    ld = t3_lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    s8 = scored.join(ld, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"),
+        "n_tok",
+        "avg_nll",
+    )
+    w = Window.partitionBy("lang_pred").orderBy("avg_nll", "doc_id")
+    nt = F.ntile(3).over(w)
+    return (
+        s8.select(
+            "doc_id", "lang_pred", "n_tok", "avg_nll",
+            F.when(nt == 1, F.lit("head"))
+            .when(nt == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )

@@ -291,13 +291,18 @@ def append_to_pq_index(
     pipe5_incremental_dedup, applied to the ANN family): no
     retraining, no rewrite of existing codes, no corpus re-scan.
     mode="overwrite" per tag makes re-appending the same batch
-    idempotent — a retried ingest job cannot duplicate codes. The
-    codebook staleness trade is the standard one: recall degrades as
-    the appended distribution drifts from the training corpus;
-    retrain (a fresh content-addressed build) when it does.
+    idempotent — a retried ingest job cannot duplicate codes — and a
+    tag that compact_pq_index has already folded into the base table
+    is a recorded no-op (``_merged_tags.json``), so compact-then-
+    retry cannot duplicate either. The codebook staleness trade is
+    the standard one: recall degrades as the appended distribution
+    drifts from the training corpus; retrain (a fresh
+    content-addressed build) when it does.
     """
     from ae_data_integration_spark.operators.similarity import _pq_encode
 
+    if tag in _merged_tags(path):
+        return  # already folded into the base codes table
     spark = emb_batch.sparkSession
     with open(os.path.join(path, "meta.json")) as fh:
         meta = json.load(fh)
@@ -311,3 +316,54 @@ def append_to_pq_index(
     _pq_encode(pts, cb1, m, d // m).write.mode("overwrite").parquet(
         os.path.join(path, f"codes_{tag}")
     )
+
+
+def compact_pq_index(spark, path: str) -> int:
+    """Merge every ``codes_<tag>`` increment back into the base
+    ``codes`` table — the maintenance job a long-lived incremental
+    index runs when the increment count starts to hurt scan planning
+    (many small parquet directories = many splits + listing overhead).
+
+    Semantics-free by construction: serving scans the UNION of code
+    dirs, so rewriting that union as one table changes nothing the
+    query sees (tested by frame equality in tests). Crash-safe
+    ordering: the merged table is written to a staging dir first,
+    then swapped in and the increments dropped — a crash before the
+    swap leaves the old layout fully intact. Folded tags are recorded
+    in ``_merged_tags.json`` FIRST, so append_to_pq_index treats a
+    compact-then-retry of the same tag as a no-op instead of
+    re-introducing (and duplicating) the batch. Returns the number of
+    increments merged.
+    """
+    import shutil
+
+    dirs = _code_dirs(path)
+    incs = [d for d in dirs if os.path.basename(d) != "codes"]
+    if not incs:
+        return 0
+    staged = os.path.join(path, "_codes_staged")
+    spark.read.parquet(*dirs).write.mode("overwrite").parquet(staged)
+    merged = sorted(
+        set(_merged_tags(path))
+        | {os.path.basename(d)[len("codes_"):] for d in incs}
+    )
+    with open(os.path.join(path, "_merged_tags.json"), "w") as fh:
+        json.dump(merged, fh)
+    base = os.path.join(path, "codes")
+    old = os.path.join(path, "_codes_old")
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(base, old)
+    os.rename(staged, base)
+    for d in incs:
+        shutil.rmtree(d)
+    shutil.rmtree(old)
+    return len(incs)
+
+
+def _merged_tags(path: str) -> list[str]:
+    p = os.path.join(path, "_merged_tags.json")
+    if not os.path.exists(p):
+        return []
+    with open(p) as fh:
+        return json.load(fh)

@@ -72,6 +72,7 @@ QUERIES = [
     "e12_session_incident_overlap",  # bucketed interval-overlap join (r10)
     "dq5_temporal_drift",        # midpoint-split mixture drift (r10)
     "s6i_pq_append_serve",       # incremental PQ index append (r10)
+    "t23b_lang_terciles",        # per-language perplexity cut (r10)
 ]
 
 

@@ -457,41 +457,66 @@ def test_dq5_counts_partition_the_stream(spark):
 
 
 # --- s6i incremental index append ---------------------------------------------
+# Lifecycle tests run against a PRIVATE index directory (monkeypatched
+# SPARK_GRAFT_INDEX_DIR): the catalog row's shared artifact persists
+# across pytest sessions, so its layout (pre- or post-compaction) is
+# not a test fixture — the catalog-level guarantees are pinned by the
+# parity oracle and the repartition roster instead.
 
 
-def test_s6i_append_is_idempotent_and_covers_corpus(spark):
-    """Re-running the append (a retried ingest job) must not duplicate
-    codes: the served code tables union to exactly one row per corpus
-    vector, and a second run returns the identical top-k frame. The
-    base build is untouched by the append (its _DONE mtime is
-    stable)."""
-    import os
-
+def _s6i_private_index(spark, tmp_path, monkeypatch):
     from ae_data_integration_spark.catalog import similarity_q as sq
     from ae_data_integration_spark.operators.ann_index import (
-        _code_dirs,
+        append_to_pq_index,
+        build_pq_index,
         index_dir,
     )
     from ae_data_integration_spark.tables import table
 
-    rows = lambda df: [  # noqa: E731
-        (r["q_id"], r["n_id"], r["cos"], r["rk"])
-        for r in df.orderBy("q_id", "rk").collect()
-    ]
-    first = rows(_run(spark, "s6i_pq_append_serve"))
-
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "ann"))
     e = table(spark, SF_SMOKE, "embeddings")
     base = e.filter(F.col("vec_id") % 5 != 0)
+    batch = e.filter(F.col("vec_id") % 5 == 0)
     params = {"kind": "pq", "m": sq._S6_M, "k": sq._S6_K, "salt": "pqi",
               "train": "mod5"}
     path = index_dir(base, "pq", params)
+    build_pq_index(base, path, m=sq._S6_M, k=sq._S6_K, salt="pqi")
+    append_to_pq_index(batch, path, tag="mod5batch")
+    return e, base, batch, path
+
+
+def _serve(spark, e, path):
+    from ae_data_integration_spark.catalog import similarity_q as sq
+    from ae_data_integration_spark.operators.ann_index import pq_serve_topk
+
+    q = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
+    return [
+        (r["q_id"], r["n_id"], r["cos"], r["rk"])
+        for r in pq_serve_topk(
+            e, q, path, m=sq._S6_M, k=sq._S6_K,
+            refine=sq._S6_REFINE, topk=sq._S6_TOPK,
+        ).orderBy("q_id", "rk").collect()
+    ]
+
+
+def test_s6i_append_is_idempotent_and_covers_corpus(spark, tmp_path, monkeypatch):
+    """Re-running the append (a retried ingest job) must not duplicate
+    codes: one row per corpus vector across the code-dir union, an
+    identical served frame, and an untouched base build."""
+    import os
+
+    from ae_data_integration_spark.operators.ann_index import (
+        _code_dirs,
+        append_to_pq_index,
+    )
+
+    e, base, batch, path = _s6i_private_index(spark, tmp_path, monkeypatch)
+    first = _serve(spark, e, path)
     marker = os.path.join(path, "_DONE")
     m0 = os.stat(marker).st_mtime_ns
-
-    second = rows(_run(spark, "s6i_pq_append_serve"))  # re-appends
-    assert first == second
+    append_to_pq_index(batch, path, tag="mod5batch")  # the retry
+    assert _serve(spark, e, path) == first
     assert os.stat(marker).st_mtime_ns == m0  # base never rebuilt
-
     dirs = _code_dirs(path)
     assert len(dirs) == 2  # codes + codes_mod5batch, no duplicates
     union = spark.read.parquet(*dirs)
@@ -499,7 +524,7 @@ def test_s6i_append_is_idempotent_and_covers_corpus(spark):
     assert union.select("id").distinct().count() == e.count()
 
 
-def test_s6i_batch_encoded_under_frozen_codebooks(spark):
+def test_s6i_batch_encoded_under_frozen_codebooks(spark, tmp_path, monkeypatch):
     """The increment's codes must equal encoding the batch directly
     with the stored codebook — proof no retraining happened in the
     append path."""
@@ -507,23 +532,14 @@ def test_s6i_batch_encoded_under_frozen_codebooks(spark):
 
     from ae_data_integration_spark.catalog import similarity_q as sq
     from ae_data_integration_spark.functions.arrays import to_double
-    from ae_data_integration_spark.operators.ann_index import index_dir
     from ae_data_integration_spark.operators.similarity import _pq_encode
-    from ae_data_integration_spark.tables import table
 
-    _run(spark, "s6i_pq_append_serve").collect()  # materialize artifact
-    e = table(spark, SF_SMOKE, "embeddings")
-    base = e.filter(F.col("vec_id") % 5 != 0)
-    params = {"kind": "pq", "m": sq._S6_M, "k": sq._S6_K, "salt": "pqi",
-              "train": "mod5"}
-    path = index_dir(base, "pq", params)
+    e, base, batch, path = _s6i_private_index(spark, tmp_path, monkeypatch)
     cb1 = spark.read.parquet(os.path.join(path, "codebook"))
-    batch = e.filter(F.col("vec_id") % 5 == 0).select(
-        F.col("vec_id").alias("id"), to_double("embedding").alias("v")
-    )
+    b = batch.select(F.col("vec_id").alias("id"), to_double("embedding").alias("v"))
     want = {
         (r["id"], tuple(r["codes"]))
-        for r in _pq_encode(batch, cb1, sq._S6_M, sq._S6_DS).collect()
+        for r in _pq_encode(b, cb1, sq._S6_M, sq._S6_DS).collect()
     }
     got = {
         (r["id"], tuple(r["codes"]))
@@ -532,3 +548,29 @@ def test_s6i_batch_encoded_under_frozen_codebooks(spark):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_s6i_compaction_is_semantics_free_and_reappend_noop(
+    spark, tmp_path, monkeypatch
+):
+    """compact_pq_index merges increments into the base codes table:
+    the served frame is identical before/after, one codes dir remains,
+    a second compaction is a no-op, and re-appending a FOLDED tag is a
+    recorded no-op (no resurrected increment, no duplicate ids)."""
+    from ae_data_integration_spark.operators.ann_index import (
+        _code_dirs,
+        append_to_pq_index,
+        compact_pq_index,
+    )
+
+    e, base, batch, path = _s6i_private_index(spark, tmp_path, monkeypatch)
+    before = _serve(spark, e, path)
+    assert compact_pq_index(spark, path) == 1
+    assert len(_code_dirs(path)) == 1
+    assert compact_pq_index(spark, path) == 0  # idempotent no-op
+    assert _serve(spark, e, path) == before
+    append_to_pq_index(batch, path, tag="mod5batch")  # folded tag: no-op
+    assert len(_code_dirs(path)) == 1  # not resurrected
+    assert _serve(spark, e, path) == before
+    union = spark.read.parquet(*_code_dirs(path))
+    assert union.select("id").distinct().count() == union.count() == e.count()
