@@ -521,19 +521,32 @@ _S7_M, _S7_K, _S7_DS = 8, 32, 8
 _S7_REFINE, _S7_TOPK = 120, 10
 
 
-def _s7_sql() -> str:
+def _s7_sql(salt: str = "ivfpq", train_pred: str = "") -> str:
     m, k, ds = _S7_M, _S7_K, _S7_DS
     q30 = _S6_Q30
+    # train_pred (predicate on bare `id`): restricts which vectors
+    # train BOTH quantizers (coarse seeds + Lloyd pass, PQ seeds +
+    # Lloyd pass); assignment/encoding/serving always covers every
+    # vector — the s7i incremental-append replay (see _pq_sql).
+    tsrc = "tpts" if train_pred else "pts"
+    tw = f"WHERE {train_pred}" if train_pred else ""
+    ta = f"AND s.{train_pred}" if train_pred else ""
+    tpts_cte = (
+        f"tpts AS (SELECT * FROM pts WHERE {train_pred}),\n" if train_pred else ""
+    )
+    tres_src = (
+        f"(SELECT * FROM res WHERE {train_pred})" if train_pred else "res"
+    )
     sqd = ("list_reduce(list_transform(list_zip({a}, {b}),"
            " q -> (q[1]-q[2]) * (q[1]-q[2])), (x, y) -> x + y)")
     return f"""
 WITH pts AS (SELECT vec_id AS id, {_V} AS vec FROM embeddings),
-init AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY md5('ivfpq' || CAST(id AS VARCHAR)), id) - 1 AS cluster,
+{tpts_cte}init AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5('{salt}' || CAST(id AS VARCHAR)), id) - 1 AS cluster,
          vec AS centroid
-  FROM (SELECT * FROM pts ORDER BY md5('ivfpq' || CAST(id AS VARCHAR)), id LIMIT {_S7_KC})
+  FROM (SELECT * FROM pts {tw} ORDER BY md5('{salt}' || CAST(id AS VARCHAR)), id LIMIT {_S7_KC})
 ),
-{_assign_cte('pts', 'init', 'a1')},
+{_assign_cte(tsrc, 'init', 'a1')},
 {_update_cte('a1', 'c1')},
 {_assign_cte('pts', 'c1', 'a2')},
 res AS (
@@ -542,8 +555,8 @@ res AS (
   FROM a2 JOIN c1 c ON a2.cluster = c.cluster
 ),
 pseeds AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY md5('ivfpqc' || CAST(id AS VARCHAR)), id) - 1 AS j, v
-  FROM (SELECT * FROM res ORDER BY md5('ivfpqc' || CAST(id AS VARCHAR)), id LIMIT {k})
+  SELECT ROW_NUMBER() OVER (ORDER BY md5('{salt}c' || CAST(id AS VARCHAR)), id) - 1 AS j, v
+  FROM (SELECT * FROM {tres_src} ORDER BY md5('{salt}c' || CAST(id AS VARCHAR)), id LIMIT {k})
 ),
 sspace AS (SELECT unnest(range(0, {m})) AS ss),
 pcb0 AS (
@@ -558,7 +571,7 @@ psub AS (
 ),
 p1_d AS (
   SELECT s.id, s.ss, s.sv, c.cluster, {sqd.format(a='s.sv', b='c.centroid')} AS sqdist
-  FROM psub s JOIN pcb0 c ON s.ss = c.ss
+  FROM psub s JOIN pcb0 c ON s.ss = c.ss {ta}
 ),
 p1 AS (
   SELECT id, ss, sv, cluster FROM (
@@ -1001,4 +1014,50 @@ def s6i_pq_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
     return pq_serve_topk(
         e, q, path, m=_S6_M, k=_S6_K, refine=_S6_REFINE, topk=_S6_TOPK
+    ).orderBy("q_id", "rk")
+
+
+# --- S7i: incremental IVF-PQ append ------------------------------------------
+# s6i's lifecycle on the index family a 100-TB deployment actually
+# runs: coarse cells + residual codebooks trained once on the 80%
+# base; the arriving batch is assigned to its nearest FROZEN cell,
+# residualized, encoded under the FROZEN residual codebooks and
+# appended as a (id, cell, codes) increment. Serving probes cells
+# over the base∪increment union. Oracle: both quantizers trained
+# from the base subset (train_pred), assignment/encoding over all —
+# exactly what build-then-append produces.
+
+
+@register("s7i_ivfpq_append_serve",
+          oracle=_s7_sql(salt="ivfpqi", train_pred=_S6I_PRED),
+          doc="Incremental IVF-PQ index: coarse+residual quantizers "
+              "trained on the 80% base, the 20% batch cell-assigned and "
+              "encoded under FROZEN artifacts, appended as a codes "
+              "increment; serve probes nprobe=4 cells over the union. "
+              "Oracle replays train-on-base/encode-all end-to-end.",
+          tags=("similarity",))
+def s7i_ivfpq_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.ann_index import (
+        _done,
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        index_dir,
+        ivfpq_serve_topk,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    batch = e.filter(F.col("vec_id") % 5 == 0)
+    params = {"kind": "ivfpq", "k_coarse": _S7_KC, "m": _S7_M, "k": _S7_K,
+              "salt": "ivfpqi", "train": "mod5"}
+    path = index_dir(base, "ivfpq", params)
+    if not _done(path):
+        build_ivfpq_index(
+            base, path, k_coarse=_S7_KC, m=_S7_M, k=_S7_K, salt="ivfpqi"
+        )
+    append_to_ivfpq_index(batch, path, tag="mod5batch")
+    q = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
+    return ivfpq_serve_topk(
+        e, q, path, m=_S7_M, k=_S7_K, nprobe=_S7_NPROBE,
+        refine=_S7_REFINE, topk=_S7_TOPK,
     ).orderBy("q_id", "rk")

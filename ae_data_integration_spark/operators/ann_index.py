@@ -253,7 +253,8 @@ def ivfpq_serve_topk(
     d = _vec_dim(emb, vec_col)
     cents = spark.read.parquet(os.path.join(path, "cents"))
     cb1 = spark.read.parquet(os.path.join(path, "codebook"))
-    coded = _widen(spark.read.parquet(os.path.join(path, "codes")))
+    # base codes plus any append_to_ivfpq_index increments
+    coded = _widen(spark.read.parquet(*_code_dirs(path)))
     pts = persist_tracked(
         emb.select(F.col(key_col).alias("id"), to_double(vec_col).alias("vec"))
     )
@@ -367,3 +368,48 @@ def _merged_tags(path: str) -> list[str]:
         return []
     with open(p) as fh:
         return json.load(fh)
+
+
+def append_to_ivfpq_index(
+    emb_batch: DataFrame,
+    path: str,
+    tag: str,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """IVF-PQ twin of append_to_pq_index: the batch is assigned to
+    its nearest FROZEN coarse cell, residualized against that cell's
+    centroid, encoded under the FROZEN residual codebooks, and the
+    (id, cell, codes) rows land in a ``codes_<tag>`` increment.
+    Same guarantees: work ∝ batch, idempotent per tag, folded tags
+    are no-ops (compact_pq_index is layout-generic and serves both
+    index kinds)."""
+    from ae_data_integration_spark.operators.kmeans import _assign
+    from ae_data_integration_spark.operators.similarity import _pq_encode
+
+    if tag in _merged_tags(path):
+        return
+    spark = emb_batch.sparkSession
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    m, d = int(meta["m"]), int(meta["d"])
+    cents = spark.read.parquet(os.path.join(path, "cents"))
+    cb1 = spark.read.parquet(os.path.join(path, "codebook"))
+    pts = _widen(
+        emb_batch.select(
+            F.col(key_col).alias("id"), to_double(vec_col).alias("vec")
+        )
+    )
+    assigned = _assign(pts, cents.withColumnRenamed("cell", "cluster"))
+    res = (
+        assigned.select("id", "vec", F.col("cluster").alias("cell"))
+        .join(F.broadcast(cents), "cell")
+        .select(
+            "id", "cell",
+            F.zip_with("vec", "centroid", lambda a, b: a - b).alias("v"),
+        )
+    )
+    codes = _pq_encode(res.select("id", "v"), cb1, m, d // m)
+    codes.join(res.select("id", "cell"), "id").write.mode("overwrite").parquet(
+        os.path.join(path, f"codes_{tag}")
+    )

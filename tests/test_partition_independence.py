@@ -73,6 +73,7 @@ QUERIES = [
     "dq5_temporal_drift",        # midpoint-split mixture drift (r10)
     "s6i_pq_append_serve",       # incremental PQ index append (r10)
     "t23b_lang_terciles",        # per-language perplexity cut (r10)
+    "s7i_ivfpq_append_serve",    # incremental IVF-PQ append (r10)
 ]
 
 

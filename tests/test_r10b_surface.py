@@ -574,3 +574,67 @@ def test_s6i_compaction_is_semantics_free_and_reappend_noop(
     assert _serve(spark, e, path) == before
     union = spark.read.parquet(*_code_dirs(path))
     assert union.select("id").distinct().count() == union.count() == e.count()
+
+
+def test_s7i_batch_assigned_and_encoded_under_frozen_artifacts(
+    spark, tmp_path, monkeypatch
+):
+    """IVF-PQ append: the increment's (cell, codes) must equal
+    assigning + encoding the batch directly with the stored cents and
+    codebook — no retraining of either quantizer; codes union covers
+    the corpus exactly once and the retry is idempotent."""
+    import os
+
+    from ae_data_integration_spark.catalog import similarity_q as sq
+    from ae_data_integration_spark.functions.arrays import to_double
+    from ae_data_integration_spark.operators.ann_index import (
+        _code_dirs,
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        index_dir,
+    )
+    from ae_data_integration_spark.operators.kmeans import _assign
+    from ae_data_integration_spark.operators.similarity import _pq_encode
+    from ae_data_integration_spark.tables import table
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "ann"))
+    e = table(spark, SF_SMOKE, "embeddings")
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    batch = e.filter(F.col("vec_id") % 5 == 0)
+    params = {"kind": "ivfpq", "k_coarse": sq._S7_KC, "m": sq._S7_M,
+              "k": sq._S7_K, "salt": "ivfpqi", "train": "mod5"}
+    path = index_dir(base, "ivfpq", params)
+    build_ivfpq_index(base, path, k_coarse=sq._S7_KC, m=sq._S7_M,
+                      k=sq._S7_K, salt="ivfpqi")
+    append_to_ivfpq_index(batch, path, tag="mod5batch")
+    append_to_ivfpq_index(batch, path, tag="mod5batch")  # retry
+    union = spark.read.parquet(*_code_dirs(path))
+    assert union.count() == e.count()
+    assert union.select("id").distinct().count() == e.count()
+
+    cents = spark.read.parquet(os.path.join(path, "cents"))
+    cb1 = spark.read.parquet(os.path.join(path, "codebook"))
+    pts = batch.select(F.col("vec_id").alias("id"),
+                       to_double("embedding").alias("vec"))
+    assigned = _assign(pts, cents.withColumnRenamed("cell", "cluster"))
+    res = (
+        assigned.select("id", "vec", F.col("cluster").alias("cell"))
+        .join(F.broadcast(cents), "cell")
+        .select("id", "cell",
+                F.zip_with("vec", "centroid", lambda a, b: a - b).alias("v"))
+    )
+    want = {
+        (r["id"], r2["cell"], tuple(r["codes"]))
+        for r, r2 in zip(
+            sorted(_pq_encode(res.select("id", "v"), cb1, sq._S7_M,
+                              sq._S7_DS).collect(), key=lambda r: r["id"]),
+            sorted(res.select("id", "cell").collect(), key=lambda r: r["id"]),
+        )
+    }
+    got = {
+        (r["id"], r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(
+            os.path.join(path, "codes_mod5batch")
+        ).collect()
+    }
+    assert got == want and len(got) > 0
