@@ -1773,6 +1773,8 @@ def _t23_bucketize(scored: DataFrame) -> DataFrame:
     from ae_data_integration_spark.functions.ranks import order_statistics
 
     scored = scored.localCheckpoint()
+    if scored.rdd.isEmpty():  # empty corpus: no boundaries to fetch
+        return scored.withColumn("bucket", F.lit("head")).limit(0)
     (b1, b2), _n = order_statistics(
         scored,
         ["avg_nll", "doc_id"],

@@ -50,12 +50,14 @@ def bigram_pairs(
     """(…keep, prev, cur) bigram transitions of the vocab-mapped token
     array, with a '<s>' context at position 0. Zero shuffle: literal
     isin mapping + transform-with-index, no per-token lag window."""
-    mm = df.withColumn(
-        "m",
-        F.transform(
-            arr_col, lambda w: F.when(w.isin(*vocab), w).otherwise(F.lit(UNK))
-        ),
+    # empty vocab (no reference docs): every token is OOV — isin()
+    # with zero arguments is an error, not an empty set
+    mapper = (
+        (lambda w: F.when(w.isin(*vocab), w).otherwise(F.lit(UNK)))
+        if vocab
+        else (lambda w: F.lit(UNK))
     )
+    mm = df.withColumn("m", F.transform(arr_col, mapper))
     return mm.select(
         *keep,
         F.explode(

@@ -164,3 +164,37 @@ def test_r10b_operators_on_empty(spark):
     out = truncated_rerank_topk(emb, emb)
     assert out.count() == 0
     assert out.columns == ["q_id", "n_id", "cos", "rk"]
+
+
+def test_lm_stack_on_empty_and_oov_only(spark):
+    from ae_data_integration_spark.operators.lm import (
+        bigram_pairs,
+        score_pairs,
+        top_vocab,
+        train_bigram_counts,
+    )
+
+    # empty reference slice: vocab is empty, every scored token is
+    # OOV — the mapper must not call isin() with zero arguments
+    empty = _empty(spark, "doc_id long, t array<string>")
+    assert top_vocab(empty, "t", 64) == []
+    docs = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["c"])], "doc_id long, t array<string>"
+    )
+    pairs = bigram_pairs(docs, [], "t", keep=("doc_id",))
+    rows = {(r["doc_id"], r["prev"], r["cur"]) for r in pairs.collect()}
+    assert rows == {(1, "<s>", "<unk>"), (1, "<unk>", "<unk>"),
+                    (2, "<s>", "<unk>")}
+    bg, ctx = train_bigram_counts(bigram_pairs(empty, [], "t"))
+    scored = score_pairs(pairs, bg, ctx, emit=65)
+    got = {r["doc_id"]: r["n_tok"] for r in scored.collect()}
+    assert got == {1: 2, 2: 1}  # all-miss smoothing path, no crash
+
+
+def test_t23_bucketize_on_empty(spark):
+    from ae_data_integration_spark.catalog.text_q import _t23_bucketize
+
+    empty = _empty(spark, "doc_id long, n_tok long, avg_nll double")
+    out = _t23_bucketize(empty)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "n_tok", "avg_nll", "bucket"]
