@@ -1357,3 +1357,76 @@ def g6_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b"
     )
     return label_propagation_fixed(verified, n_iters=3).orderBy("doc_id")
+
+
+# --- DQ6: dedup audit trail ---------------------------------------------------
+# Auditability for the curation pass: every DROPPED document with the
+# canonical document that keeps its content and WHICH signal dropped
+# it — 'exact' (d1 fingerprint identity, keep-first) or 'near' (the
+# pipe2 verified-LSH connected component, jaccard >= 0.5), with exact
+# taking precedence for docs caught by both. This is the provenance
+# table a data-governance review (or a takedown request) walks: "where
+# did this document go, and on what evidence". Scale shape: the d1
+# fingerprint aggregate + the already-audited CC unroll + one anti
+# semi-difference; |dropped| rows out.
+
+_DQ6_TAIL = r""",
+per_doc6 AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+keep6 AS (SELECT fp, MIN(doc_id) AS kept_id FROM per_doc6 GROUP BY fp),
+exact6 AS (
+  SELECT p.doc_id, k.kept_id FROM per_doc6 p
+  JOIN keep6 k ON p.fp = k.fp WHERE p.doc_id != k.kept_id
+),
+near6 AS (SELECT id AS doc_id, lbl AS kept_id FROM l4 WHERE id != lbl)
+SELECT doc_id, kept_id, signal FROM (
+  SELECT doc_id, kept_id, 'exact' AS signal FROM exact6
+  UNION ALL
+  SELECT n.doc_id, n.kept_id, 'near' AS signal FROM near6 n
+  WHERE n.doc_id NOT IN (SELECT doc_id FROM exact6)
+)
+ORDER BY doc_id"""
+
+_DQ6_SQL = _cc_unrolled_sql(_D6_VERIFIED, n_iters=4, tail=_DQ6_TAIL)
+
+
+@register("dq6_dedup_audit", oracle=_DQ6_SQL,
+          doc="Dedup audit trail: every dropped doc with its canonical "
+              "keeper and the dropping signal — 'exact' (fingerprint "
+              "identity, keep-first) or 'near' (verified-LSH connected "
+              "component), exact taking precedence. The provenance table "
+              "a governance review walks; |dropped| rows out.",
+          tags=("dedup", "quality"))
+def dq6_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.functions.text import fingerprint
+    from ae_data_integration_spark.operators.dedup import dup_labels
+
+    d = table(spark, sf_dir, "documents")
+    per_doc = d.select("doc_id", fingerprint("text").alias("fp"))
+    keep = per_doc.groupBy("fp").agg(F.min("doc_id").alias("kept_id"))
+    exact = (
+        per_doc.join(keep, "fp")
+        .filter(F.col("doc_id") != F.col("kept_id"))
+        .select("doc_id", "kept_id")
+    )
+    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).transform(
+        persist_tracked_if_small
+    )
+    pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=8, num_bands=2)
+    verified = jaccard_verify(pairs, shs, threshold=_D6_THRESH).select(
+        "doc_a", "doc_b"
+    )
+    near = (
+        dup_labels(verified, n_iters=4)
+        .filter(F.col("id") != F.col("lbl"))
+        .select(F.col("id").alias("doc_id"), F.col("lbl").alias("kept_id"))
+        .join(exact.select("doc_id"), "doc_id", "left_anti")
+    )
+    return (
+        exact.withColumn("signal", F.lit("exact"))
+        .unionByName(near.withColumn("signal", F.lit("near")))
+        .orderBy("doc_id")
+    )

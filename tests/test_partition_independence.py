@@ -74,6 +74,7 @@ QUERIES = [
     "s6i_pq_append_serve",       # incremental PQ index append (r10)
     "t23b_lang_terciles",        # per-language perplexity cut (r10)
     "s7i_ivfpq_append_serve",    # incremental IVF-PQ append (r10)
+    "dq6_dedup_audit",           # drop provenance (exact/near) (r10)
 ]
 
 

