@@ -776,3 +776,59 @@ def test_streaming_lm_scoring_matches_batch_t23(spark, tmp_path):
         for r in _t23_scored(spark, SF_SMOKE).collect()
     }
     assert got == want  # bit-exact, including OOV-miss smoothing
+
+
+def test_streaming_ann_ingest_matches_single_shot_append(spark, tmp_path, monkeypatch):
+    """Vectors appended to a PQ index FROM A STREAM (one micro-batch
+    per file via foreachBatch) produce a served top-k BIT-IDENTICAL to
+    a single-shot append of the same vectors — the stream==batch
+    equality extended to a persisted artifact. Also checks the codes
+    union covers the corpus exactly once (epoch-tagged increments,
+    no duplicates)."""
+    from pyspark.sql import functions as F
+
+    from ae_data_integration_spark.operators.ann_index import (
+        _code_dirs,
+        append_to_pq_index,
+        build_pq_index,
+        index_dir,
+        pq_serve_topk,
+    )
+    from ae_data_integration_spark.streaming.ann_ingest import (
+        ingest_stream_to_pq_index,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "ann"))
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    batch = e.filter(F.col("vec_id") % 5 == 0)
+    params = {"kind": "pq", "m": 8, "k": 32, "salt": "pqs"}
+
+    # leg 1: single-shot append
+    p1 = index_dir(base, "pq", params | {"leg": "oneshot"})
+    build_pq_index(base, p1, m=8, k=32, salt="pqs")
+    append_to_pq_index(batch, p1, tag="all")
+
+    # leg 2: the same batch vectors as a file stream, 1 file/trigger
+    p2 = index_dir(base, "pq", params | {"leg": "stream"})
+    build_pq_index(base, p2, m=8, k=32, salt="pqs")
+    src = str(tmp_path / "vec_src")
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ingest_stream_to_pq_index(stream, p2, query_name="t_ann_ingest")
+
+    q = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
+    rows = lambda p: [  # noqa: E731
+        (r["q_id"], r["n_id"], r["cos"], r["rk"])
+        for r in pq_serve_topk(e, q, p, m=8, k=32, refine=60, topk=10)
+        .orderBy("q_id", "rk").collect()
+    ]
+    assert rows(p2) == rows(p1)
+    assert len(_code_dirs(p2)) >= 3  # base + >=2 epoch increments
+    union = spark.read.parquet(*_code_dirs(p2))
+    assert union.count() == e.count()
+    assert union.select("id").distinct().count() == e.count()
