@@ -544,3 +544,56 @@ def test_e12_bucket_join_no_range_cartesian(spark):
     pa = plan_asserts(_df(spark, "e12_session_incident_overlap"))
     pa.no_python_row_udf().has_broadcast_join(1)
     assert "CartesianProduct" not in pa.plan
+
+
+def test_dq5_two_broadcasts_one_type_agg(spark):
+    # midpoint bounds + totals each attach as 1-row broadcasts; the
+    # only corpus aggregate is type-keyed with map-side partials.
+    pa = plan_asserts(_df(spark, "dq5_temporal_drift"))
+    pa.no_python_row_udf().has_partial_agg().has_broadcast_exchange(2)
+
+
+def test_dq6_audit_no_cartesian(spark):
+    # fingerprint agg + CC unroll + precedence anti-join: key-shuffled
+    # joins only, nothing cartesian, nothing row-Python.
+    pa = plan_asserts(_df(spark, "dq6_dedup_audit"))
+    pa.no_python_row_udf()
+    assert "CartesianProduct" not in pa.plan
+
+
+def test_s6i_serve_scans_artifact_no_training(spark):
+    # the incremental row's returned plan is the SERVE half: codebook
+    # broadcast + codes-union scan + rerank — no kmeans/update stages
+    # (training happened once into the artifact).
+    pa = plan_asserts(_df(spark, "s6i_pq_append_serve"))
+    pa.no_python_row_udf()
+    assert "codes" in pa.plan  # artifact scan visible
+    assert "CartesianProduct" not in pa.plan
+
+
+def test_s9_probe_bounded_eval(spark):
+    # two retrieval legs + a (q_id, n_id) rank join + q_id aggregate;
+    # probes broadcast on both legs, never a corpus-corpus join.
+    pa = plan_asserts(_df(spark, "s9_retrieval_metrics"))
+    pa.no_python_row_udf().has_broadcast_exchange(2)
+    assert "CartesianProduct" not in pa.plan
+
+
+def test_t23b_keyed_window_only(spark):
+    # per-language ntile is a lang-keyed window — the plan must not
+    # contain a single-partition exchange.
+    pa = plan_asserts(_df(spark, "t23b_lang_terciles"))
+    pa.no_python_row_udf()
+    assert "SinglePartition" not in pa.plan
+
+
+def test_pipe8_manifest_rollup_shape(spark):
+    # the manifest ends in a (lang, bucket) aggregate with a 1-row
+    # totals broadcast over the already-asserted t3/t23 passes. The
+    # ONE SinglePartition exchange is the scalar token-total combine
+    # fed by a partial_sum (|partitions| rows through one task — the
+    # correct global-scalar shape); any additional one would mean a
+    # global window/sort crept in.
+    pa = plan_asserts(_df(spark, "pipe8_ccnet_curation"))
+    pa.no_python_row_udf().has_partial_agg()
+    assert pa.plan.count("SinglePartition") == 1
