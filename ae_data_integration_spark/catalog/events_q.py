@@ -801,12 +801,25 @@ def e12_session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("hour"),
     )
+    from ae_data_integration_spark.functions.caching import persist_tracked
+
+    incidents = persist_tracked(incidents)
     ih = incidents.select(
         "event_type", "incident_id", "h0", "h1",
         F.explode(F.sequence("h0", "h1")).alias("hour"),
     )
+    # Incident runs are data-dependent (maximal hot-hour runs), so the
+    # exploded bucket table is NOT guaranteed model-sized — hint the
+    # broadcast only when its exact row count (a model-sized aggregate
+    # over the persisted incidents) is bounded; above the cap the join
+    # stays a plain hour-keyed equi-join (still never a range cross
+    # join — the plan test asserts no CartesianProduct either way).
+    n_ih = incidents.agg(
+        F.sum(F.col("h1") - F.col("h0") + 1).alias("n")
+    ).collect()[0]["n"]
+    ih_side = F.broadcast(ih) if (n_ih or 0) <= 2_000_000 else ih
     hits = (
-        sh.join(F.broadcast(ih), "hour")
+        sh.join(ih_side, "hour")
         .select(
             "user_id", "sess_id", "s_us", "e_us",
             "event_type", "incident_id", "h0", "h1",

@@ -65,7 +65,12 @@ def order_statistics(
                 F.count(F.lit(1)).alias("_n"),
                 F.min("_mid").alias("_lo"),
                 F.max("_mid").alias("_hi"),
-                *[F.min(c).alias(f"_k{i}") for i, c in enumerate(order_cols)],
+                # The TRUE per-partition minimum row under the total order:
+                # min of the struct, not independent per-column minima —
+                # per-column mins can invert across a tie on the leading key
+                # (P_i={(x,400)}, P_{i+1}={(x,600),(y,1)} gives per-column
+                # mins (x,400) > (x,1) and a spurious assert).
+                F.min(F.struct(*[F.col(c) for c in order_cols])).alias("_kmin"),
             )
             .collect()
         )
@@ -77,7 +82,7 @@ def order_statistics(
                     f"partition {r['_pid']}: ids span {r['_hi'] - r['_lo'] + 1} "
                     f"for {r['_n']} rows"
                 )
-        mins = [tuple(r[f"_k{i}"] for i in range(len(order_cols))) for r in parts]
+        mins = [tuple(r["_kmin"]) for r in parts]
         if mins != sorted(mins):
             raise AssertionError(
                 "range partitioning did not place ascending key ranges in "

@@ -266,13 +266,72 @@ def ivfpq_serve_topk(
 
 
 def _code_dirs(path: str) -> list[str]:
-    """The base "codes" table plus every "codes_<tag>" increment
-    (sorted for deterministic scan order)."""
+    """The served set of code tables — manifest-driven once a manifest
+    exists, glob-derived before one does.
+
+    The manifest (``_serveset.json``, updated only by atomic rename)
+    makes the served set EXPLICIT: after a compaction it names the
+    versioned merged table (``base_v<n>``, a name the glob never
+    matches), so a crash anywhere in compaction's cleanup phase can
+    only leave unreferenced garbage dirs, never serve a partial or
+    duplicated union. The pre-manifest glob fallback keeps the two
+    crash holes closed too: a ``codes_<tag>`` increment whose tag is
+    already in ``_merged_tags.json`` is skipped (it was folded into
+    the base; scanning both would duplicate rows), and increments
+    alongside a MISSING base ``codes`` dir fail loudly instead of
+    silently serving increments-only results."""
     import glob as _glob
 
-    return sorted(
-        d for d in _glob.glob(os.path.join(path, "codes*")) if os.path.isdir(d)
+    manifest = os.path.join(path, "_serveset.json")
+    if os.path.exists(manifest):
+        with open(manifest) as fh:
+            names = json.load(fh)
+        dirs = [os.path.join(path, n) for n in sorted(names)]
+        missing = [d for d in dirs if not os.path.isdir(d)]
+        if missing:
+            raise FileNotFoundError(
+                f"index serve-set manifest references missing dirs: {missing}"
+            )
+        return dirs
+    merged = set(_merged_tags(path))
+    dirs = sorted(
+        d
+        for d in _glob.glob(os.path.join(path, "codes*"))
+        if os.path.isdir(d)
+        and not (
+            os.path.basename(d).startswith("codes_")
+            and os.path.basename(d)[len("codes_"):] in merged
+        )
     )
+    base = os.path.join(path, "codes")
+    if dirs and base not in dirs:
+        raise FileNotFoundError(
+            f"index at {path} has increments but no base 'codes' table — "
+            "torn compaction; rebuild or restore the manifest"
+        )
+    return dirs
+
+
+def _write_serveset(path: str, names: list[str]) -> None:
+    """Atomically replace the serve-set manifest (tmp + rename)."""
+    manifest = os.path.join(path, "_serveset.json")
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(sorted(names), fh)
+    os.replace(tmp, manifest)
+
+
+def _register_increment(path: str, name: str) -> None:
+    """Add an increment dir to the manifest, if one exists (append
+    runs AFTER the increment's parquet write, so the manifest never
+    references a dir that is not fully on disk)."""
+    manifest = os.path.join(path, "_serveset.json")
+    if not os.path.exists(manifest):
+        return
+    with open(manifest) as fh:
+        names = json.load(fh)
+    if name not in names:
+        _write_serveset(path, [*names, name])
 
 
 def append_to_pq_index(
@@ -317,6 +376,7 @@ def append_to_pq_index(
     _pq_encode(pts, cb1, m, d // m).write.mode("overwrite").parquet(
         os.path.join(path, f"codes_{tag}")
     )
+    _register_increment(path, f"codes_{tag}")
 
 
 def compact_pq_index(spark, path: str) -> int:
@@ -327,38 +387,57 @@ def compact_pq_index(spark, path: str) -> int:
 
     Semantics-free by construction: serving scans the UNION of code
     dirs, so rewriting that union as one table changes nothing the
-    query sees (tested by frame equality in tests). Crash-safe
-    ordering: the merged table is written to a staging dir first,
-    then swapped in and the increments dropped — a crash before the
-    swap leaves the old layout fully intact. Folded tags are recorded
-    in ``_merged_tags.json`` FIRST, so append_to_pq_index treats a
-    compact-then-retry of the same tag as a no-op instead of
-    re-introducing (and duplicating) the batch. Returns the number of
-    increments merged.
+    query sees (tested by frame equality in tests). Crash-safe by a
+    single atomic commit point: the merged union is written to a NEW
+    versioned dir (``base_v<n>`` — a name the pre-manifest glob never
+    matches, so a half-written merge is unreachable), folded tags are
+    recorded in ``_merged_tags.json``, and then ONE ``os.replace`` of
+    the serve-set manifest flips serving from {old set} to
+    {base_v<n>}. A crash before the flip serves the old layout fully
+    intact; a crash after the flip serves exactly the merged table
+    (cleanup of the now-unreferenced old dirs is the only deferred
+    work, re-done harmlessly by the next compaction). Recording
+    folded tags makes append_to_pq_index treat a compact-then-retry
+    of the same tag as a no-op instead of re-introducing (and
+    duplicating) the batch. Returns the number of increments merged.
     """
+    import glob as _glob
     import shutil
 
     dirs = _code_dirs(path)
-    incs = [d for d in dirs if os.path.basename(d) != "codes"]
+    if os.path.exists(os.path.join(path, "_serveset.json")):
+        # sweep dirs a previous compaction unreferenced but crashed
+        # before deleting (compaction is a single-driver maintenance
+        # job — no concurrent appends by contract, same as rmtree in
+        # the cleanup phase below)
+        referenced = set(dirs)
+        for d in _glob.glob(os.path.join(path, "codes*")) + _glob.glob(
+            os.path.join(path, "base_v*")
+        ):
+            if os.path.isdir(d) and d not in referenced:
+                shutil.rmtree(d, ignore_errors=True)
+    incs = [d for d in dirs if not os.path.basename(d).startswith("base_v")
+            and os.path.basename(d) != "codes"]
     if not incs:
         return 0
-    staged = os.path.join(path, "_codes_staged")
-    spark.read.parquet(*dirs).write.mode("overwrite").parquet(staged)
+    existing_v = [
+        int(os.path.basename(d)[len("base_v"):])
+        for d in dirs
+        if os.path.basename(d).startswith("base_v")
+    ]
+    new_base = f"base_v{max(existing_v, default=0) + 1:04d}"
+    spark.read.parquet(*dirs).write.mode("overwrite").parquet(
+        os.path.join(path, new_base)
+    )
     merged = sorted(
         set(_merged_tags(path))
         | {os.path.basename(d)[len("codes_"):] for d in incs}
     )
     with open(os.path.join(path, "_merged_tags.json"), "w") as fh:
         json.dump(merged, fh)
-    base = os.path.join(path, "codes")
-    old = os.path.join(path, "_codes_old")
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(base, old)
-    os.rename(staged, base)
-    for d in incs:
-        shutil.rmtree(d)
-    shutil.rmtree(old)
+    _write_serveset(path, [new_base])  # the atomic commit point
+    for d in dirs:  # now-unreferenced old base + increments
+        shutil.rmtree(d, ignore_errors=True)
     return len(incs)
 
 
@@ -413,3 +492,4 @@ def append_to_ivfpq_index(
     codes.join(res.select("id", "cell"), "id").write.mode("overwrite").parquet(
         os.path.join(path, f"codes_{tag}")
     )
+    _register_increment(path, f"codes_{tag}")

@@ -171,10 +171,27 @@ def build_lm(
 def ensure_lm(docs: DataFrame, arr_col: str = "t", train_filter=None,
               v: int = 64, salt: str = "") -> str:
     """Build-once: return the artifact path, training only if the
-    content-addressed directory lacks a _DONE marker."""
+    content-addressed directory lacks a _DONE marker.
+
+    The cache key folds in the TRAINING SLICE and token column, not
+    just {v, salt} + the dataset fingerprint: two LMs over the same
+    documents with different reference slices must not content-address
+    to the same directory (the second caller would silently be served
+    the first caller's artifact). ``train_filter`` is keyed by its
+    expression text — stable for a given Column expression."""
     from ae_data_integration_spark.operators.ann_index import _done
 
-    path = lm_dir(docs, {"v": v, "salt": salt, "kind": "bigram_lm"})
+    train_key = "" if train_filter is None else str(train_filter)
+    path = lm_dir(
+        docs,
+        {
+            "v": v,
+            "salt": salt,
+            "kind": "bigram_lm",
+            "arr_col": arr_col,
+            "train": train_key,
+        },
+    )
     if not _done(path):
         build_lm(docs, path, arr_col, train_filter, v)
     return path

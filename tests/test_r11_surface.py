@@ -1,0 +1,175 @@
+"""Round-11 surface: regression pins for the round-10 advisor
+findings (ADVICE.md) — order-statistics under leading-key ties that
+straddle partition boundaries, the manifest-driven ANN serve set's
+crash-safety, and the LM artifact cache key covering the training
+slice."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ae_data_integration_spark.functions.ranks import order_statistics
+from tests.conftest import SF_SMOKE
+
+
+# --- ranks: per-partition minimum must be the struct min ----------------------
+
+
+def test_order_statistics_survives_leading_key_ties_across_partitions(spark):
+    """ADVICE r10 #1: with heavy ties on the leading sort key
+    straddling partition boundaries, the old per-column-minima sanity
+    check saw (v_min, k_min) tuples that inverted across partitions
+    (a later partition holding a SMALLER tie-break under a LARGER
+    leading key) and raised a spurious AssertionError. The check must
+    compare true lexicographic minimum rows (struct min)."""
+    # 2000 rows tied on v=1 (k = 0..1999) span several of the 8 test
+    # partitions; one (v=2, k=1) row lands in the LAST of them, making
+    # that partition's per-column k-min (1) smaller than its
+    # predecessors' — the advisor's exact inversion.
+    rows = [(1, k) for k in range(2000)] + [(2, 1)]
+    df = spark.createDataFrame(rows, "v int, k int").repartition(8)
+    want = sorted(rows)
+    got, n = order_statistics(df, ["v", "k"], [1, 1000, 2001])
+    assert n == 2001
+    assert [(r["v"], r["k"]) for r in got] == [want[0], want[999], want[2000]]
+
+
+# --- ann_index: manifest-driven serve set -------------------------------------
+
+
+def _pq_index(spark, tmp_path, monkeypatch):
+    from ae_data_integration_spark.catalog import similarity_q as sq
+    from ae_data_integration_spark.operators.ann_index import (
+        append_to_pq_index,
+        build_pq_index,
+        index_dir,
+    )
+    from ae_data_integration_spark.tables import table
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "ann"))
+    e = table(spark, SF_SMOKE, "embeddings")
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    batch = e.filter(F.col("vec_id") % 5 == 0)
+    params = {"kind": "pq", "m": sq._S6_M, "k": sq._S6_K, "salt": "pqi",
+              "train": "mod5"}
+    path = index_dir(base, "pq", params)
+    build_pq_index(base, path, m=sq._S6_M, k=sq._S6_K, salt="pqi")
+    append_to_pq_index(batch, path, tag="b1")
+    return e, base, batch, path
+
+
+def test_code_dirs_fails_loudly_when_base_missing(spark, tmp_path, monkeypatch):
+    """ADVICE r10 #2a: a torn pre-manifest layout (increments present,
+    base 'codes' dir gone) must raise, not silently serve
+    increments-only results."""
+    from ae_data_integration_spark.operators.ann_index import _code_dirs
+
+    _, _, _, path = _pq_index(spark, tmp_path, monkeypatch)
+    shutil.rmtree(os.path.join(path, "codes"))
+    with pytest.raises(FileNotFoundError, match="no base 'codes'"):
+        _code_dirs(path)
+
+
+def test_code_dirs_skips_folded_tags_pre_manifest(spark, tmp_path, monkeypatch):
+    """ADVICE r10 #2b: an increment whose tag is recorded in
+    _merged_tags.json was already folded into the base — scanning it
+    again would duplicate code rows. The pre-manifest glob must skip
+    it."""
+    from ae_data_integration_spark.operators.ann_index import _code_dirs
+
+    e, _, _, path = _pq_index(spark, tmp_path, monkeypatch)
+    # simulate: crash AFTER the base was replaced by the merged union
+    # but BEFORE the increment dirs were deleted (old-style layout)
+    merged = spark.read.parquet(*_code_dirs(path))
+    tmp_merged = str(tmp_path / "merged")
+    merged.write.mode("overwrite").parquet(tmp_merged)
+    shutil.rmtree(os.path.join(path, "codes"))
+    shutil.move(tmp_merged, os.path.join(path, "codes"))
+    with open(os.path.join(path, "_merged_tags.json"), "w") as fh:
+        json.dump(["b1"], fh)
+    dirs = _code_dirs(path)
+    assert dirs == [os.path.join(path, "codes")]
+    union = spark.read.parquet(*dirs)
+    assert union.select("id").distinct().count() == union.count() == e.count()
+
+
+def test_compaction_manifest_flip_registers_appends_and_sweeps_garbage(
+    spark, tmp_path, monkeypatch
+):
+    """The compaction commit point is ONE atomic manifest replace:
+    after it, _code_dirs serves exactly the versioned merged table; a
+    later append registers its increment in the manifest; unreferenced
+    garbage dirs (a crash between flip and cleanup) are invisible to
+    serving and swept by the next compaction."""
+    from ae_data_integration_spark.operators.ann_index import (
+        _code_dirs,
+        append_to_pq_index,
+        compact_pq_index,
+    )
+
+    e, _, batch, path = _pq_index(spark, tmp_path, monkeypatch)
+    assert compact_pq_index(spark, path) == 1
+    manifest = os.path.join(path, "_serveset.json")
+    assert os.path.exists(manifest)
+    with open(manifest) as fh:
+        assert json.load(fh) == ["base_v0001"]
+    assert _code_dirs(path) == [os.path.join(path, "base_v0001")]
+    # append under a manifest: the increment must be registered
+    append_to_pq_index(batch, path, tag="b2")
+    with open(manifest) as fh:
+        assert json.load(fh) == ["base_v0001", "codes_b2"]
+    assert len(_code_dirs(path)) == 2
+    # garbage dir (simulated torn cleanup) is ignored and later swept
+    os.makedirs(os.path.join(path, "codes_orphan"))
+    assert len(_code_dirs(path)) == 2
+    assert compact_pq_index(spark, path) == 1  # folds codes_b2
+    assert _code_dirs(path) == [os.path.join(path, "base_v0002")]
+    assert not os.path.exists(os.path.join(path, "codes_orphan"))
+    union = spark.read.parquet(*_code_dirs(path))
+    # corpus = base (4/5) + b1 + b2 appends; b2 re-covers the mod-5
+    # slice b1 already added, idempotently (same ids, same codes)
+    assert union.select("id").distinct().count() == e.count()
+
+
+def test_compaction_crash_before_flip_serves_old_layout(
+    spark, tmp_path, monkeypatch
+):
+    """A merged table fully written but never committed (no manifest)
+    must be unreachable: base_v* names never match the pre-manifest
+    glob, so serving still sees codes + codes_b1."""
+    from ae_data_integration_spark.operators.ann_index import _code_dirs
+
+    e, _, _, path = _pq_index(spark, tmp_path, monkeypatch)
+    dirs0 = _code_dirs(path)
+    spark.read.parquet(*dirs0).write.mode("overwrite").parquet(
+        os.path.join(path, "base_v0001")
+    )  # the crash: merged written, manifest never replaced
+    assert _code_dirs(path) == dirs0
+
+
+# --- lm: cache key covers the training slice ----------------------------------
+
+
+def test_ensure_lm_keys_on_train_slice_and_arr_col(spark, tmp_path, monkeypatch):
+    """ADVICE r10 #3: two LMs over the same documents with different
+    reference slices (or token columns) must content-address to
+    DIFFERENT artifact directories — never silently serve the other
+    caller's model."""
+    from ae_data_integration_spark.operators.lm import ensure_lm
+    from ae_data_integration_spark.tables import table
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "ann"))
+    toks = table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", F.split(F.lower("text"), r"\s+").alias("t")
+    )
+    p_en = ensure_lm(toks, "t", train_filter=(F.col("lang") == "en"), v=16)
+    p_all = ensure_lm(toks, "t", train_filter=None, v=16)
+    p_de = ensure_lm(toks, "t", train_filter=(F.col("lang") == "de"), v=16)
+    assert len({p_en, p_all, p_de}) == 3
+    # same slice again: cache hit, same path
+    assert ensure_lm(toks, "t", train_filter=(F.col("lang") == "en"), v=16) == p_en
