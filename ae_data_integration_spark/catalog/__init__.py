@@ -134,6 +134,7 @@ def load_all() -> dict[str, Query]:
             dedup_q,
             events_q,
             kmeans_q,
+            lifecycle_q,
             linalg_q,
             metrics_q,
             multimodal_q,

@@ -367,21 +367,29 @@ _S6_REFINE, _S6_TOPK = 60, 10
 _S6_Q30 = 1 << 30
 
 
-def _pq_sql(m: int = _S6_M, k: int = _S6_K, ds: int = _S6_DS,
-            refine: int = _S6_REFINE, topk: int = _S6_TOPK,
-            salt: str = "pq", train_pred: str = "") -> str:
+def _pq_ctes(m: int = _S6_M, k: int = _S6_K, ds: int = _S6_DS,
+             refine: int = _S6_REFINE, salt: str = "pq",
+             train_pred: str = "", index_where: str = "") -> str:
+    # The PQ train/encode/ADC/rerank replay as a reusable CTE chain
+    # ending in `ranked` (q_id, n_id, cos, rk) — _pq_sql appends the
+    # plain top-k tail; pipe9_corpus_lifecycle splices the same chain
+    # into its end-to-end composition oracle.
+    #
     # train_pred: optional predicate on `id` restricting which vectors
-    # TRAIN the codebooks (seeds + the Lloyd pass); encoding/serving
-    # always covers every vector. This is how the s6i incremental-
-    # append oracle replays "train on the base corpus, encode the
-    # appended batch under the FROZEN codebooks" — the same cb1 is
-    # trained from the base subset and then assigns ALL ids.
+    # TRAIN the codebooks (seeds + the Lloyd pass); encoding always
+    # covers every vector. This is how the s6i incremental-append
+    # oracle replays "train on the base corpus, encode the appended
+    # batch under the FROZEN codebooks" — the same cb1 is trained
+    # from the base subset and then assigns ALL ids.
+    # index_where: optional predicate on `id` restricting which
+    # encoded vectors are SERVED (the codes-table membership) — how
+    # pipe9 replays an index holding base ∪ accepted-batch only.
     tw = f"WHERE {train_pred}" if train_pred else ""
     ta = f"AND s.{train_pred}" if train_pred else ""  # predicate on bare `id`
+    iw = f"WHERE {index_where}" if index_where else ""
     sqd = ("list_reduce(list_transform(list_zip({a}, {b}),"
            " q -> (q[1]-q[2]) * (q[1]-q[2])), (x, y) -> x + y)")
-    return f"""
-WITH pts AS (SELECT vec_id AS id, {_V} AS v FROM embeddings),
+    return f"""pts AS (SELECT vec_id AS id, {_V} AS v FROM embeddings),
 seeds AS (
   SELECT ROW_NUMBER() OVER (ORDER BY md5('{salt}' || CAST(id AS VARCHAR)), id) - 1 AS j, v
   FROM (SELECT * FROM pts {tw} ORDER BY md5('{salt}' || CAST(id AS VARCHAR)), id LIMIT {k})
@@ -427,7 +435,7 @@ a2 AS (
     FROM a2_d
   ) WHERE rk = 1
 ),
-codes AS (SELECT id, list(cluster ORDER BY ss) AS codes FROM a2 GROUP BY id),
+codes AS (SELECT id, list(cluster ORDER BY ss) AS codes FROM a2 {iw} GROUP BY id),
 qids AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000),
 qsub AS (SELECT q.q_id, s.ss, s.sv AS qsv FROM qids q JOIN sub s ON s.id = q.q_id),
 lut_r AS (
@@ -466,11 +474,21 @@ rer AS (
   FROM cand
   JOIN pts qp ON qp.id = cand.q_id
   JOIN pts np ON np.id = cand.n_id
-)
-SELECT q_id, n_id, cos, rk FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+),
+ranked AS (
+  SELECT q_id, n_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
   FROM rer
-) WHERE rk <= {topk}
+)"""
+
+
+def _pq_sql(m: int = _S6_M, k: int = _S6_K, ds: int = _S6_DS,
+            refine: int = _S6_REFINE, topk: int = _S6_TOPK,
+            salt: str = "pq", train_pred: str = "") -> str:
+    return f"""
+WITH {_pq_ctes(m=m, k=k, ds=ds, refine=refine, salt=salt,
+               train_pred=train_pred)}
+SELECT q_id, n_id, cos, rk FROM ranked WHERE rk <= {topk}
 ORDER BY q_id, rk
 """
 

@@ -75,6 +75,7 @@ QUERIES = [
     "t23b_lang_terciles",        # per-language perplexity cut (r10)
     "s7i_ivfpq_append_serve",    # incremental IVF-PQ append (r10)
     "dq6_dedup_audit",           # drop provenance (exact/near) (r10)
+    "pipe9_corpus_lifecycle",    # end-to-end lifecycle composition (r11)
 ]
 
 

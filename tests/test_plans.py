@@ -597,3 +597,15 @@ def test_pipe8_manifest_rollup_shape(spark):
     pa = plan_asserts(_df(spark, "pipe8_ccnet_curation"))
     pa.no_python_row_udf().has_partial_agg()
     assert pa.plan.count("SinglePartition") == 1
+
+
+def test_pipe9_lifecycle_composition_shape(spark):
+    # the end-to-end lifecycle report: every corpus-sized pass is one
+    # of the already-audited component plans — nothing cartesian,
+    # nothing row-Python, model-sized sides (LM bg/ctx, PQ codebook,
+    # ADC LUTs, source dims) attach as broadcasts, and the final
+    # rollup keeps map-side partials.
+    pa = plan_asserts(_df(spark, "pipe9_corpus_lifecycle"))
+    pa.no_python_row_udf().has_partial_agg()
+    assert "CartesianProduct" not in pa.plan
+    assert pa.plan.count("BroadcastHashJoin") >= 4
