@@ -284,18 +284,13 @@ def _p9_quality(spark: SparkSession, sf_dir: str, accepted: DataFrame) -> DataFr
     return _t23_bucketize(lm_serve_scored(acc_toks, path, "t"))
 
 
-def _p9_index_hits(
-    spark: SparkSession, sf_dir: str, accepted: DataFrame
-) -> DataFrame:
-    """(source, n) top-k hits captured by newly-ingested docs: corpus
-    PQ index (own 'pq9' artifact), accepted embeddings appended under
-    frozen codebooks, standard probe set served against the union."""
+def ensure_corpus_index(spark: SparkSession, sf_dir: str) -> str:
+    """The pipe9 corpus PQ index (own 'pq9' salt — never the shared
+    s6i artifact), built once per (params, corpus fingerprint)."""
     from ae_data_integration_spark.operators.ann_index import (
         _done,
-        append_to_pq_index,
         build_pq_index,
         index_dir,
-        pq_serve_topk,
     )
 
     e = table(spark, sf_dir, "embeddings")
@@ -305,13 +300,21 @@ def _p9_index_hits(
     path = index_dir(base, "pq", params)
     if not _done(path):
         build_pq_index(base, path, m=_S6_M, k=_S6_K, salt=_P9_SALT)
-    acc_e = e.join(
-        accepted.select(F.col("doc_id").alias("vec_id")), "vec_id"
-    )
-    append_to_pq_index(acc_e, path, tag="acc")
+    return path
+
+
+def _p9_serve_hits(
+    spark: SparkSession, sf_dir: str, accepted: DataFrame, index_path: str
+) -> DataFrame:
+    """(source, n) top-k hits captured by newly-ingested docs: the
+    standard probe set served against the appended index."""
+    from ae_data_integration_spark.operators.ann_index import pq_serve_topk
+
+    e = table(spark, sf_dir, "embeddings")
     probes = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
     topk = pq_serve_topk(
-        e, probes, path, m=_S6_M, k=_S6_K, refine=_S6_REFINE, topk=_S6_TOPK
+        e, probes, index_path,
+        m=_S6_M, k=_S6_K, refine=_S6_REFINE, topk=_S6_TOPK,
     )
     return (
         topk.join(
@@ -322,32 +325,35 @@ def _p9_index_hits(
     )
 
 
-@register("pipe9_corpus_lifecycle", oracle=_P9_SQL,
-          doc="End-to-end corpus-lifecycle composition: incremental "
-              "exact+near dedup of the arriving batch against the corpus "
-              "(pipe5b wide signature), accepted docs quality-cut by the "
-              "corpus-trained LM artifact into exact NLL terciles (t23q "
-              "serve path), their embeddings appended to the corpus PQ "
-              "index under frozen codebooks and the probe set served "
-              "against base+appended (s6i lifecycle) — one per-source "
-              "report with drop provenance, quality composition, token "
-              "mass and new-doc retrieval capture. The oracle replays "
-              "the ENTIRE chain in one statement.",
-          tags=("pipeline", "dedup", "quality", "similarity", "bench"))
-def pipe9_corpus_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    batch, b1, near, accepted = _p9_dedup(spark, sf_dir)
+def lifecycle_report(
+    spark: SparkSession,
+    sf_dir: str,
+    accepted: DataFrame,
+    drops: DataFrame,
+    index_path: str,
+) -> DataFrame:
+    """The per-source lifecycle report given the ingest outcome —
+    ``accepted`` (doc_id, source, text), ``drops`` (doc_id, source,
+    signal ∈ {exact, near}) and the appended index. The batch query
+    and the streaming twin (streaming/lifecycle.py) both end here, so
+    stream==batch is asserted on the FINAL artifact."""
     bucketed = _p9_quality(spark, sf_dir, accepted)
-    hits = _p9_index_hits(spark, sf_dir, accepted)
+    hits = _p9_serve_hits(spark, sf_dir, accepted, index_path)
 
     zero = F.lit(0).cast("long")
-    arrived = batch.groupBy("source").agg(F.count(F.lit(1)).alias("n_arrived"))
+    arrived = (
+        accepted.select("doc_id", "source")
+        .unionByName(drops.select("doc_id", "source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_arrived"))
+    )
     exd = (
-        batch.join(b1.select("doc_id"), "doc_id", "left_anti")
+        drops.filter(F.col("signal") == "exact")
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_exact_dup"))
     )
     nrd = (
-        b1.join(near, "doc_id", "left_semi")
+        drops.filter(F.col("signal") == "near")
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_near_dup"))
     )
@@ -384,3 +390,34 @@ def pipe9_corpus_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register("pipe9_corpus_lifecycle", oracle=_P9_SQL,
+          doc="End-to-end corpus-lifecycle composition: incremental "
+              "exact+near dedup of the arriving batch against the corpus "
+              "(pipe5b wide signature), accepted docs quality-cut by the "
+              "corpus-trained LM artifact into exact NLL terciles (t23q "
+              "serve path), their embeddings appended to the corpus PQ "
+              "index under frozen codebooks and the probe set served "
+              "against base+appended (s6i lifecycle) — one per-source "
+              "report with drop provenance, quality composition, token "
+              "mass and new-doc retrieval capture. The oracle replays "
+              "the ENTIRE chain in one statement.",
+          tags=("pipeline", "dedup", "quality", "similarity", "bench"))
+def pipe9_corpus_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.ann_index import append_to_pq_index
+
+    batch, b1, near, accepted = _p9_dedup(spark, sf_dir)
+    drops = (
+        batch.join(b1.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", "source", F.lit("exact").alias("signal"))
+        .unionByName(
+            b1.join(near, "doc_id", "left_semi")
+            .select("doc_id", "source", F.lit("near").alias("signal"))
+        )
+    )
+    path = ensure_corpus_index(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+    acc_e = e.join(accepted.select(F.col("doc_id").alias("vec_id")), "vec_id")
+    append_to_pq_index(acc_e, path, tag="acc")
+    return lifecycle_report(spark, sf_dir, accepted, drops, path)

@@ -173,3 +173,70 @@ def test_ensure_lm_keys_on_train_slice_and_arr_col(spark, tmp_path, monkeypatch)
     assert len({p_en, p_all, p_de}) == 3
     # same slice again: cache hit, same path
     assert ensure_lm(toks, "t", train_filter=(F.col("lang") == "en"), v=16) == p_en
+
+
+# --- pipe9: exact-dup provenance (the fixture has no cross-corpus exact dups) -
+
+
+def test_pipe9_exact_drop_provenance_on_synthetic_corpus(spark, tmp_path):
+    """The fixture batch contains no exact duplicate of a corpus doc,
+    so pipe9's n_exact_dup column is 0 everywhere at every SF — this
+    synthetic corpus pins the exact leg by value: one batch doc is a
+    byte-copy of a corpus doc (dropped 'exact'), one is a light edit
+    of a corpus doc (dropped 'near'), the rest are novel (accepted)."""
+    from ae_data_integration_spark.catalog.lifecycle_q import (
+        pipe9_corpus_lifecycle,
+    )
+
+    base_txt = "the quick brown fox jumps over the lazy dog " * 6
+    rows = []
+    # corpus: doc_ids not divisible by 5
+    for i in [1, 2, 3, 4, 6, 7, 8, 9]:
+        rows.append((i, f"corpus document {i} " + base_txt + f"tail {i}",
+                     "en", "srcA", 100))
+    # batch: 5 = exact copy of corpus doc 1; 10 = near-copy of corpus
+    # doc 2 (one token changed); 15/20 novel
+    rows.append((5, rows[0][1], "en", "srcA", 100))
+    near_txt = rows[1][1].replace("tail 2", "tail x")
+    rows.append((10, near_txt, "en", "srcA", 100))
+    rows.append((15, "completely novel content alpha beta gamma delta " * 8,
+                 "en", "srcB", 100))
+    rows.append((20, "another unrelated text epsilon zeta eta theta " * 8,
+                 "en", "srcB", 100))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path / "sfx")
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    # embeddings: deterministic 64-dim vectors for every doc id
+    emb = docs.select(
+        docs.doc_id.alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), i -> CAST(("
+            "  CAST(conv(substr(md5(CAST(doc_id AS STRING) || '_' ||"
+            "       CAST(i AS STRING)), 1, 8), 16, 10) AS BIGINT) % 1000"
+            ") AS DOUBLE) / 1000.0)"
+        ).alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    emb.write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    import os
+
+    os.environ["SPARK_GRAFT_INDEX_DIR"] = str(tmp_path / "ann")
+    try:
+        rep = {
+            r["source"]: r.asDict()
+            for r in pipe9_corpus_lifecycle(spark, sf).collect()
+        }
+    finally:
+        del os.environ["SPARK_GRAFT_INDEX_DIR"]
+    assert rep["srcA"]["n_arrived"] == 2
+    assert rep["srcA"]["n_exact_dup"] == 1   # doc 5
+    assert rep["srcA"]["n_near_dup"] == 1    # doc 10
+    assert rep["srcA"]["n_accepted"] == 0
+    assert rep["srcB"]["n_arrived"] == 2
+    assert rep["srcB"]["n_exact_dup"] == 0
+    assert rep["srcB"]["n_near_dup"] == 0
+    assert rep["srcB"]["n_accepted"] == 2
+    assert (rep["srcB"]["n_head"] + rep["srcB"]["n_middle"]
+            + rep["srcB"]["n_tail"]) == 2

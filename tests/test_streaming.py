@@ -832,3 +832,76 @@ def test_streaming_ann_ingest_matches_single_shot_append(spark, tmp_path, monkey
     union = spark.read.parquet(*_code_dirs(p2))
     assert union.count() == e.count()
     assert union.select("id").distinct().count() == e.count()
+
+
+def test_streaming_lifecycle_matches_batch_pipe9(spark, tmp_path, monkeypatch):
+    """The FULL pipe9 composition driven by a document stream (one
+    micro-batch per file: dedup vs frozen corpus -> accepted/drop
+    sinks -> index append under frozen codebooks) produces, after the
+    post-drain manifest job, a report BIT-IDENTICAL to the single-shot
+    batch pipe9 — stream==batch asserted on the end-to-end artifact,
+    not a single operator."""
+    from pyspark.sql import functions as F
+
+    from ae_data_integration_spark.catalog.lifecycle_q import (
+        _P9_SALT,
+        lifecycle_report,
+        pipe9_corpus_lifecycle,
+    )
+    from ae_data_integration_spark.operators.ann_index import (
+        _code_dirs,
+        build_pq_index,
+        index_dir,
+    )
+    from ae_data_integration_spark.streaming.lifecycle import (
+        ingest_stream_to_lifecycle,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "ann"))
+
+    # leg 1: the registered single-shot batch query
+    report_b = [tuple(r) for r in pipe9_corpus_lifecycle(spark, SF_SMOKE).collect()]
+
+    # leg 2: the same batch docs as a file stream against its OWN
+    # index dir (same corpus, same salt -> identical frozen codebooks)
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    base_e = e.filter(F.col("vec_id") % 5 != 0)
+    p2 = index_dir(
+        base_e, "pq", {"kind": "pq", "m": 8, "k": 32, "salt": _P9_SALT,
+                       "train": "mod5", "leg": "stream"}
+    )
+    build_pq_index(base_e, p2, m=8, k=32, salt=_P9_SALT)
+    src = str(tmp_path / "doc_src")
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "lifecycle_out")
+    ingest_stream_to_lifecycle(
+        stream, corpus, e, out, p2, query_name="t_lifecycle"
+    )
+
+    accepted_s = spark.read.parquet(f"{out}/accepted/b*")
+    drops_s = spark.read.parquet(f"{out}/drops/b*")
+    report_s = [
+        tuple(r)
+        for r in lifecycle_report(spark, SF_SMOKE, accepted_s, drops_s, p2)
+        .collect()
+    ]
+    assert report_s == report_b
+
+    # the streamed index serves the same vector set exactly once
+    assert len(_code_dirs(p2)) >= 3  # base + >=2 epoch increments
+    union = spark.read.parquet(*_code_dirs(p2))
+    n_expected = base_e.count() + accepted_s.count()
+    assert union.count() == n_expected
+    assert union.select("id").distinct().count() == n_expected
+
+    # drop provenance survives the stream path (signal attribution)
+    sig = {r["signal"] for r in drops_s.select("signal").distinct().collect()}
+    assert sig <= {"exact", "near"} and len(drops_s.collect()) > 0
