@@ -1079,3 +1079,139 @@ def s7i_ivfpq_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, q, path, m=_S7_M, k=_S7_K, nprobe=_S7_NPROBE,
         refine=_S7_REFINE, topk=_S7_TOPK,
     ).orderBy("q_id", "rk")
+
+
+# --- S6d: index quantization-drift report ------------------------------------
+# The monitoring row an incremental index NEEDS next to its append
+# path: appends are encoded under FROZEN codebooks (s6i), so a batch
+# drawn from a drifted distribution degrades quantization SILENTLY —
+# serve wall stays flat (same code-table scan) while ADC ranking
+# quality decays. The observable is per-segment mean PQ residual
+# energy ||v - v̂||² (v̂ = concatenation of the assigned centroids):
+# codebooks minimize it over the TRAINING distribution, so an
+# appended segment whose mean residual rises well above the base's
+# is quantized by the wrong codebooks. The rebuild trigger rule
+# (SCALE.md): retrain when appended/base mean-residual ratio exceeds
+# 1.5 — on the isotropic fixture the in-distribution ratio is ~1.0,
+# and tests/test_r11_surface.py pins that a deliberately SHIFTED
+# batch crosses the trigger while wall-identical serving hides it.
+#
+# Engine shape: one scan of the STORED artifact (codes m small ints/
+# vector, codebook broadcast) + the original vectors — work ∝ corpus
+# with zero shuffles beyond the id-keyed residual sum; the report is
+# a 2-row aggregate. Exactness: per-(id, subspace) residual is the
+# same sequential fold as the oracle's list_reduce, Q30-quantized
+# before the per-id and per-segment sums (the t14 discipline).
+
+_S6D_SQL = f"""
+WITH {_pq_ctes(salt="pqi", train_pred=_S6I_PRED)},
+a2min AS (
+  SELECT id, ss, sqdist FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY id, ss ORDER BY sqdist, cluster) AS rk
+    FROM a2_d
+  ) WHERE rk = 1
+),
+perv AS (
+  SELECT id, SUM(CAST(round(sqdist * {_S6_Q30}) AS BIGINT)) AS e_q
+  FROM a2min GROUP BY id
+)
+SELECT CASE WHEN id % 5 = 0 THEN 'appended' ELSE 'base' END AS segment,
+       COUNT(*) AS n_vecs,
+       round(SUM(e_q) / (COUNT(*) * {_S6_Q30}.0), 6) AS mean_residual_energy
+FROM perv GROUP BY 1 ORDER BY 1
+"""
+
+
+def pq_residual_report(
+    spark: SparkSession,
+    emb: DataFrame,
+    path: str,
+    segment_col,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(segment, n_vecs, mean_residual_energy) for a stored PQ index:
+    every vector's ADC reconstruction residual against the FROZEN
+    codebooks, aggregated by ``segment_col`` (a Column over the id).
+    The drift monitor behind s6d — also callable on a live index with
+    an epoch/batch segment column."""
+    import os
+
+    from ae_data_integration_spark.functions.arrays import to_double
+    from ae_data_integration_spark.operators.ann_index import _code_dirs
+    from ae_data_integration_spark.operators.similarity import (
+        _sqdist_unrolled,
+        _vec_dim,
+        _widen,
+    )
+
+    d = _vec_dim(emb, vec_col)
+    cb1 = spark.read.parquet(os.path.join(path, "codebook"))
+    m = cb1.select(F.max("ss")).collect()[0][0] + 1
+    ds = d // m
+    codes = _widen(spark.read.parquet(*_code_dirs(path))).select(
+        "id", F.posexplode("codes").alias("ss", "cluster")
+    )
+    pts = _widen(
+        emb.select(F.col(key_col).alias("id"), to_double(vec_col).alias("v"))
+    )
+    sub = pts.select(
+        "id",
+        F.posexplode(
+            F.array(*[F.slice("v", ss * ds + 1, ds) for ss in range(m)])
+        ).alias("ss", "sv"),
+    )
+    rec = (
+        sub.join(codes, ["id", "ss"])
+        .join(F.broadcast(cb1), ["ss", "cluster"])
+        .withColumn(
+            "e_q",
+            F.round(_sqdist_unrolled("sv", "centroid", ds) * F.lit(float(_S6_Q30)))
+            .cast("long"),
+        )
+        .groupBy("id")
+        .agg(F.sum("e_q").alias("e_q"))
+    )
+    return (
+        rec.withColumn("segment", segment_col)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum("e_q") / (F.count(F.lit(1)) * F.lit(float(_S6_Q30))), 6
+            ).alias("mean_residual_energy"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register("s6d_index_drift", oracle=_S6D_SQL,
+          doc="Quantization-drift monitor for the incremental PQ index: "
+              "per-segment (base vs appended) mean ADC reconstruction "
+              "residual energy against the FROZEN codebooks, from one "
+              "scan of the stored codes + vectors. The rebuild trigger "
+              "(appended/base ratio > 1.5) is the rule that catches "
+              "silent recall decay under distribution drift — serve "
+              "wall stays flat while this rises.",
+          tags=("similarity", "quality"))
+def s6d_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.ann_index import (
+        _done,
+        append_to_pq_index,
+        build_pq_index,
+        index_dir,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    batch = e.filter(F.col("vec_id") % 5 == 0)
+    params = {"kind": "pq", "m": _S6_M, "k": _S6_K, "salt": "pqi",
+              "train": "mod5"}
+    path = index_dir(base, "pq", params)
+    if not _done(path):
+        build_pq_index(base, path, m=_S6_M, k=_S6_K, salt="pqi")
+    append_to_pq_index(batch, path, tag="mod5batch")
+    seg = F.when(F.col("id") % 5 == 0, F.lit("appended")).otherwise(
+        F.lit("base")
+    )
+    return pq_residual_report(spark, e, path, seg)

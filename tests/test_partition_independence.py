@@ -76,6 +76,7 @@ QUERIES = [
     "s7i_ivfpq_append_serve",    # incremental IVF-PQ append (r10)
     "dq6_dedup_audit",           # drop provenance (exact/near) (r10)
     "pipe9_corpus_lifecycle",    # end-to-end lifecycle composition (r11)
+    "s6d_index_drift",           # PQ residual-energy drift monitor (r11)
 ]
 
 

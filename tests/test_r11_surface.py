@@ -240,3 +240,56 @@ def test_pipe9_exact_drop_provenance_on_synthetic_corpus(spark, tmp_path):
     assert rep["srcB"]["n_accepted"] == 2
     assert (rep["srcB"]["n_head"] + rep["srcB"]["n_middle"]
             + rep["srcB"]["n_tail"]) == 2
+
+
+# --- s6d: the rebuild trigger fires on a drifted append ------------------------
+
+
+def test_pq_residual_report_detects_drifted_append(spark, tmp_path, monkeypatch):
+    """Appends are encoded under FROZEN codebooks, so a batch from a
+    drifted distribution degrades quantization silently — the serve
+    plan is unchanged (same code-table scan), only the residual
+    energy shows it. Pin both sides of the trigger rule: an
+    IN-distribution append stays under appended/base < 1.5, a SHIFTED
+    append (vectors offset far outside the training support) crosses
+    it."""
+    from ae_data_integration_spark.catalog.similarity_q import (
+        pq_residual_report,
+    )
+    from ae_data_integration_spark.operators.ann_index import (
+        append_to_pq_index,
+        build_pq_index,
+        index_dir,
+    )
+    from ae_data_integration_spark.tables import table
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "ann"))
+    e = table(spark, SF_SMOKE, "embeddings")
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    batch = e.filter(F.col("vec_id") % 5 == 0)
+
+    def ratio(batch_df):
+        p = index_dir(base, "pq", {"salt": "pqd", "case": str(batch_df)[:40]})
+        build_pq_index(base, p, m=8, k=32, salt="pqd")
+        append_to_pq_index(batch_df, p, tag="b")
+        seg = F.when(F.col("id") % 5 == 0, F.lit("appended")).otherwise(
+            F.lit("base")
+        )
+        all_vecs = base.unionByName(batch_df)
+        rep = {
+            r["segment"]: r["mean_residual_energy"]
+            for r in pq_residual_report(spark, all_vecs, p, seg).collect()
+        }
+        return rep["appended"] / rep["base"]
+
+    in_dist = ratio(batch)
+    shifted = ratio(
+        batch.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> x + 5.0)").alias("embedding"),
+            "label",
+        )
+    )
+    assert in_dist < 1.5, f"in-distribution append tripped the trigger: {in_dist}"
+    assert shifted > 1.5, f"drifted append did not trip the trigger: {shifted}"
+    assert shifted > 3 * in_dist  # the signal is unambiguous, not marginal
