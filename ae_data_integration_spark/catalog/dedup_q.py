@@ -1430,3 +1430,82 @@ def dq6_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(near.withColumn("signal", F.lit("near")))
         .orderBy("doc_id")
     )
+
+
+# --- G6b: LPA over the WIDE-signature dup graph (the scale config) ------------
+# g6's graph front half is the r=4 signature (8 perms, 2x4 bands) —
+# the configuration whose false-positive candidate term grows ~N²
+# (the r9/r10 pipe5 lesson, re-confirmed by the r11 1000x spot leg on
+# g6 itself). The r ~ log N rule applies to the GRAPH families the
+# same way it applied to incremental dedup: at the third decade the
+# signature must widen to r=8 (16 perms, 2x8 bands) so candidate
+# pairs — and with them the verify join and every LPA iteration's
+# edge table — stay linear in the corpus. Same LPA semantics,
+# iteration-for-iteration oracle replay.
+
+_D6B_VERIFIED = f"""WITH sh AS (
+  SELECT doc_id, {_SHS} AS shs FROM documents
+),
+hashed AS (
+  SELECT doc_id, shs,
+         list_transform(shs, x -> CAST(('0x' || substr(md5(x), 1, 12)) AS BIGINT)) AS hs
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, shs, {_perm_mins_sql(16)} AS sig FROM hashed
+),
+bands AS (
+  SELECT doc_id, b.b AS band,
+         md5(array_to_string(sig[b.b*8 + 1 : b.b*8 + 8], '|')) AS bucket
+  FROM sig, (SELECT unnest(range(0, 2)) AS b) b
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x
+  JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+{_HSET_CTE},
+verified AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN hset a ON p.doc_a = a.doc_id
+  JOIN hset b ON p.doc_b = b.doc_id
+  WHERE {_JACC} >= {_D6_THRESH}
+)"""
+
+_G6B_SQL = f"""{_D6B_VERIFIED},
+g6e AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM verified
+),
+g6l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM g6e),
+{_lpa_iter_sql('g6l0', 'g6l1')},
+{_lpa_iter_sql('g6l1', 'g6l2')},
+{_lpa_iter_sql('g6l2', 'g6l3')},
+g6s AS (SELECT lbl, COUNT(*) AS community_size FROM g6l3 GROUP BY lbl)
+SELECT l.id AS doc_id, l.lbl AS label, g6s.community_size
+FROM g6l3 l JOIN g6s ON l.lbl = g6s.lbl
+ORDER BY doc_id
+"""
+
+
+@register("g6b_lpa_wide", oracle=_G6B_SQL,
+          doc="g6 at the wide-signature scale configuration (MinHash 16, "
+              "2 bands x 8 rows — the r ~ log N rule): the same 3-iteration "
+              "majority-label LPA over a dup graph whose LSH candidate term "
+              "stays linear at the third decade, where the r=4 front half "
+              "goes quadratic (r11 spot leg).",
+          tags=("dedup", "graph"))
+def g6b_lpa_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.graph import label_propagation_fixed
+
+    d = table(spark, sf_dir, "documents")
+    shs = doc_shingles(d, "doc_id", "text", k=5, spread=True).transform(
+        persist_tracked_if_small
+    )
+    pairs = lsh_candidate_pairs_from_shingles(shs, num_perm=16, num_bands=2)
+    verified = jaccard_verify(pairs, shs, threshold=_D6_THRESH).select(
+        "doc_a", "doc_b"
+    )
+    return label_propagation_fixed(verified, n_iters=3).orderBy("doc_id")

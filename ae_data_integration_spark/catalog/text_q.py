@@ -2056,3 +2056,146 @@ def t23b_lang_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- T25: 5-gram interpolated Kneser-Ney perplexity (the KenLM shape) ---------
+# t23's bigram is the oracle-parity fixture model; the filter a
+# production CCNet stage runs is a 5-gram smoothed LM. This is
+# interpolated Kneser-Ney (Kneser & Ney 1995; Chen & Goodman 1999)
+# at order 5 — raw counts at the top order, continuation counts
+# below, D=0.75, uniform 1/(V+1) base — trained on the same lang='en'
+# reference slice and scored over every document, with the same
+# exact-tercile cut. The probability is assembled bottom-up in ONE
+# arithmetic expression tree over integer count columns, so both
+# engines compute bit-identical IEEE doubles; only -ln is quantized
+# (Q30) before the per-doc sum. Model: 9 count tables + vocab —
+# operators/lm.py (kn_*), with the same build/serve artifact split as
+# the bigram (t25q serves the stored tables under the same oracle).
+# Scale: corpus pass = zero-shuffle context map + one doc aggregate;
+# the gram tables broadcast at fixture V; the documented switch when
+# a web-scale table exceeds broadcast is a (ctx,w)-bucketed join.
+
+
+def _kn_p_sql(v: int) -> str:
+    """The KN probability as SQL — the SAME expression tree kn_score
+    builds column-wise, so doubles match bit-for-bit. Count/context
+    columns are table-qualified (g5.c, t5x.tot, ...)."""
+    p = f"(1.0 / {v + 1}.0)"
+    for k in (1, 2, 3, 4, 5):
+        c, t = f"g{k}.c", f"t{k}x"
+        pk = (
+            f"(greatest(COALESCE(CAST({c} AS DOUBLE), 0.0) - 0.75, 0.0)"
+            f" / CAST({t}.tot AS DOUBLE)"
+            f" + 0.75 * CAST({t}.d AS DOUBLE) / CAST({t}.tot AS DOUBLE) * {p})"
+        )
+        p = (f"(CASE WHEN {t}.tot IS NOT NULL AND {t}.tot > 0"
+             f" THEN {pk} ELSE {p} END)")
+    return p
+
+
+_T25_SQL = f"""{_T23_CTES},
+kgrams AS (
+  SELECT doc_id, lang,
+         lag(m, 4, '<s>') OVER (PARTITION BY doc_id ORDER BY i) AS p4,
+         lag(m, 3, '<s>') OVER (PARTITION BY doc_id ORDER BY i) AS p3,
+         lag(m, 2, '<s>') OVER (PARTITION BY doc_id ORDER BY i) AS p2,
+         lag(m, 1, '<s>') OVER (PARTITION BY doc_id ORDER BY i) AS p1,
+         m AS cur
+  FROM tokpos
+),
+g5 AS (SELECT p4, p3, p2, p1, cur, COUNT(*) AS c FROM kgrams
+       WHERE lang = 'en' GROUP BY p4, p3, p2, p1, cur),
+g4 AS (SELECT p3, p2, p1, cur, COUNT(*) AS c FROM g5 GROUP BY p3, p2, p1, cur),
+g3 AS (SELECT p2, p1, cur, COUNT(*) AS c FROM g4 GROUP BY p2, p1, cur),
+g2 AS (SELECT p1, cur, COUNT(*) AS c FROM g3 GROUP BY p1, cur),
+g1 AS (SELECT cur, COUNT(*) AS c FROM g2 GROUP BY cur),
+t5x AS (SELECT p4, p3, p2, p1, SUM(c) AS tot, COUNT(*) AS d FROM g5
+        GROUP BY p4, p3, p2, p1),
+t4x AS (SELECT p3, p2, p1, SUM(c) AS tot, COUNT(*) AS d FROM g4
+        GROUP BY p3, p2, p1),
+t3x AS (SELECT p2, p1, SUM(c) AS tot, COUNT(*) AS d FROM g3 GROUP BY p2, p1),
+t2x AS (SELECT p1, SUM(c) AS tot, COUNT(*) AS d FROM g2 GROUP BY p1),
+t1x AS (SELECT SUM(c) AS tot, COUNT(*) AS d FROM g1),
+knq AS (
+  SELECT k.doc_id,
+         CAST(round(-ln({_kn_p_sql(_T23_V)}) * 1073741824) AS BIGINT) AS q
+  FROM kgrams k
+  LEFT JOIN g5 ON k.p4 = g5.p4 AND k.p3 = g5.p3 AND k.p2 = g5.p2
+              AND k.p1 = g5.p1 AND k.cur = g5.cur
+  LEFT JOIN g4 ON k.p3 = g4.p3 AND k.p2 = g4.p2 AND k.p1 = g4.p1
+              AND k.cur = g4.cur
+  LEFT JOIN g3 ON k.p2 = g3.p2 AND k.p1 = g3.p1 AND k.cur = g3.cur
+  LEFT JOIN g2 ON k.p1 = g2.p1 AND k.cur = g2.cur
+  LEFT JOIN g1 ON k.cur = g1.cur
+  LEFT JOIN t5x ON k.p4 = t5x.p4 AND k.p3 = t5x.p3 AND k.p2 = t5x.p2
+               AND k.p1 = t5x.p1
+  LEFT JOIN t4x ON k.p3 = t4x.p3 AND k.p2 = t4x.p2 AND k.p1 = t4x.p1
+  LEFT JOIN t3x ON k.p2 = t3x.p2 AND k.p1 = t3x.p1
+  LEFT JOIN t2x ON k.p1 = t2x.p1
+  CROSS JOIN t1x
+),
+doc25 AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         SUM(q) / (COUNT(*) * 1073741824.0) AS avg_nll
+  FROM knq GROUP BY doc_id
+)
+SELECT doc_id, n_tok, avg_nll,
+       CASE ntile(3) OVER (ORDER BY avg_nll, doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM doc25
+ORDER BY doc_id
+"""
+
+
+def _t25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.lm import (
+        kn_ngram_pairs,
+        kn_score,
+        top_vocab,
+        train_kn_counts,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", tokens("text").alias("t"))
+    train = toks.filter(F.col("lang") == "en")
+    vocab = top_vocab(train, "t", _T23_V)
+    model = train_kn_counts(kn_ngram_pairs(train, vocab, "t", keep=()))
+    model = {  # materialize: every table is model-sized
+        name: spark.createDataFrame(tbl.collect(), tbl.schema)
+        for name, tbl in model.items()
+    }
+    grams = kn_ngram_pairs(toks, vocab, "t", keep=("doc_id",))
+    return kn_score(grams, model, _T23_V)
+
+
+@register("t25_kn5_perplexity", oracle=_T25_SQL,
+          doc="5-gram interpolated Kneser-Ney quality filter (the KenLM "
+              "shape behind CCNet): raw top-order counts, continuation "
+              "counts below, D=0.75, uniform base — trained on the "
+              "lang='en' slice, every doc scored by Q30-quantized avg "
+              "NLL, exact head/middle/tail terciles. The probability "
+              "expression tree is identical on both engines, so the "
+              "doubles match bit-for-bit.",
+          tags=("text", "quality"))
+def t25_kn5_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t23_bucketize(_t25_scored(spark, sf_dir))
+
+
+@register("t25q_kn5_serve", oracle=_T25_SQL,
+          doc="t25 served from the persisted KN artifact (vocab + 9 "
+              "count tables, content-addressed, _DONE-marker build) — "
+              "same oracle as t25, so the value hash proves the stored "
+              "model equals the replayed training bit-for-bit.",
+          tags=("text", "quality"))
+def t25q_kn5_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.lm import (
+        ensure_kn_lm,
+        kn_serve_scored,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", tokens("text").alias("t"))
+    path = ensure_kn_lm(
+        toks, "t", train_filter=(F.col("lang") == "en"), v=_T23_V, salt="t25"
+    )
+    return _t23_bucketize(kn_serve_scored(toks, path, "t"))

@@ -223,3 +223,214 @@ def lm_serve_scored(
     ctx = spark.read.parquet(f"{path}/ctx")
     pairs = bigram_pairs(docs, vocab, arr_col, keep=(key,))
     return score_pairs(pairs, bg, ctx, v + 1, key)
+
+
+# --- 5-gram interpolated Kneser-Ney (the production quality filter) ----------
+# The t23 bigram is the CCNet-parity fixture model; a real corpus
+# quality filter is a higher-order smoothed LM (CCNet uses a 5-gram
+# KenLM). This is interpolated Kneser-Ney (Kneser & Ney 1995; Chen &
+# Goodman 1999 eq. 18) at order 5 over the same top-V vocabulary:
+#
+#   p_k(w|ctx) = max(c_k(ctx·w) - D, 0)/tot_k(ctx)
+#                + D · distinct_k(ctx)/tot_k(ctx) · p_{k-1}(w|ctx')
+#   p_0(w)     = 1/(V+1)                    (uniform over emissions)
+#   unseen ctx (tot_k = 0/absent): p_k = p_{k-1}   (pure backoff)
+#
+# with RAW counts at the highest order and CONTINUATION counts
+# N1+(• u1..uk) below — computed by the standard recursion: distinct
+# 5-grams grouped by their (k)-suffix, then re-grouped downward.
+# D = 0.75 (exactly representable) at every order.
+#
+# Exactness: every count is an integer; D, the divisions and the
+# interpolation products are IEEE ops applied to identical operands
+# in an identical expression tree on both engines, so p itself is
+# bit-equal; only ln is not correctly rounded, so per-token -ln p is
+# Q30-quantized before the per-doc sum (the t23 discipline).
+#
+# Scale shape: the corpus pass is the same zero-shuffle map as the
+# bigram (vocab isin + transform-with-index emitting the 4-token
+# context struct), then ONE doc-keyed aggregate. The model is 9
+# tables (5 gram tables + 4 context tables + 1 scalar row); at V=64
+# fixture scale every table broadcasts. A web-scale 5-gram table
+# stops fitting a broadcast at ~10^7 rows — the switch documented in
+# SCALE.md: the gram-table attach becomes a (ctx, w)-keyed bucketed
+# join, the formula is unchanged.
+
+KN_D = 0.75
+KN_ORDER = 5
+
+
+def kn_ngram_pairs(
+    df: DataFrame, vocab: list[str], arr_col: str = "t",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """(…keep, p4, p3, p2, p1, cur) — every token position with its
+    4-token left context, '<s>'-padded at the document start. The
+    same zero-shuffle transform-with-index as bigram_pairs."""
+    mapper = (
+        (lambda w: F.when(w.isin(*vocab), w).otherwise(F.lit(UNK)))
+        if vocab
+        else (lambda w: F.lit(UNK))
+    )
+    mm = df.withColumn("m", F.transform(arr_col, mapper))
+    prev = {
+        j: f"CASE WHEN i - {j} < 0 THEN '{BOS}' ELSE m[i - {j}] END"
+        for j in (1, 2, 3, 4)
+    }
+    return mm.select(
+        *keep,
+        F.explode(
+            F.expr(
+                "transform(m, (x, i) -> struct("
+                f"{prev[4]} AS p4, {prev[3]} AS p3, "
+                f"{prev[2]} AS p2, {prev[1]} AS p1, x AS cur))"
+            )
+        ).alias("g"),
+    ).select(*keep, "g.p4", "g.p3", "g.p2", "g.p1", "g.cur")
+
+
+def train_kn_counts(grams: DataFrame) -> dict[str, DataFrame]:
+    """The 9 KN model tables from the training position table:
+    g5 raw 5-gram counts; g4/g3/g2/g1 continuation counts (distinct
+    left-extensions of each suffix); t5..t2 context (tot, distinct)
+    tables; t1 the scalar (tot, distinct) row."""
+    g5 = grams.groupBy("p4", "p3", "p2", "p1", "cur").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # continuation: g5 rows are distinct 5-grams, so grouping by the
+    # k-suffix COUNTS distinct left-extensions; recursing downward
+    # keeps the distinct-keys property at every order.
+    g4 = g5.groupBy("p3", "p2", "p1", "cur").agg(F.count(F.lit(1)).alias("c"))
+    g3 = g4.groupBy("p2", "p1", "cur").agg(F.count(F.lit(1)).alias("c"))
+    g2 = g3.groupBy("p1", "cur").agg(F.count(F.lit(1)).alias("c"))
+    g1 = g2.groupBy("cur").agg(F.count(F.lit(1)).alias("c"))
+
+    def ctx(g, *cols):
+        return g.groupBy(*cols).agg(
+            F.sum("c").alias("tot"), F.count(F.lit(1)).alias("d")
+        )
+
+    return {
+        "g5": g5, "g4": g4, "g3": g3, "g2": g2, "g1": g1,
+        "t5": ctx(g5, "p4", "p3", "p2", "p1"),
+        "t4": ctx(g4, "p3", "p2", "p1"),
+        "t3": ctx(g3, "p2", "p1"),
+        "t2": ctx(g2, "p1"),
+        "t1": g1.agg(F.sum("c").alias("tot"), F.count(F.lit(1)).alias("d")),
+    }
+
+
+def kn_score(
+    grams: DataFrame, model: dict[str, DataFrame], v: int,
+    key: str = "doc_id",
+) -> DataFrame:
+    """(key, n_tok, avg_nll) under the interpolated KN model — every
+    model table broadcast, probability assembled bottom-up in one
+    expression tree (bit-identical on any engine), -ln Q30-quantized
+    per token before the doc sum."""
+    d_ = F.lit(KN_D)
+    j = grams
+    j = j.join(F.broadcast(model["g5"].withColumnRenamed("c", "c5")),
+               ["p4", "p3", "p2", "p1", "cur"], "left")
+    j = j.join(F.broadcast(model["g4"].withColumnRenamed("c", "c4")),
+               ["p3", "p2", "p1", "cur"], "left")
+    j = j.join(F.broadcast(model["g3"].withColumnRenamed("c", "c3")),
+               ["p2", "p1", "cur"], "left")
+    j = j.join(F.broadcast(model["g2"].withColumnRenamed("c", "c2")),
+               ["p1", "cur"], "left")
+    j = j.join(F.broadcast(model["g1"].withColumnRenamed("c", "c1")),
+               ["cur"], "left")
+    for k, cols in (("t5", ["p4", "p3", "p2", "p1"]), ("t4", ["p3", "p2", "p1"]),
+                    ("t3", ["p2", "p1"]), ("t2", ["p1"])):
+        t = model[k].withColumnsRenamed({"tot": f"tot{k[1]}", "d": f"d{k[1]}"})
+        j = j.join(F.broadcast(t), cols, "left")
+    t1 = model["t1"].withColumnsRenamed({"tot": "tot1", "d": "d1"})
+    j = j.crossJoin(F.broadcast(t1))
+
+    def dbl(c):
+        return F.col(c).cast("double")
+
+    p = F.lit(1.0) / F.lit(float(v + 1))  # p_0: uniform base
+    for k in (1, 2, 3, 4, 5):
+        ck, totk, dk = f"c{k}", f"tot{k}", f"d{k}"
+        seen = F.col(totk).isNotNull() & (F.col(totk) > 0)
+        pk = (
+            F.greatest(F.coalesce(dbl(ck), F.lit(0.0)) - d_, F.lit(0.0))
+            / dbl(totk)
+            + d_ * dbl(dk) / dbl(totk) * p
+        )
+        p = F.when(seen, pk).otherwise(p)
+    q = F.round(-F.log(p) * F.lit(Q30)).cast("long")
+    return (
+        j.withColumn("q", q)
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("q").alias("s"))
+        .select(
+            key,
+            "n_tok",
+            (F.col("s") / (F.col("n_tok") * F.lit(float(Q30)))).alias("avg_nll"),
+        )
+    )
+
+
+def build_kn_lm(
+    docs: DataFrame,
+    path: str,
+    arr_col: str = "t",
+    train_filter=None,
+    v: int = 64,
+) -> None:
+    """Train the KN 5-gram and persist all 10 tables (vocab + 9 model
+    tables) under ``path`` — the bigram build_lm discipline, same
+    _DONE marker ordering."""
+    from ae_data_integration_spark.operators.ann_index import _finish
+
+    spark = docs.sparkSession
+    train = docs.filter(train_filter) if train_filter is not None else docs
+    vocab = top_vocab(train, arr_col, v)
+    model = train_kn_counts(kn_ngram_pairs(train, vocab, arr_col, keep=()))
+    spark.createDataFrame(
+        [(w, i) for i, w in enumerate(vocab)], "w string, rank long"
+    ).write.mode("overwrite").parquet(f"{path}/vocab")
+    for name, tbl in model.items():
+        tbl.write.mode("overwrite").parquet(f"{path}/{name}")
+    _finish(path, {"v": v, "kind": "kn5_lm"})
+
+
+def ensure_kn_lm(docs: DataFrame, arr_col: str = "t", train_filter=None,
+                 v: int = 64, salt: str = "") -> str:
+    """Build-once KN artifact (the ensure_lm cache-key discipline,
+    training slice and token column in the key)."""
+    from ae_data_integration_spark.operators.ann_index import _done
+
+    train_key = "" if train_filter is None else str(train_filter)
+    path = lm_dir(
+        docs,
+        {"v": v, "salt": salt, "kind": "kn5_lm", "arr_col": arr_col,
+         "train": train_key},
+    )
+    if not _done(path):
+        build_kn_lm(docs, path, arr_col, train_filter, v)
+    return path
+
+
+def kn_serve_scored(
+    docs: DataFrame, path: str, arr_col: str = "t", key: str = "doc_id"
+) -> DataFrame:
+    """(key, n_tok, avg_nll) scored against the STORED KN artifact."""
+    import json
+    import os
+
+    spark = docs.sparkSession
+    with open(os.path.join(path, "meta.json")) as fh:
+        v = int(json.load(fh)["v"])
+    vocab = [
+        r["w"]
+        for r in spark.read.parquet(f"{path}/vocab").orderBy("rank").collect()
+    ]
+    model = {
+        name: spark.read.parquet(f"{path}/{name}")
+        for name in ("g5", "g4", "g3", "g2", "g1", "t5", "t4", "t3", "t2", "t1")
+    }
+    grams = kn_ngram_pairs(docs, vocab, arr_col, keep=(key,))
+    return kn_score(grams, model, v, key)

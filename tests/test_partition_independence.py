@@ -77,6 +77,9 @@ QUERIES = [
     "dq6_dedup_audit",           # drop provenance (exact/near) (r10)
     "pipe9_corpus_lifecycle",    # end-to-end lifecycle composition (r11)
     "s6d_index_drift",           # PQ residual-energy drift monitor (r11)
+    "t25_kn5_perplexity",        # 5-gram interpolated KN filter (r11)
+    "t25q_kn5_serve",            # KN artifact serve twin (r11)
+    "g6b_lpa_wide",              # wide-signature LPA scale config (r11)
 ]
 
 

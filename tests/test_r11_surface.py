@@ -293,3 +293,110 @@ def test_pq_residual_report_detects_drifted_append(spark, tmp_path, monkeypatch)
     assert in_dist < 1.5, f"in-distribution append tripped the trigger: {in_dist}"
     assert shifted > 1.5, f"drifted append did not trip the trigger: {shifted}"
     assert shifted > 3 * in_dist  # the signal is unambiguous, not marginal
+
+
+# --- t25: KN 5-gram vs an independent pure-Python reference -------------------
+
+
+def _kn_ref_scores(train_seqs, score_seqs, vocab, v, d=0.75):
+    """Interpolated Kneser-Ney order-5 (Chen & Goodman 1999) computed
+    independently with dict arithmetic — the golden for kn_score."""
+    import math
+    from collections import Counter
+
+    vs = set(vocab)
+
+    def grams(seq):
+        m = [w if w in vs else "<unk>" for w in seq]
+        out = []
+        for i, cur in enumerate(m):
+            ctx = tuple(
+                "<s>" if i - j < 0 else m[i - j] for j in (4, 3, 2, 1)
+            )
+            out.append((*ctx, cur))
+        return out
+
+    g = {5: Counter()}
+    for seq in train_seqs:
+        g[5].update(grams(seq))
+    for k in (4, 3, 2, 1):
+        g[k] = Counter()
+        for key in g[k + 1]:  # keys at order k+1 have length k+1
+            g[k][key[1:]] += 1
+    tot, dis = {}, {}
+    for k in (5, 4, 3, 2, 1):
+        tot[k], dis[k] = Counter(), Counter()
+        for key, c in g[k].items():
+            tot[k][key[:-1]] += c
+            dis[k][key[:-1]] += 1
+
+    def prob(key5):
+        p = 1.0 / (v + 1)
+        for k in (1, 2, 3, 4, 5):
+            key = key5[5 - k:]
+            ctx = key[:-1]
+            t = tot[k].get(ctx, 0)
+            if t > 0:
+                p = max(g[k].get(key, 0) - d, 0.0) / t + d * dis[k][ctx] / t * p
+        return p
+
+    q30 = 1 << 30
+    out = []
+    for seq in score_seqs:
+        qs = [round(-math.log(prob(k5)) * q30) for k5 in grams(seq)]
+        out.append((len(qs), sum(qs) / (len(qs) * float(q30))))
+    return out
+
+
+def test_kn5_matches_pure_python_reference(spark):
+    """The engine's KN-5 (zero-shuffle context map + broadcast count
+    tables + one expression tree) must reproduce an independent
+    dict-arithmetic implementation of the same formula on a corpus
+    crafted to exercise every backoff level: seen 5-grams, seen-only-
+    lower-order suffixes, OOV tokens, and documents shorter than the
+    order."""
+    from ae_data_integration_spark.operators.lm import (
+        kn_ngram_pairs,
+        kn_score,
+        train_kn_counts,
+    )
+
+    train = [
+        "the cat sat on the mat".split(),
+        "the cat sat on the hat".split(),
+        "a dog sat on a log".split(),
+        "the dog ran to the mat".split(),
+    ]
+    score = [
+        "the cat sat on the mat".split(),       # fully seen 5-grams
+        "the dog sat on the mat".split(),       # mixed backoff
+        "zebra the cat xylophone".split(),      # OOV -> <unk>
+        "mat".split(),                          # shorter than order
+        "on on on on on on on on".split(),      # repetition
+    ]
+    vocab = ["the", "cat", "sat", "on", "mat", "hat", "a", "dog",
+             "log", "ran", "to"]
+    v = 16  # declared budget > realized vocab (the t23 sharp edge)
+    toks_train = spark.createDataFrame(
+        [(i, seq) for i, seq in enumerate(train)],
+        "doc_id long, t array<string>",
+    )
+    toks_score = spark.createDataFrame(
+        [(i, seq) for i, seq in enumerate(score)],
+        "doc_id long, t array<string>",
+    )
+    model = train_kn_counts(kn_ngram_pairs(toks_train, vocab, "t"))
+    got = {
+        r["doc_id"]: (r["n_tok"], r["avg_nll"])
+        for r in kn_score(
+            kn_ngram_pairs(toks_score, vocab, "t", keep=("doc_id",)),
+            model, v,
+        ).collect()
+    }
+    want = _kn_ref_scores(train, score, vocab, v)
+    assert set(got) == set(range(len(score)))
+    for i, (n_tok, nll) in enumerate(want):
+        assert got[i][0] == n_tok
+        assert abs(got[i][1] - nll) < 5e-9, (i, got[i], (n_tok, nll))
+    # sanity: a fully-seen doc scores better than the OOV doc
+    assert got[0][1] < got[2][1]
