@@ -44,9 +44,23 @@ def main() -> int:
     n_users = con.execute(
         f"SELECT MAX(user_id) + 1 FROM read_parquet('{src}/events.parquet')"
     ).fetchone()[0]
+    # Two skew knobs in one variant:
+    # * user_id -> s=1 zipf (hot user ~ ln2/lnN of all rows) — the
+    #   straggler test for user-keyed windows/aggregates (e2/e8);
+    # * 8% of events (md5-selected) compressed into a 3-hour hot
+    #   window — hourly counts there blow past the 2x-average rule,
+    #   so e12's incident side is NON-degenerate (uniform replication
+    #   yields zero incidents) and its exploded-bucket join sees the
+    #   hot-key shape it claims to survive.
     con.execute(f"""
         COPY (
-          SELECT event_id, ts,
+          SELECT event_id,
+                 CASE WHEN (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'h'), 1, 12))
+                                 AS BIGINT) % 10000) < 800
+                      THEN (SELECT MIN(ts) FROM read_parquet('{src}/events.parquet'))
+                           + INTERVAL (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || 's'), 1, 8))
+                                            AS BIGINT) % 10800) SECOND
+                      ELSE ts END AS ts,
                  CAST(floor(exp(
                    (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))
                          AS BIGINT) / 281474976710656.0) * ln({n_users})
