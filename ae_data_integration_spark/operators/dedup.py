@@ -151,9 +151,19 @@ def lsh_candidate_pairs_across(
     """
     ba = lsh_band_table(batch_shingles, num_perm, num_bands, max_bucket).transform(persist_tracked)
     bb = lsh_band_table(corpus_shingles, num_perm, num_bands, max_bucket).transform(persist_tracked)
+    return lsh_candidate_pairs_from_bands(ba, bb)
+
+
+def lsh_candidate_pairs_from_bands(
+    batch_bands: DataFrame, corpus_bands: DataFrame
+) -> DataFrame:
+    """The across-corpora candidate join given PREBUILT band tables —
+    for callers that amortize the corpus band table over many batches
+    (streaming/lifecycle.py persists it once per drain instead of
+    recomputing the corpus minhash pass per micro-batch)."""
     return (
-        ba.alias("x")
-        .join(bb.alias("y"), ["band", "bucket"])
+        batch_bands.alias("x")
+        .join(corpus_bands.alias("y"), ["band", "bucket"])
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
     )

@@ -320,30 +320,46 @@ def train_kn_counts(grams: DataFrame) -> dict[str, DataFrame]:
     }
 
 
+def _maybe_broadcast(df: DataFrame, max_bytes: int = 128 * 1024 * 1024):
+    """Broadcast hint only when Catalyst's sizeInBytes estimate is
+    bounded — the jaccard_verify/persist_tracked_if_small rule. The
+    KN gram tables are ~10^4 rows on the fixtures and on vocab-mapped
+    synthetic corpora, but a web-scale 5-gram table grows with the
+    corpus; above the threshold the attach falls back to a plain
+    (ctx, w)-keyed shuffle join — identical results, no broadcast OOM."""
+    try:
+        est = int(str(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        ))
+    except Exception:  # noqa: BLE001 - stats are an optimization only
+        return df  # unknown size: let the planner decide
+    return F.broadcast(df) if est <= max_bytes else df
+
+
 def kn_score(
     grams: DataFrame, model: dict[str, DataFrame], v: int,
     key: str = "doc_id",
 ) -> DataFrame:
-    """(key, n_tok, avg_nll) under the interpolated KN model — every
-    model table broadcast, probability assembled bottom-up in one
-    expression tree (bit-identical on any engine), -ln Q30-quantized
-    per token before the doc sum."""
+    """(key, n_tok, avg_nll) under the interpolated KN model — model
+    tables attached by size-adaptive broadcast, probability assembled
+    bottom-up in one expression tree (bit-identical on any engine),
+    -ln Q30-quantized per token before the doc sum."""
     d_ = F.lit(KN_D)
     j = grams
-    j = j.join(F.broadcast(model["g5"].withColumnRenamed("c", "c5")),
+    j = j.join(_maybe_broadcast(model["g5"].withColumnRenamed("c", "c5")),
                ["p4", "p3", "p2", "p1", "cur"], "left")
-    j = j.join(F.broadcast(model["g4"].withColumnRenamed("c", "c4")),
+    j = j.join(_maybe_broadcast(model["g4"].withColumnRenamed("c", "c4")),
                ["p3", "p2", "p1", "cur"], "left")
-    j = j.join(F.broadcast(model["g3"].withColumnRenamed("c", "c3")),
+    j = j.join(_maybe_broadcast(model["g3"].withColumnRenamed("c", "c3")),
                ["p2", "p1", "cur"], "left")
-    j = j.join(F.broadcast(model["g2"].withColumnRenamed("c", "c2")),
+    j = j.join(_maybe_broadcast(model["g2"].withColumnRenamed("c", "c2")),
                ["p1", "cur"], "left")
-    j = j.join(F.broadcast(model["g1"].withColumnRenamed("c", "c1")),
+    j = j.join(_maybe_broadcast(model["g1"].withColumnRenamed("c", "c1")),
                ["cur"], "left")
     for k, cols in (("t5", ["p4", "p3", "p2", "p1"]), ("t4", ["p3", "p2", "p1"]),
                     ("t3", ["p2", "p1"]), ("t2", ["p1"])):
         t = model[k].withColumnsRenamed({"tot": f"tot{k[1]}", "d": f"d{k[1]}"})
-        j = j.join(F.broadcast(t), cols, "left")
+        j = j.join(_maybe_broadcast(t), cols, "left")
     t1 = model["t1"].withColumnsRenamed({"tot": "tot1", "d": "d1"})
     j = j.crossJoin(F.broadcast(t1))
 

@@ -44,6 +44,7 @@ def ingest_stream_to_lifecycle(
     out_dir: str,
     index_path: str,
     query_name: str = "lifecycle_ingest",
+    checkpoint_dir: str | None = None,
 ):
     """Drain ``doc_stream`` (availableNow) through the lifecycle
     front half against the static ``corpus``; per-epoch accepted/drop
@@ -55,15 +56,25 @@ def ingest_stream_to_lifecycle(
     from ae_data_integration_spark.operators.dedup import (
         doc_shingles,
         jaccard_verify,
-        lsh_candidate_pairs_across,
+        lsh_band_table,
+        lsh_candidate_pairs_from_bands,
     )
 
-    corpus_fp = corpus.select(fingerprint("text").alias("fp")).distinct()
+    # corpus-side assets persist ONCE per drain and amortize over
+    # every micro-batch: the fingerprint set and the corpus band
+    # table (the minhash pass over the standing corpus is the
+    # expensive term — recomputing it per epoch would make ingest
+    # cost ∝ corpus x batches instead of corpus + Σbatch)
+    corpus_fp = corpus.select(fingerprint("text").alias("fp")).distinct().persist()
     sh_c = doc_shingles(corpus, "doc_id", "text", k=5, spread=True)
+    bb = lsh_band_table(sh_c, 16, 2).persist()
 
     def write_batch(bdf: DataFrame, epoch_id: int) -> None:
-        if bdf.isEmpty():
-            return
+        # deliberately NO empty-batch early return: a replay after
+        # checkpoint loss may map files to different epoch ids, and an
+        # epoch that becomes empty must OVERWRITE (clear) its possibly
+        # stale dir — skipping it would leave the old content beside
+        # the same docs re-homed under another tag (duplicates).
         b1 = (
             bdf.withColumn("fp", fingerprint("text"))
             .join(corpus_fp, "fp", "left_anti")
@@ -72,9 +83,8 @@ def ingest_stream_to_lifecycle(
         )
         try:
             sh_b = doc_shingles(b1, "doc_id", "text", k=5, spread=True)
-            cands = lsh_candidate_pairs_across(
-                sh_b, sh_c, num_perm=16, num_bands=2
-            )
+            ba = lsh_band_table(sh_b, 16, 2)
+            cands = lsh_candidate_pairs_from_bands(ba, bb)
             near = (
                 jaccard_verify(
                     cands, sh_b.unionByName(sh_c), threshold=_P5_THRESH
@@ -111,11 +121,21 @@ def ingest_stream_to_lifecycle(
         finally:
             b1.unpersist()
 
-    q = (
+    w = (
         doc_stream.writeStream.foreachBatch(write_batch)
         .queryName(query_name)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    if checkpoint_dir is not None:
+        # with a checkpoint, a restarted drain RESUMES (new files only,
+        # epoch ids continue); without one, a restart replays the whole
+        # source — harmless either way because every per-epoch artifact
+        # is a deterministic overwrite (tested in test_streaming.py)
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.start()
+    try:
+        q.awaitTermination()
+    finally:
+        corpus_fp.unpersist()
+        bb.unpersist()
     return q

@@ -905,3 +905,95 @@ def test_streaming_lifecycle_matches_batch_pipe9(spark, tmp_path, monkeypatch):
     # drop provenance survives the stream path (signal attribution)
     sig = {r["signal"] for r in drops_s.select("signal").distinct().collect()}
     assert sig <= {"exact", "near"} and len(drops_s.collect()) > 0
+
+
+def test_streaming_lifecycle_checkpoint_resume_and_replay(
+    spark, tmp_path, monkeypatch
+):
+    """Recovery semantics for the lifecycle ingest: (1) a drain
+    restarted WITH its checkpoint resumes — only new files are
+    processed, epoch ids continue; (2) even a TOTAL checkpoint loss
+    followed by a full-source replay cannot duplicate — every
+    per-epoch artifact (accepted/drops parquet, codes increment) is a
+    deterministic per-tag overwrite, so the post-replay unions are
+    row-identical. Both end states must match the single-shot batch
+    dedup."""
+    from pyspark.sql import functions as F
+
+    from ae_data_integration_spark.catalog.lifecycle_q import (
+        _P9_SALT,
+        _p9_dedup,
+    )
+    from ae_data_integration_spark.operators.ann_index import (
+        _code_dirs,
+        build_pq_index,
+        index_dir,
+    )
+    from ae_data_integration_spark.streaming.lifecycle import (
+        ingest_stream_to_lifecycle,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "ann"))
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    base_e = e.filter(F.col("vec_id") % 5 != 0)
+    p = index_dir(base_e, "pq", {"salt": _P9_SALT, "leg": "recovery"})
+    build_pq_index(base_e, p, m=8, k=32, salt=_P9_SALT)
+
+    src = str(tmp_path / "doc_src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # first half of the batch arrives
+    batch.filter(F.col("doc_id") < 250).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def drain(checkpoint):
+        stream = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        ingest_stream_to_lifecycle(
+            stream, corpus, e, out, p,
+            query_name="t_lc_recov", checkpoint_dir=checkpoint,
+        )
+
+    drain(ckpt)
+    import glob as _glob
+
+    n_epochs_1 = len(_glob.glob(f"{out}/accepted/b*"))
+    # "crash" between arrivals; the second half lands as NEW files
+    for i, chunk in enumerate(
+        batch.filter(F.col("doc_id") >= 250).repartition(2)
+        .randomSplit([0.5, 0.5], seed=1)
+    ):
+        chunk.write.mode("append").parquet(src)
+    drain(ckpt)  # resume from checkpoint: processes only the new files
+    n_epochs_2 = len(_glob.glob(f"{out}/accepted/b*"))
+    assert n_epochs_2 > n_epochs_1  # new epochs appended, old untouched
+
+    def state():
+        acc = spark.read.parquet(f"{out}/accepted/b*")
+        ids = sorted(r["doc_id"] for r in acc.select("doc_id").collect())
+        union = spark.read.parquet(*_code_dirs(p))
+        codes = sorted(
+            (r["id"], tuple(r["codes"])) for r in union.collect()
+        )
+        return ids, codes
+
+    ids_resume, codes_resume = state()
+    assert len(ids_resume) == len(set(ids_resume))  # no duplicates
+
+    # total checkpoint loss: full replay over the same source
+    drain(str(tmp_path / "ckpt_fresh"))
+    ids_replay, codes_replay = state()
+    assert ids_replay == ids_resume
+    assert codes_replay == codes_resume
+
+    # both end states equal the single-shot batch dedup's accepted set
+    _, _, _, accepted = _p9_dedup(spark, SF_SMOKE)
+    want = sorted(r["doc_id"] for r in accepted.select("doc_id").collect())
+    assert ids_resume == want
