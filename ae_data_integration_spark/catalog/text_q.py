@@ -2199,3 +2199,171 @@ def t25q_kn5_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks, "t", train_filter=(F.col("lang") == "en"), v=_T23_V, salt="t25"
     )
     return _t23_bucketize(kn_serve_scored(toks, path, "t"))
+
+
+# --- SAMP3: DSIR importance-resampling selection -----------------------------
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+# pick raw-corpus documents whose hashed-n-gram distribution looks
+# like a TARGET slice. Two bag-of-hashed-ngrams models (unigrams +
+# bigrams hashed into B buckets) are fit by counting — target = the
+# lang='en' slice, raw = the whole corpus — and each doc's importance
+# log-weight is sum_f c_f * (ln p_target[f] - ln p_raw[f]). Selection
+# is Gumbel top-k (logw + Gumbel noise), which samples WITHOUT
+# replacement with probability proportional to the importance weight
+# — the paper's resampling step as one ORDER BY ... LIMIT K.
+#
+# Scale shape (the 100-TB story): ONE token/bigram explode and one
+# (doc, bucket) count shuffle over the corpus; both models are
+# B-row aggregates (broadcast — B is 64 here, 10^4 in the paper,
+# model-sized either way); the per-bucket log-ratio lr_q is
+# Q30-quantized ONCE per bucket so every per-doc weight is an exact
+# BIGINT dot product; the Gumbel key is md5-derived (replayable,
+# partition-independent) and top-k is a TakeOrdered — the corpus is
+# never globally sorted. No shuffle grows with vocabulary.
+
+_SAMP3_B = 64
+_SAMP3_K = 50
+_SAMP3_DENOM = 281474976710656.0  # 2^48
+
+_SAMP3_FEAT_HASH = (
+    "CAST(('0x' || substr(md5('ds:' || f), 1, 12)) AS BIGINT) % " + str(_SAMP3_B)
+)
+
+_SAMP3_SQL = f"""
+WITH tok AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+feat AS (
+  SELECT doc_id, lang, unnest(t) AS f FROM tok
+  UNION ALL
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS f
+  FROM tok
+),
+cnt AS (
+  SELECT doc_id, lang, {_SAMP3_FEAT_HASH} AS bucket, COUNT(*) AS c
+  FROM feat GROUP BY doc_id, lang, bucket
+),
+model AS (
+  SELECT b.bucket,
+         COALESCE(SUM(CASE WHEN cnt.lang = 'en' THEN cnt.c END), 0) AS tc,
+         COALESCE(SUM(cnt.c), 0) AS rc
+  FROM (SELECT unnest(range(0, {_SAMP3_B})) AS bucket) b
+  LEFT JOIN cnt USING (bucket)
+  GROUP BY b.bucket
+),
+tot AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM model),
+lr AS (
+  SELECT bucket,
+         CAST(round(
+           (ln(CAST(tc + 1 AS DOUBLE) / CAST(tt + {_SAMP3_B} AS DOUBLE))
+            - ln(CAST(rc + 1 AS DOUBLE) / CAST(rt + {_SAMP3_B} AS DOUBLE))) * {Q30}
+         ) AS BIGINT) AS lr_q
+  FROM model, tot
+),
+wgt AS (
+  SELECT cnt.doc_id, CAST(SUM(cnt.c * lr.lr_q) AS BIGINT) AS logw_q
+  FROM cnt JOIN lr USING (bucket)
+  GROUP BY cnt.doc_id
+)
+SELECT d.doc_id, d.lang,
+       COALESCE(w.logw_q, 0) AS logw_q,
+       COALESCE(w.logw_q, 0) + CAST(round(
+         -ln(-ln((CAST(('0x' || substr(md5('dsir' || CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 0.5)
+                 / {_SAMP3_DENOM})) * {Q30}
+       ) AS BIGINT) AS key_q
+FROM documents d LEFT JOIN wgt w ON d.doc_id = w.doc_id
+ORDER BY key_q DESC, d.doc_id
+LIMIT {_SAMP3_K}
+"""
+
+
+@register("samp3_dsir_select", oracle=_SAMP3_SQL,
+          doc="DSIR (Xie et al. 2023): hashed unigram+bigram bag models "
+              "for target (lang='en') vs raw, per-bucket Q30 log-ratio, "
+              "exact-integer per-doc importance weight, Gumbel top-k "
+              "resampling via md5-derived noise — proportional-to-weight "
+              "selection without replacement as one TakeOrdered.",
+          tags=("text", "sampling", "bench"))
+def samp3_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", tokens("text").alias("t"))
+    uni = tok.select("doc_id", "lang", F.explode("t").alias("f"))
+    big = tok.select(
+        "doc_id", "lang",
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("f"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ds:"), F.col("f"))), 1, 12), 16, 10
+        ).cast("long")
+        % F.lit(_SAMP3_B)
+    )
+    cnt = (
+        uni.unionByName(big)
+        .select("doc_id", "lang", bucket.alias("bucket"))
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    model = (
+        spark.range(_SAMP3_B).withColumnRenamed("id", "bucket")
+        .join(cnt, "bucket", "left")
+        .groupBy("bucket")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("lang") == "en", F.col("c"))), F.lit(0)
+            ).alias("tc"),
+            F.coalesce(F.sum("c"), F.lit(0)).alias("rc"),
+        )
+    )
+    tot = model.agg(F.sum("tc").alias("tt"), F.sum("rc").alias("rt"))
+    lr = (
+        model.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(
+                        (F.col("tc") + 1).cast("double")
+                        / (F.col("tt") + _SAMP3_B).cast("double")
+                    )
+                    - F.log(
+                        (F.col("rc") + 1).cast("double")
+                        / (F.col("rt") + _SAMP3_B).cast("double")
+                    )
+                ) * F.lit(Q30)
+            ).cast("long").alias("lr_q"),
+        )
+    )
+    wgt = (
+        cnt.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("lr_q")).cast("long").alias("logw_q"))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dsir"), F.col("doc_id").cast("string"))),
+                1, 12,
+            ), 16, 10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(_SAMP3_DENOM)
+    logw = F.coalesce(F.col("logw_q"), F.lit(0))
+    return (
+        d.join(wgt, "doc_id", "left")
+        .select(
+            "doc_id", "lang",
+            logw.alias("logw_q"),
+            (logw + F.round(-F.log(-F.log(u)) * F.lit(Q30)).cast("long"))
+            .alias("key_q"),
+        )
+        .orderBy(F.desc("key_q"), "doc_id")
+        .limit(_SAMP3_K)
+    )

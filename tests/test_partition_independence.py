@@ -80,6 +80,7 @@ QUERIES = [
     "t25_kn5_perplexity",        # 5-gram interpolated KN filter (r11)
     "t25q_kn5_serve",            # KN artifact serve twin (r11)
     "g6b_lpa_wide",              # wide-signature LPA scale config (r11)
+    "samp3_dsir_select",         # DSIR Gumbel top-k selection (r11)
 ]
 
 

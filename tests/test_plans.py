@@ -609,3 +609,14 @@ def test_pipe9_lifecycle_composition_shape(spark):
     pa.no_python_row_udf().has_partial_agg()
     assert "CartesianProduct" not in pa.plan
     assert pa.plan.count("BroadcastHashJoin") >= 4
+
+
+def test_samp3_dsir_broadcast_models_and_takeordered(spark):
+    # DSIR's scale contract: both bucket models attach by broadcast
+    # (B-row tables), selection is a TakeOrdered top-k — the corpus
+    # is never globally sorted and never cross-joined (the only
+    # BroadcastNestedLoop is the 1-row totals attach).
+    pa = plan_asserts(_df(spark, "samp3_dsir_select"))
+    assert "CartesianProduct" not in pa.plan
+    assert "TakeOrderedAndProject" in pa.plan
+    pa.has_broadcast_exchange(2).no_python_row_udf()
