@@ -1069,6 +1069,117 @@ def pipe5b_incremental_dedup_wide(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# --- PIPE5c: Bloom-gated incremental exact dedup (runtime-filter shape) -----
+# pipe5's exact stage anti-joins the batch against the DISTINCT
+# corpus fingerprint set — at 100 TB that distinct+anti-join shuffles
+# the whole corpus every batch. The production pattern is a runtime
+# filter: build a Bloom filter over the BATCH fingerprints (batch is
+# the small side; m=4096/k=3 md5 positions, the sk3 sketch), and gate
+# the corpus fingerprint scan with three broadcast LEFT SEMI joins —
+# map-side, ZERO corpus shuffle. Only corpus fps that might collide
+# with the batch survive to the distinct + anti-join, so per-batch
+# shuffle volume is ~|batch| + |corpus ∩ bloom(batch)| instead of
+# |corpus|. Bloom filters have no false negatives, so the survivor
+# set is bit-identical to pipe5's (asserted in tests); false
+# positives only cost a few extra fps in the exact check. This is
+# what Spark's runtime bloom-join does for equi-joins — spelled out
+# here because the anti-join direction isn't covered by it.
+
+_P5C_M = 4096
+_P5C_K = 3
+
+
+def _p5c_pos_sql(fp_expr: str, j: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5({fp_expr} || ':{j}'), 1, 12)) AS BIGINT)"
+        f" % {_P5C_M}"
+    )
+
+
+_P5C_GATED_CTE = f"""bfp AS (
+  SELECT DISTINCT {_P5_FP_T.format(t='text')} AS fp FROM documents WHERE doc_id % 5 = 0
+),
+bloom AS (
+  {' UNION '.join(f'SELECT DISTINCT {_p5c_pos_sql("fp", j)} AS pos FROM bfp' for j in range(_P5C_K))}
+),
+corpus_fp AS (
+  SELECT DISTINCT fp FROM (
+    SELECT {_P5_FP_T.format(t='text')} AS fp FROM documents WHERE doc_id % 5 != 0
+  ) c
+  WHERE {' AND '.join(f'({_p5c_pos_sql("c.fp", j)}) IN (SELECT pos FROM bloom)' for j in range(_P5C_K))}
+),"""
+
+_PIPE5C_SQL = _PIPE5_SQL.replace(
+    f"""corpus_fp AS (
+  SELECT DISTINCT {_P5_FP_T.format(t='text')} AS fp FROM documents WHERE doc_id % 5 != 0
+),""",
+    _P5C_GATED_CTE,
+)
+assert _PIPE5C_SQL != _PIPE5_SQL  # the splice anchor must exist
+
+
+@register("pipe5c_bloom_gate", oracle=_PIPE5C_SQL,
+          doc="pipe5 with the exact stage behind a batch-fingerprint Bloom "
+              "runtime filter (m=4096, k=3 md5 positions): the corpus fp "
+              "scan is gated by three broadcast semi-joins map-side, so "
+              "the distinct/anti-join shuffles only bloom survivors, never "
+              "the corpus. No false negatives -> output bit-identical to "
+              "pipe5 (asserted).",
+          tags=("dedup", "sketch"))
+def pipe5c_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.functions.text import fingerprint
+
+    def pos(col, j: int):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(col, F.lit(f":{j}"))), 1, 12),
+                16, 10,
+            ).cast("long")
+            % F.lit(_P5C_M)
+        )
+
+    d = table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    bfp = batch.select(fingerprint("text").alias("fp")).distinct()
+    bloom = (
+        bfp.select(
+            F.explode(
+                F.array(*[pos(F.col("fp"), j) for j in range(_P5C_K)])
+            ).alias("pos")
+        )
+        .distinct()
+        .transform(persist_tracked)
+    )
+    cf = corpus.select(fingerprint("text").alias("fp"))
+    for j in range(_P5C_K):
+        cf = cf.join(
+            F.broadcast(bloom.withColumnRenamed("pos", f"p{j}")),
+            pos(F.col("fp"), j) == F.col(f"p{j}"),
+            "left_semi",
+        )
+    corpus_fp = cf.distinct()
+    b1 = (
+        batch.withColumn("fp", fingerprint("text"))
+        .join(corpus_fp, "fp", "left_anti")
+        .select("doc_id", "n_chars", "text")
+        .transform(persist_tracked)
+    )
+    sh_b = doc_shingles(b1, "doc_id", "text", k=5, spread=True)
+    sh_c = doc_shingles(corpus, "doc_id", "text", k=5, spread=True)
+    cands = lsh_candidate_pairs_across(sh_b, sh_c, num_perm=8, num_bands=2)
+    near = (
+        jaccard_verify(cands, sh_b.unionByName(sh_c), threshold=_P5_THRESH)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        b1.join(near, "doc_id", "left_anti")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 # --- D7: cross-source duplication matrix ------------------------------------
 # Data-lineage analytics over the verified near-dup graph: which
 # sources duplicate which (mirror sites, scraped re-posts, intra-

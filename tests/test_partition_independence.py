@@ -81,6 +81,7 @@ QUERIES = [
     "t25q_kn5_serve",            # KN artifact serve twin (r11)
     "g6b_lpa_wide",              # wide-signature LPA scale config (r11)
     "samp3_dsir_select",         # DSIR Gumbel top-k selection (r11)
+    "pipe5c_bloom_gate",         # Bloom runtime-filtered exact dedup (r11)
 ]
 
 

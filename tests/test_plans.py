@@ -620,3 +620,14 @@ def test_samp3_dsir_broadcast_models_and_takeordered(spark):
     assert "CartesianProduct" not in pa.plan
     assert "TakeOrderedAndProject" in pa.plan
     pa.has_broadcast_exchange(2).no_python_row_udf()
+
+
+def test_pipe5c_corpus_gate_is_broadcast_semi_no_cartesian(spark):
+    # The Bloom gate's promise: the corpus fp scan reaches the
+    # distinct/anti-join only through broadcast LEFT SEMI joins
+    # (map-side, no corpus shuffle for the gate itself).
+    pa = plan_asserts(_df(spark, "pipe5c_bloom_gate"))
+    assert "CartesianProduct" not in pa.plan
+    assert pa.plan.count("BroadcastHashJoin") >= 3
+    assert "LeftSemi" in pa.plan
+    pa.no_python_row_udf()

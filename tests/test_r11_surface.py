@@ -14,7 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from ae_data_integration_spark.functions.ranks import order_statistics
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_CORRECT, SF_SMOKE
 
 
 # --- ranks: per-partition minimum must be the struct min ----------------------
@@ -400,3 +400,16 @@ def test_kn5_matches_pure_python_reference(spark):
         assert abs(got[i][1] - nll) < 5e-9, (i, got[i], (n_tok, nll))
     # sanity: a fully-seen doc scores better than the OOV doc
     assert got[0][1] < got[2][1]
+
+
+def test_pipe5c_bloom_gate_equals_pipe5_exactly(spark):
+    """The Bloom runtime filter must be invisible in the result: no
+    false negatives means the gated corpus fp set contains every fp
+    the batch could match, so survivors are bit-identical to pipe5."""
+    from ae_data_integration_spark.catalog import load_all
+
+    reg = load_all()
+    base = reg["pipe5_incremental_dedup"].fn(spark, SF_CORRECT).collect()
+    gated = reg["pipe5c_bloom_gate"].fn(spark, SF_CORRECT).collect()
+    assert [tuple(r) for r in gated] == [tuple(r) for r in base]
+    assert len(base) > 0
