@@ -658,3 +658,89 @@ def c7c_tsne_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     return tsne_2d(e, n_iter=250)
+
+
+# --- SAMP4: cluster-balanced corpus sampling --------------------------------
+# The diversity-preserving companion to DSIR (samp3): where DSIR
+# selects by target-likeness, cluster-balanced sampling selects an
+# EQUAL quota per semantic cluster (the DCLM/SemDeDup-style topic
+# balancing step) — Q centroid-nearest vectors from each Lloyd's
+# cluster, so no topic dominates the curated set however skewed the
+# raw corpus mixture is.
+#
+# Scale shape: the per-cluster top-Q is a TWO-LEVEL TOURNAMENT, not a
+# window — a `PARTITION BY cluster` window funnels each cluster
+# through one task (k partitions however big the corpus: the same
+# cliff functions/ranks.py documents for global windows). Instead:
+# per (cluster, input-partition) local top-Q via sorted-slice
+# collect_list (bounded by partition size), then per-cluster top-Q
+# over <= partitions x Q candidate structs (model-sized). Both
+# aggregates are built-ins; the sqd ranking key is Q30-quantized so
+# the DuckDB oracle — which replays the whole Lloyd's unroll
+# CTE-for-CTE and ranks with a plain window — is bit-identical.
+
+_SAMP4_Q = 20
+
+_SAMP4_SQL = f"""
+WITH pts AS (SELECT vec_id AS id, {_V} AS vec FROM embeddings),
+init AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5('km' || CAST(id AS VARCHAR)), id) - 1 AS cluster,
+         vec AS centroid
+  FROM (SELECT * FROM pts ORDER BY md5('km' || CAST(id AS VARCHAR)), id LIMIT {_K})
+),
+{_assign_cte('pts', 'init', 'a1')},
+{_update_cte('a1', 'c1')},
+{_assign_cte('pts', 'c1', 'a2')},
+{_update_cte('a2', 'c2')},
+{_assign_cte('pts', 'c2', 'a3')}
+SELECT id AS vec_id, cluster, sqd_q, rk FROM (
+  SELECT id, cluster, CAST(round(sqd * {Q30}) AS BIGINT) AS sqd_q,
+         ROW_NUMBER() OVER (
+           PARTITION BY cluster
+           ORDER BY CAST(round(sqd * {Q30}) AS BIGINT), id
+         ) AS rk
+  FROM a3
+) WHERE rk <= {_SAMP4_Q}
+ORDER BY cluster, rk
+"""
+
+
+@register("samp4_cluster_balanced", oracle=_SAMP4_SQL,
+          doc="Cluster-balanced sampling: Q=20 centroid-nearest vectors "
+              "per Lloyd's cluster (same md5-seeded unroll as c1, oracle "
+              "replays it CTE-for-CTE). Per-cluster top-Q is a two-level "
+              "tournament of sorted-slice collect_lists — no k-partition "
+              "window, group state bounded by partitions x Q.",
+          tags=("sampling", "clustering"))
+def samp4_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    assigned = kmeans_relational(e, k=_K, n_iter=_ITER, salt="km")
+    aq = assigned.select(
+        "id", "cluster",
+        F.round(F.col(_SQD_COL) * F.lit(Q30)).cast("long").alias("sqd_q"),
+    )
+    cand = F.struct(F.col("sqd_q"), F.col("id"))
+    local = (
+        aq.withColumn("_pid", F.spark_partition_id())
+        .groupBy("cluster", "_pid")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(cand)), 1, _SAMP4_Q
+            ).alias("cand")
+        )
+    )
+    sel = local.groupBy("cluster").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("cand"))), 1, _SAMP4_Q
+        ).alias("sel")
+    )
+    return (
+        sel.select("cluster", F.posexplode("sel").alias("rk0", "s"))
+        .select(
+            F.col("s.id").alias("vec_id"),
+            "cluster",
+            F.col("s.sqd_q").alias("sqd_q"),
+            (F.col("rk0") + 1).cast("long").alias("rk"),
+        )
+        .orderBy("cluster", "rk")
+    )

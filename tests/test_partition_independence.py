@@ -82,6 +82,7 @@ QUERIES = [
     "g6b_lpa_wide",              # wide-signature LPA scale config (r11)
     "samp3_dsir_select",         # DSIR Gumbel top-k selection (r11)
     "pipe5c_bloom_gate",         # Bloom runtime-filtered exact dedup (r11)
+    "samp4_cluster_balanced",    # per-cluster top-Q tournament (r11)
 ]
 
 

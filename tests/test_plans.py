@@ -631,3 +631,18 @@ def test_pipe5c_corpus_gate_is_broadcast_semi_no_cartesian(spark):
     assert pa.plan.count("BroadcastHashJoin") >= 3
     assert "LeftSemi" in pa.plan
     pa.no_python_row_udf()
+
+
+def test_samp4_topq_has_no_cluster_window(spark):
+    # The per-cluster top-Q must be the two-level tournament, not a
+    # PARTITION BY cluster window (k partitions however big the
+    # corpus). The only Window allowed is kmeans' per-point
+    # assignment rank, whose partition key is the point id
+    # (cardinality = corpus, scale-fine).
+    import re
+
+    pa = plan_asserts(_df(spark, "samp4_cluster_balanced"))
+    for m in re.finditer(r"windowspecdefinition\((\w+)#", pa.plan):
+        assert m.group(1) == "id", f"window partitioned by {m.group(1)}"
+    assert "CartesianProduct" not in pa.plan
+    pa.no_python_row_udf()
