@@ -2284,86 +2284,15 @@ LIMIT {_SAMP3_K}
               "selection without replacement as one TakeOrdered.",
           tags=("text", "sampling", "bench"))
 def samp3_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.selection import (
+        dsir_doc_keys,
+        dsir_lr_table,
+    )
+
     d = table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", "lang", tokens("text").alias("t"))
-    uni = tok.select("doc_id", "lang", F.explode("t").alias("f"))
-    big = tok.select(
-        "doc_id", "lang",
-        F.explode(
-            F.when(
-                F.size("t") >= 2,
-                F.expr(
-                    "transform(sequence(1, size(t) - 1), "
-                    "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("f"),
-    )
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("ds:"), F.col("f"))), 1, 12), 16, 10
-        ).cast("long")
-        % F.lit(_SAMP3_B)
-    )
-    cnt = (
-        uni.unionByName(big)
-        .select("doc_id", "lang", bucket.alias("bucket"))
-        .groupBy("doc_id", "lang", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    model = (
-        spark.range(_SAMP3_B).withColumnRenamed("id", "bucket")
-        .join(cnt, "bucket", "left")
-        .groupBy("bucket")
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("lang") == "en", F.col("c"))), F.lit(0)
-            ).alias("tc"),
-            F.coalesce(F.sum("c"), F.lit(0)).alias("rc"),
-        )
-    )
-    tot = model.agg(F.sum("tc").alias("tt"), F.sum("rc").alias("rt"))
-    lr = (
-        model.crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            F.round(
-                (
-                    F.log(
-                        (F.col("tc") + 1).cast("double")
-                        / (F.col("tt") + _SAMP3_B).cast("double")
-                    )
-                    - F.log(
-                        (F.col("rc") + 1).cast("double")
-                        / (F.col("rt") + _SAMP3_B).cast("double")
-                    )
-                ) * F.lit(Q30)
-            ).cast("long").alias("lr_q"),
-        )
-    )
-    wgt = (
-        cnt.join(F.broadcast(lr), "bucket")
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("c") * F.col("lr_q")).cast("long").alias("logw_q"))
-    )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("dsir"), F.col("doc_id").cast("string"))),
-                1, 12,
-            ), 16, 10,
-        ).cast("long")
-        + F.lit(0.5)
-    ) / F.lit(_SAMP3_DENOM)
-    logw = F.coalesce(F.col("logw_q"), F.lit(0))
+    lr = dsir_lr_table(d, target_lang="en")
     return (
-        d.join(wgt, "doc_id", "left")
-        .select(
-            "doc_id", "lang",
-            logw.alias("logw_q"),
-            (logw + F.round(-F.log(-F.log(u)) * F.lit(Q30)).cast("long"))
-            .alias("key_q"),
-        )
+        dsir_doc_keys(d, lr)
         .orderBy(F.desc("key_q"), "doc_id")
         .limit(_SAMP3_K)
     )

@@ -997,3 +997,50 @@ def test_streaming_lifecycle_checkpoint_resume_and_replay(
     _, _, _, accepted = _p9_dedup(spark, SF_SMOKE)
     want = sorted(r["doc_id"] for r in accepted.select("doc_id").collect())
     assert ids_resume == want
+
+
+def test_streaming_dsir_selection_matches_batch_samp3(spark, tmp_path):
+    """Gumbel top-k is a mergeable sketch: draining the documents as
+    a stream of micro-batches against the frozen lr model must
+    reproduce the batch samp3 selection bit-for-bit, and a full
+    replay over the same source (simulating checkpoint loss) must be
+    a no-op because per-doc keys are deterministic."""
+    from pyspark.sql import functions as F
+
+    from ae_data_integration_spark.catalog import load_all
+    from ae_data_integration_spark.operators.selection import dsir_lr_table
+    from ae_data_integration_spark.streaming.selection import (
+        dsir_select_stream,
+    )
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    # the offline artifact: fit on the full corpus, materialized so
+    # micro-batches don't re-run the corpus aggregation per epoch
+    lr_df = dsir_lr_table(d, target_lang="en")
+    lr = spark.createDataFrame(lr_df.collect(), lr_df.schema)
+
+    src = str(tmp_path / "src")
+    d.repartition(4).write.parquet(src)
+    state = str(tmp_path / "state")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        dsir_select_stream(stream, lr, state, query_name="t_dsir_stream")
+
+    drain()
+    got1 = sorted(
+        tuple(r) for r in spark.read.parquet(state).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in load_all()["samp3_dsir_select"].fn(spark, SF_SMOKE).collect()
+    )
+    assert got1 == want and len(want) == 50
+
+    drain()  # full replay, no checkpoint: must converge to the same state
+    got2 = sorted(tuple(r) for r in spark.read.parquet(state).collect())
+    assert got2 == got1
