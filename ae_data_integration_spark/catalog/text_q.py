@@ -2296,3 +2296,141 @@ def samp3_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("key_q"), "doc_id")
         .limit(_SAMP3_K)
     )
+
+
+# --- T26: logistic-regression TRAINING in DataFrame ops ----------------------
+# The training half of the fastText-style quality classifier t16 only
+# scores: 3 full-batch gradient-descent iterations of binary logistic
+# regression (y = lang=='en') over hashed token-bucket counts,
+# entirely as DataFrame aggregates — the c1-kmeans discipline applied
+# to a gradient method, with the DuckDB oracle replaying every
+# iteration CTE-for-CTE.
+#
+# Features are binary bucket PRESENCE (the hashed bag binarized):
+# raw counts put feature norms at token-count scale and full-batch GD
+# at eta=0.5 diverges on them (measured); presence bounds the
+# logistic Hessian by B/4, so fixed eta=0.2 descends on every
+# fixture. Exactness: weights live as Q30-scaled BIGINTs, so the
+# per-doc score s_q = sum_{b active} w_qb is an exact integer sum
+# however the rows are partitioned; the sigmoid (the one
+# non-correctly-rounded step) is quantized per doc BEFORE the
+# gradient sums, making the per-bucket gradient
+# g_q = sum_d (p_qd - y_d*Q30) exact too; the update
+# w -= round(eta * g_q / N) is one correctly-rounded double
+# division. Scale shape: the (doc, bucket) count table is
+# built once (one corpus shuffle, map-side combined); each iteration
+# is a broadcast join against the B-row weight table + one doc-keyed
+# agg + one bucket-keyed agg; weights are collected (B rows,
+# model-sized) and re-broadcast — the classic distributed full-batch
+# GD, no vectors ever on the driver beyond B rows.
+
+_T26_ITERS = 3
+_T26_ETA = 0.2
+
+
+def _t26_iter_sql(i: int) -> str:
+    prev = f"w{i-1}"
+    return f"""s{i} AS (
+  SELECT c.doc_id, SUM(w.w_q) AS s_q
+  FROM cnt c JOIN {prev} w USING (bucket) GROUP BY c.doc_id
+),
+p{i} AS (
+  SELECT s.doc_id,
+         CAST(round({Q30} / (1 + exp(-(s.s_q / {Q30}.0)))) AS BIGINT) AS p_q,
+         y.y
+  FROM s{i} s JOIN y USING (doc_id)
+),
+g{i} AS (
+  SELECT c.bucket, SUM(p.p_q - p.y * {Q30}) AS g_q
+  FROM cnt c JOIN p{i} p USING (doc_id) GROUP BY c.bucket
+),
+w{i} AS (
+  SELECT w.bucket,
+         w.w_q - CAST(round({_T26_ETA} * COALESCE(g.g_q, 0) / n.n) AS BIGINT) AS w_q
+  FROM {prev} w LEFT JOIN g{i} g USING (bucket), n
+)"""
+
+
+_T26_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+cnt AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) % {_T16_B} AS bucket
+  FROM tok
+),
+y AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+w0 AS (SELECT unnest(range(0, {_T16_B})) AS bucket, CAST(0 AS BIGINT) AS w_q),
+{','.join(_t26_iter_sql(i) for i in range(1, _T26_ITERS + 1))}
+SELECT bucket, w_q FROM w{_T26_ITERS} ORDER BY bucket
+"""
+
+
+@register("t26_logreg_train", oracle=_T26_SQL,
+          doc="Binary logistic-regression training (y = lang=='en') over "
+              "hashed binary bucket-presence features: 3 full-batch GD "
+              "iterations (eta=0.2) as pure DataFrame aggregates, "
+              "Q30-integer weights/scores, sigmoid quantized per doc "
+              "before gradient sums; oracle replays every iteration "
+              "CTE-for-CTE (the c1 discipline).",
+          tags=("text", "quality", "training"))
+def t26_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.functions.caching import persist_tracked
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("long")
+        % F.lit(_T16_B)
+    )
+    cnt = (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .distinct()
+        .transform(persist_tracked)
+    )
+    y = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("y"),
+    )
+    n_docs = d.count()  # one scalar; the oracle's n CTE
+    w = spark.createDataFrame(
+        [(b, 0) for b in range(_T16_B)], "bucket long, w_q long"
+    )
+    for _ in range(_T26_ITERS):
+        s = (
+            cnt.join(F.broadcast(w), "bucket")
+            .groupBy("doc_id")
+            .agg(F.sum("w_q").alias("s_q"))
+        )
+        p = s.join(y, "doc_id").select(
+            "doc_id",
+            F.round(
+                F.lit(Q30)
+                / (1 + F.exp(-(F.col("s_q") / F.lit(float(Q30)))))
+            ).cast("long").alias("p_q"),
+            "y",
+        )
+        g = (
+            cnt.join(p, "doc_id")
+            .groupBy("bucket")
+            .agg(
+                F.sum(F.col("p_q") - F.col("y") * F.lit(Q30)).alias("g_q")
+            )
+        )
+        w_next = (
+            w.join(g, "bucket", "left")
+            .select(
+                "bucket",
+                (
+                    F.col("w_q")
+                    - F.round(
+                        F.lit(_T26_ETA)
+                        * F.coalesce(F.col("g_q"), F.lit(0))
+                        / F.lit(float(n_docs))
+                    ).cast("long")
+                ).alias("w_q"),
+            )
+        )
+        # materialize: the model is B rows, re-broadcast next iteration
+        w = spark.createDataFrame(w_next.collect(), "bucket long, w_q long")
+    return w.orderBy("bucket")

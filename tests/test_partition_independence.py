@@ -83,6 +83,7 @@ QUERIES = [
     "samp3_dsir_select",         # DSIR Gumbel top-k selection (r11)
     "pipe5c_bloom_gate",         # Bloom runtime-filtered exact dedup (r11)
     "samp4_cluster_balanced",    # per-cluster top-Q tournament (r11)
+    "t26_logreg_train",          # full-batch GD logistic training (r11)
 ]
 
 

@@ -413,3 +413,48 @@ def test_pipe5c_bloom_gate_equals_pipe5_exactly(spark):
     gated = reg["pipe5c_bloom_gate"].fn(spark, SF_CORRECT).collect()
     assert [tuple(r) for r in gated] == [tuple(r) for r in base]
     assert len(base) > 0
+
+
+def test_t26_logreg_training_learns(spark):
+    """GD quality contract for t26: after 3 iterations the learned
+    weights must (a) strictly reduce the logistic loss below the
+    w=0 starting point ln 2, and (b) separate the classes — mean
+    score of en docs above mean score of non-en docs."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ae_data_integration_spark.catalog import load_all
+    from ae_data_integration_spark.functions.portable import Q30
+    from ae_data_integration_spark.functions.text import tokens
+
+    w = {
+        r["bucket"]: r["w_q"]
+        for r in load_all()["t26_logreg_train"].fn(spark, SF_SMOKE).collect()
+    }
+    assert any(v != 0 for v in w.values())
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    tok = d.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("long") % 64
+    )
+    rows = (
+        tok.select("doc_id", "lang", bucket.alias("b")).distinct().collect()
+    )
+    s: dict[int, float] = {}
+    lang: dict[int, str] = {}
+    for r in rows:  # binary presence features, matching the operator
+        s[r["doc_id"]] = s.get(r["doc_id"], 0.0) + w[r["b"]] / Q30
+        lang[r["doc_id"]] = r["lang"]
+    losses, en_scores, other_scores = [], [], []
+    for doc, sc in s.items():
+        p = 1.0 / (1.0 + math.exp(-sc))
+        yd = 1.0 if lang[doc] == "en" else 0.0
+        p = min(max(p, 1e-12), 1 - 1e-12)
+        losses.append(-(yd * math.log(p) + (1 - yd) * math.log(1 - p)))
+        (en_scores if yd else other_scores).append(sc)
+    assert sum(losses) / len(losses) < math.log(2.0)
+    assert sum(en_scores) / len(en_scores) > sum(other_scores) / len(
+        other_scores
+    )
