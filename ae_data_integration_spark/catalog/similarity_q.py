@@ -1215,3 +1215,53 @@ def s6d_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("base")
     )
     return pq_residual_report(spark, e, path, seg)
+
+
+# --- S10: hard-negative mining (contrastive pair curation) -------------------
+# The pair-mining step of contrastive training-data preparation:
+# for each probe, the top-10 corpus vectors by cosine whose LANGUAGE
+# differs from the probe's (labels via the aligned documents row) —
+# nearest lookalikes from the wrong class are the hardest negatives.
+# s1b's fixed 20-probe protocol, so scale growth isolates the labeled
+# corpus scan; the label inequality is fused into the broadcast-join
+# predicate, never a post-scan filter stage.
+
+_S10_SQL = f"""
+WITH e AS (SELECT vec_id, {_V} AS v FROM embeddings),
+lab AS (SELECT doc_id AS vec_id, lang FROM documents),
+el AS (SELECT e.vec_id, e.v, l.lang FROM e JOIN lab l USING (vec_id)),
+q AS (
+  SELECT vec_id AS q_id, v AS qv, lang AS q_lang FROM el
+  WHERE vec_id % 100 = 0 AND vec_id < 2000
+),
+scored AS (
+  SELECT q.q_id, e.vec_id AS n_id, e.lang AS n_lang,
+         {_dotp('q.qv', 'e.v')} / greatest(sqrt({_sq('q.qv')}) * sqrt({_sq('e.v')}), 1e-12) AS cos
+  FROM q JOIN el e ON e.vec_id != q.q_id AND e.lang != q.q_lang
+)
+SELECT q_id, n_id, n_lang, cos, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+  FROM scored
+) WHERE rk <= 10
+ORDER BY q_id, rk
+"""
+
+
+@register("s10_hard_negatives", oracle=_S10_SQL,
+          doc="Contrastive hard-negative mining: per fixed probe, exact "
+              "top-10 cosine neighbors with a DIFFERENT language label "
+              "(labels joined from the aligned documents table); label "
+              "inequality fused into the broadcast-join predicate.",
+          tags=("similarity", "sampling"))
+def s10_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    el = e.join(d, "vec_id")
+    q = el.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
+    return hard_negative_topk(el, q, k=10).orderBy("q_id", "rk")

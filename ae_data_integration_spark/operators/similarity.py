@@ -134,6 +134,56 @@ def brute_force_topk(
     )
 
 
+def hard_negative_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "lang",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k HARD NEGATIVES per query: nearest-by-cosine corpus
+    vectors whose label differs from the query's — the contrastive-
+    pair mining step of a training-data pipeline (same-meaning-
+    different-class lookalikes make the hardest negatives).
+
+    Same plan shape as brute_force_topk: the labeled probe set is
+    broadcast, the labeled corpus scanned once with the label
+    inequality fused into the join predicate (Catalyst evaluates it
+    alongside n_id != q_id — no post-filter pass), then the per-query
+    top-k window (probe-count partitions, bounded)."""
+    d = _vec_dim(emb, vec_col)
+    q = queries.select(
+        F.col(key_col).alias("q_id"),
+        to_double(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_lab"),
+    ).withColumn("q_nrm", l2_norm("q_vec"))
+    c = _widen(
+        emb.select(
+            F.col(key_col).alias("n_id"),
+            to_double(vec_col).alias("n_vec"),
+            F.col(label_col).alias("n_lab"),
+        )
+    ).withColumn("n_nrm", l2_norm("n_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("n_id") != F.col("q_id"))
+            & (F.col("n_lab") != F.col("q_lab"))
+        )
+        .withColumn("cos", _cos_with_norms("q_vec", "n_vec", "q_nrm", "n_nrm", d))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "n_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "q_id", "n_id", F.col("n_lab").alias("n_lang"), "cos",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
 def _plane_component(j: int, d: int, salt: str) -> float:
     """Driver-side twin of md5_unit(f'{j}:{d}', salt) - 0.5.
 

@@ -84,6 +84,7 @@ QUERIES = [
     "pipe5c_bloom_gate",         # Bloom runtime-filtered exact dedup (r11)
     "samp4_cluster_balanced",    # per-cluster top-Q tournament (r11)
     "t26_logreg_train",          # full-batch GD logistic training (r11)
+    "s10_hard_negatives",        # contrastive hard-negative mining (r11)
 ]
 
 

@@ -646,3 +646,12 @@ def test_samp4_topq_has_no_cluster_window(spark):
         assert m.group(1) == "id", f"window partitioned by {m.group(1)}"
     assert "CartesianProduct" not in pa.plan
     pa.no_python_row_udf()
+
+
+def test_s10_hard_negatives_broadcast_probe_and_label_fused(spark):
+    # The labeled probe set broadcasts against the labeled corpus
+    # scan; the label inequality rides the join predicate (one
+    # BroadcastNestedLoopJoin, no extra shuffle of the big side).
+    pa = plan_asserts(_df(spark, "s10_hard_negatives"))
+    pa.has_broadcast_exchange(1).no_python_row_udf()
+    assert "n_lab" in pa.plan and "q_lab" in pa.plan
