@@ -2434,3 +2434,75 @@ def t26_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize: the model is B rows, re-broadcast next iteration
         w = spark.createDataFrame(w_next.collect(), "bucket long, w_q long")
     return w.orderBy("bucket")
+
+
+# --- DQ7: selection-bias audit for importance resampling ----------------------
+# The governance row for samp3 (the dq4/dq5 discipline applied to
+# SELECTION instead of dedup/time): what did the DSIR cut do to the
+# corpus language mixture? Per language: corpus count/share vs
+# selected count/share plus the add-1-smoothed log-odds bias — the
+# number a curation review reads before shipping a selected subset
+# (importance resampling toward an 'en' target SHOULD up-weight en;
+# this row makes the magnitude auditable and alert-able). |langs|
+# rows out at any corpus size; the selection is replayed via the
+# shared samp3 expression and the rollup is two tiny keyed counts +
+# two 1-row broadcasts.
+
+_DQ7_SQL = f"""
+WITH sel AS (SELECT * FROM ({_SAMP3_SQL})),
+c AS (SELECT lang, COUNT(*) AS n_corpus FROM documents GROUP BY lang),
+s AS (SELECT lang, COUNT(*) AS n_sel FROM sel GROUP BY lang),
+t AS (SELECT SUM(n_corpus) AS totc, COUNT(*) AS k FROM c),
+ts AS (SELECT SUM(n_sel) AS tots FROM s)
+SELECT c.lang,
+       CAST(c.n_corpus AS BIGINT) AS n_corpus,
+       c.n_corpus / CAST(t.totc AS DOUBLE) AS share_corpus,
+       CAST(COALESCE(s.n_sel, 0) AS BIGINT) AS n_selected,
+       COALESCE(s.n_sel, 0) / CAST(ts.tots AS DOUBLE) AS share_selected,
+       round(ln(((COALESCE(s.n_sel, 0) + 1) / CAST(ts.tots + t.k AS DOUBLE))
+                / ((c.n_corpus + 1) / CAST(t.totc + t.k AS DOUBLE))), 6)
+         AS bias_log_odds
+FROM c LEFT JOIN s USING (lang) CROSS JOIN t CROSS JOIN ts
+ORDER BY lang
+"""
+
+
+@register("dq7_selection_bias", oracle=_DQ7_SQL,
+          doc="Selection-bias audit: per-language corpus vs DSIR-selected "
+              "mixture with add-1-smoothed log-odds bias (the dq5 drift "
+              "form) — replays samp3 via the shared expression, then two "
+              "lang-keyed counts + two 1-row broadcasts; |langs| rows out.",
+          tags=("text", "sampling", "quality"))
+def dq7_selection_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sel = samp3_dsir_select(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_corpus"))
+    s = sel.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sel"))
+    t = c.agg(
+        F.sum("n_corpus").alias("totc"), F.count(F.lit(1)).alias("k")
+    )
+    ts = s.agg(F.sum("n_sel").alias("tots"))
+    n_sel0 = F.coalesce(F.col("n_sel"), F.lit(0))
+    return (
+        c.join(s, "lang", "left")
+        .crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(ts))
+        .select(
+            "lang",
+            F.col("n_corpus").cast("long").alias("n_corpus"),
+            (F.col("n_corpus") / F.col("totc").cast("double"))
+            .alias("share_corpus"),
+            n_sel0.cast("long").alias("n_selected"),
+            (n_sel0 / F.col("tots").cast("double")).alias("share_selected"),
+            F.round(
+                F.log(
+                    ((n_sel0 + 1) / (F.col("tots") + F.col("k")).cast("double"))
+                    / (
+                        (F.col("n_corpus") + 1)
+                        / (F.col("totc") + F.col("k")).cast("double")
+                    )
+                ), 6,
+            ).alias("bias_log_odds"),
+        )
+        .orderBy("lang")
+    )

@@ -85,6 +85,7 @@ QUERIES = [
     "samp4_cluster_balanced",    # per-cluster top-Q tournament (r11)
     "t26_logreg_train",          # full-batch GD logistic training (r11)
     "s10_hard_negatives",        # contrastive hard-negative mining (r11)
+    "dq7_selection_bias",        # per-lang DSIR selection audit (r11)
 ]
 
 
