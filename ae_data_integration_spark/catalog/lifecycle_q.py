@@ -288,7 +288,7 @@ def ensure_corpus_index(spark: SparkSession, sf_dir: str) -> str:
     """The pipe9 corpus PQ index (own 'pq9' salt — never the shared
     s6i artifact), built once per (params, corpus fingerprint)."""
     from ae_data_integration_spark.operators.ann_index import (
-        _done,
+        _build_once,
         build_pq_index,
         index_dir,
     )
@@ -298,9 +298,10 @@ def ensure_corpus_index(spark: SparkSession, sf_dir: str) -> str:
     params = {"kind": "pq", "m": _S6_M, "k": _S6_K, "salt": _P9_SALT,
               "train": "mod5"}
     path = index_dir(base, "pq", params)
-    if not _done(path):
-        build_pq_index(base, path, m=_S6_M, k=_S6_K, salt=_P9_SALT)
-    return path
+    return _build_once(
+        path, lambda p: build_pq_index(base, p, m=_S6_M, k=_S6_K,
+                                       salt=_P9_SALT)
+    )
 
 
 def _p9_serve_hits(

@@ -1013,7 +1013,7 @@ _S6I_PRED = "id % 5 != 0"
           tags=("similarity",))
 def s6i_pq_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ae_data_integration_spark.operators.ann_index import (
-        _done,
+        _build_once,
         append_to_pq_index,
         build_pq_index,
         index_dir,
@@ -1026,8 +1026,8 @@ def s6i_pq_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     params = {"kind": "pq", "m": _S6_M, "k": _S6_K, "salt": "pqi",
               "train": "mod5"}
     path = index_dir(base, "pq", params)
-    if not _done(path):
-        build_pq_index(base, path, m=_S6_M, k=_S6_K, salt="pqi")
+    _build_once(path, lambda p: build_pq_index(base, p, m=_S6_M, k=_S6_K,
+                                               salt="pqi"))
     append_to_pq_index(batch, path, tag="mod5batch")
     q = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
     return pq_serve_topk(
@@ -1056,7 +1056,7 @@ def s6i_pq_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
           tags=("similarity",))
 def s7i_ivfpq_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ae_data_integration_spark.operators.ann_index import (
-        _done,
+        _build_once,
         append_to_ivfpq_index,
         build_ivfpq_index,
         index_dir,
@@ -1069,10 +1069,9 @@ def s7i_ivfpq_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     params = {"kind": "ivfpq", "k_coarse": _S7_KC, "m": _S7_M, "k": _S7_K,
               "salt": "ivfpqi", "train": "mod5"}
     path = index_dir(base, "ivfpq", params)
-    if not _done(path):
-        build_ivfpq_index(
-            base, path, k_coarse=_S7_KC, m=_S7_M, k=_S7_K, salt="ivfpqi"
-        )
+    _build_once(path, lambda p: build_ivfpq_index(
+        base, p, k_coarse=_S7_KC, m=_S7_M, k=_S7_K, salt="ivfpqi"
+    ))
     append_to_ivfpq_index(batch, path, tag="mod5batch")
     q = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
     return ivfpq_serve_topk(
@@ -1196,7 +1195,7 @@ def pq_residual_report(
           tags=("similarity", "quality"))
 def s6d_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ae_data_integration_spark.operators.ann_index import (
-        _done,
+        _build_once,
         append_to_pq_index,
         build_pq_index,
         index_dir,
@@ -1208,8 +1207,8 @@ def s6d_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     params = {"kind": "pq", "m": _S6_M, "k": _S6_K, "salt": "pqi",
               "train": "mod5"}
     path = index_dir(base, "pq", params)
-    if not _done(path):
-        build_pq_index(base, path, m=_S6_M, k=_S6_K, salt="pqi")
+    _build_once(path, lambda p: build_pq_index(base, p, m=_S6_M, k=_S6_K,
+                                               salt="pqi"))
     append_to_pq_index(batch, path, tag="mod5batch")
     seg = F.when(F.col("id") % 5 == 0, F.lit("appended")).otherwise(
         F.lit("base")

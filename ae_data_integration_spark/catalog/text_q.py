@@ -2201,6 +2201,31 @@ def t25q_kn5_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t23_bucketize(kn_serve_scored(toks, path, "t"))
 
 
+@register("t25k_kn5_keyed", oracle=_T25_SQL,
+          doc="t25q on the FORCED keyed-join plan: every gram/context "
+              "table attaches by a merge-hinted (ctx, w)-keyed join "
+              "instead of a broadcast (bcast_max_bytes=0) — the "
+              "web-vocab CCNet shape where the 5-gram table is "
+              "corpus-scale and must never visit the driver. Same "
+              "stored artifact and oracle as t25q, so the value hash "
+              "proves the keyed plan bit-equals the broadcast plan.",
+          tags=("text", "quality"))
+def t25k_kn5_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.lm import (
+        ensure_kn_lm,
+        kn_serve_scored,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", tokens("text").alias("t"))
+    path = ensure_kn_lm(
+        toks, "t", train_filter=(F.col("lang") == "en"), v=_T23_V, salt="t25"
+    )
+    return _t23_bucketize(
+        kn_serve_scored(toks, path, "t", bcast_max_bytes=0)
+    )
+
+
 # --- SAMP3: DSIR importance-resampling selection -----------------------------
 # Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
 # pick raw-corpus documents whose hashed-n-gram distribution looks

@@ -92,6 +92,51 @@ def _done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_DONE"))
 
 
+def _build_once(path: str, build_fn) -> str:
+    """Concurrent-writer discipline for the content-addressed artifact
+    stores (PQ/IVF-PQ indexes, bigram/KN LMs): build into a PRIVATE
+    tmp dir, then publish with ONE atomic ``os.rename`` — the
+    ``_serveset.json`` tmp+rename discipline generalized to whole
+    artifacts.
+
+    Two sessions racing ``if not _done(path): build(path)`` would
+    interleave partial parquet writes under the same directory (the
+    driver-sim and engine parity sessions already run concurrently);
+    here each racer builds its own ``<path>.build-<pid>-<rand>`` and
+    the first rename wins. Because every build is deterministic and
+    the dir is content-addressed, the loser's artifact is
+    bit-identical — it just gets discarded. A leftover dir WITHOUT a
+    ``_DONE`` marker under the target name (a crashed legacy build)
+    is swept and the rename retried; losing that retry is fine iff
+    the winner finished (``_done``).
+    """
+    import shutil
+    import uuid
+
+    if _done(path):
+        return path
+    tmp = f"{path}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    build_fn(tmp)
+    if not _done(tmp):
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(f"artifact build for {path} left no _DONE marker")
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        if _done(path):  # lost the race to an identical artifact
+            shutil.rmtree(tmp, ignore_errors=True)
+            return path
+        # target occupied by a torn legacy build: sweep, retry once
+        shutil.rmtree(path, ignore_errors=True)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            if not _done(path):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
 def _finish(path: str, params: dict) -> None:
     with open(os.path.join(path, "meta.json"), "w") as fh:
         json.dump(params, fh, indent=1, sort_keys=True)
@@ -179,9 +224,10 @@ def ensure_pq_index(
 ) -> str:
     params = {"kind": "pq", "m": m, "k": k, "salt": salt}
     path = index_dir(emb, "pq", params)
-    if not _done(path):
-        build_pq_index(emb, path, key_col, vec_col, m=m, k=k, salt=salt)
-    return path
+    return _build_once(
+        path,
+        lambda p: build_pq_index(emb, p, key_col, vec_col, m=m, k=k, salt=salt),
+    )
 
 
 def ensure_ivfpq_index(
@@ -195,11 +241,12 @@ def ensure_ivfpq_index(
 ) -> str:
     params = {"kind": "ivfpq", "k_coarse": k_coarse, "m": m, "k": k, "salt": salt}
     path = index_dir(emb, "ivfpq", params)
-    if not _done(path):
-        build_ivfpq_index(
-            emb, path, key_col, vec_col, k_coarse=k_coarse, m=m, k=k, salt=salt
-        )
-    return path
+    return _build_once(
+        path,
+        lambda p: build_ivfpq_index(
+            emb, p, key_col, vec_col, k_coarse=k_coarse, m=m, k=k, salt=salt
+        ),
+    )
 
 
 def pq_serve_topk(
@@ -334,6 +381,25 @@ def _register_increment(path: str, name: str) -> None:
         _write_serveset(path, [*names, name])
 
 
+def remove_increment(path: str, name: str) -> None:
+    """Drop an increment from the served set and from disk: manifest
+    flip first (atomic rename), then rmtree — a crash in between
+    leaves only an unreferenced garbage dir that the next compaction
+    sweeps. Used by the streaming lifecycle's stale-epoch sweep
+    (a replay after checkpoint loss that re-homes docs into FEWER
+    epochs must retire the higher-numbered increments the original
+    run wrote)."""
+    import shutil
+
+    manifest = os.path.join(path, "_serveset.json")
+    if os.path.exists(manifest):
+        with open(manifest) as fh:
+            names = json.load(fh)
+        if name in names:
+            _write_serveset(path, [n for n in names if n != name])
+    shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+
+
 def append_to_pq_index(
     emb_batch: DataFrame,
     path: str,
@@ -388,18 +454,23 @@ def compact_pq_index(spark, path: str) -> int:
     Semantics-free by construction: serving scans the UNION of code
     dirs, so rewriting that union as one table changes nothing the
     query sees (tested by frame equality in tests). Crash-safe by a
-    single atomic commit point: the merged union is written to a NEW
-    versioned dir (``base_v<n>`` — a name the pre-manifest glob never
-    matches, so a half-written merge is unreachable), folded tags are
-    recorded in ``_merged_tags.json``, and then ONE ``os.replace`` of
-    the serve-set manifest flips serving from {old set} to
-    {base_v<n>}. A crash before the flip serves the old layout fully
-    intact; a crash after the flip serves exactly the merged table
-    (cleanup of the now-unreferenced old dirs is the only deferred
-    work, re-done harmlessly by the next compaction). Recording
-    folded tags makes append_to_pq_index treat a compact-then-retry
-    of the same tag as a no-op instead of re-introducing (and
-    duplicating) the batch. Returns the number of increments merged.
+    single atomic commit point: a PRE-MANIFEST index is first given a
+    manifest naming its CURRENT serve set (so from here on the
+    manifest — updated only by atomic rename — is the ONLY thing that
+    decides what serves, and no intermediate file write can shift the
+    served set), then the merged union is written to a NEW versioned
+    dir (``base_v<n>``), folded tags are recorded in
+    ``_merged_tags.json``, and then ONE ``os.replace`` of the
+    manifest flips serving from {old set} to {base_v<n>}. A crash
+    anywhere before the flip serves the old layout fully intact
+    (``_merged_tags.json`` timing is harmless: with a manifest
+    present, serving never consults the tags); a crash after the flip
+    serves exactly the merged table (cleanup of the now-unreferenced
+    old dirs is the only deferred work, re-done harmlessly by the
+    next compaction). Recording folded tags makes append_to_pq_index
+    treat a compact-then-retry of the same tag as a no-op instead of
+    re-introducing (and duplicating) the batch. Returns the number of
+    increments merged.
     """
     import glob as _glob
     import shutil
@@ -420,6 +491,14 @@ def compact_pq_index(spark, path: str) -> int:
             and os.path.basename(d) != "codes"]
     if not incs:
         return 0
+    if not os.path.exists(os.path.join(path, "_serveset.json")):
+        # pre-manifest index: pin the CURRENT serve set before any
+        # other state change. Without this, a crash in the window
+        # after _merged_tags.json lands but before the manifest flip
+        # would send serving back to the glob fallback, which skips
+        # the (now merged-tagged) increments while the versioned base
+        # is still unreachable — silently dropping those vectors.
+        _write_serveset(path, [os.path.basename(d) for d in dirs])
     existing_v = [
         int(os.path.basename(d)[len("base_v"):])
         for d in dirs

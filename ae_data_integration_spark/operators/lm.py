@@ -178,8 +178,13 @@ def ensure_lm(docs: DataFrame, arr_col: str = "t", train_filter=None,
     documents with different reference slices must not content-address
     to the same directory (the second caller would silently be served
     the first caller's artifact). ``train_filter`` is keyed by its
-    expression text — stable for a given Column expression."""
-    from ae_data_integration_spark.operators.ann_index import _done
+    expression text — stable for a given Column expression.
+
+    Concurrent-writer safe: the build lands in a private tmp dir and
+    is published by one atomic rename (ann_index._build_once), so two
+    sessions racing the same content address produce exactly one
+    artifact — bit-identical whichever racer wins."""
+    from ae_data_integration_spark.operators.ann_index import _build_once
 
     train_key = "" if train_filter is None else str(train_filter)
     path = lm_dir(
@@ -192,9 +197,9 @@ def ensure_lm(docs: DataFrame, arr_col: str = "t", train_filter=None,
             "train": train_key,
         },
     )
-    if not _done(path):
-        build_lm(docs, path, arr_col, train_filter, v)
-    return path
+    return _build_once(
+        path, lambda p: build_lm(docs, p, arr_col, train_filter, v)
+    )
 
 
 def lm_serve_scored(
@@ -325,41 +330,64 @@ def _maybe_broadcast(df: DataFrame, max_bytes: int = 128 * 1024 * 1024):
     bounded — the jaccard_verify/persist_tracked_if_small rule. The
     KN gram tables are ~10^4 rows on the fixtures and on vocab-mapped
     synthetic corpora, but a web-scale 5-gram table grows with the
-    corpus; above the threshold the attach falls back to a plain
-    (ctx, w)-keyed shuffle join — identical results, no broadcast OOM."""
+    corpus; above the threshold the attach falls back to a MERGE-
+    hinted (ctx, w)-keyed join — identical results, no broadcast OOM.
+    The merge hint matters: without it the planner's own estimate
+    (often below autoBroadcastJoinThreshold when stats are stale)
+    could re-introduce the broadcast this function just ruled out;
+    sort-merge is the one strategy that never materializes a side.
+    ``max_bytes=0`` therefore FORCES the keyed plan outright."""
+    if max_bytes <= 0:
+        return df.hint("merge")
     try:
         est = int(str(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         ))
     except Exception:  # noqa: BLE001 - stats are an optimization only
         return df  # unknown size: let the planner decide
-    return F.broadcast(df) if est <= max_bytes else df
+    return F.broadcast(df) if est <= max_bytes else df.hint("merge")
 
 
 def kn_score(
     grams: DataFrame, model: dict[str, DataFrame], v: int,
     key: str = "doc_id",
+    bcast_max_bytes: int = 128 * 1024 * 1024,
 ) -> DataFrame:
     """(key, n_tok, avg_nll) under the interpolated KN model — model
     tables attached by size-adaptive broadcast, probability assembled
     bottom-up in one expression tree (bit-identical on any engine),
-    -ln Q30-quantized per token before the doc sum."""
+    -ln Q30-quantized per token before the doc sum.
+
+    ``bcast_max_bytes`` is the size-adaptive switch: a gram/context
+    table whose Catalyst size estimate exceeds it attaches by a plain
+    (ctx, w)-keyed shuffle join instead of a broadcast — the
+    production CCNet shape, where a web-vocab 5-gram table is
+    corpus-scale and must never visit the driver. Pass 0 to FORCE the
+    keyed plan (the t25k parity row: identical values, no broadcast
+    anywhere on the gram attaches — proven by the shared t25 oracle
+    hash). The probability expression is attach-strategy-independent,
+    so both plans are bit-equal by construction."""
     d_ = F.lit(KN_D)
     j = grams
-    j = j.join(_maybe_broadcast(model["g5"].withColumnRenamed("c", "c5")),
+    j = j.join(_maybe_broadcast(model["g5"].withColumnRenamed("c", "c5"),
+                                bcast_max_bytes),
                ["p4", "p3", "p2", "p1", "cur"], "left")
-    j = j.join(_maybe_broadcast(model["g4"].withColumnRenamed("c", "c4")),
+    j = j.join(_maybe_broadcast(model["g4"].withColumnRenamed("c", "c4"),
+                                bcast_max_bytes),
                ["p3", "p2", "p1", "cur"], "left")
-    j = j.join(_maybe_broadcast(model["g3"].withColumnRenamed("c", "c3")),
+    j = j.join(_maybe_broadcast(model["g3"].withColumnRenamed("c", "c3"),
+                                bcast_max_bytes),
                ["p2", "p1", "cur"], "left")
-    j = j.join(_maybe_broadcast(model["g2"].withColumnRenamed("c", "c2")),
+    j = j.join(_maybe_broadcast(model["g2"].withColumnRenamed("c", "c2"),
+                                bcast_max_bytes),
                ["p1", "cur"], "left")
-    j = j.join(_maybe_broadcast(model["g1"].withColumnRenamed("c", "c1")),
+    j = j.join(_maybe_broadcast(model["g1"].withColumnRenamed("c", "c1"),
+                                bcast_max_bytes),
                ["cur"], "left")
     for k, cols in (("t5", ["p4", "p3", "p2", "p1"]), ("t4", ["p3", "p2", "p1"]),
                     ("t3", ["p2", "p1"]), ("t2", ["p1"])):
         t = model[k].withColumnsRenamed({"tot": f"tot{k[1]}", "d": f"d{k[1]}"})
-        j = j.join(_maybe_broadcast(t), cols, "left")
+        j = j.join(_maybe_broadcast(t, bcast_max_bytes), cols, "left")
     t1 = model["t1"].withColumnsRenamed({"tot": "tot1", "d": "d1"})
     j = j.crossJoin(F.broadcast(t1))
 
@@ -416,8 +444,9 @@ def build_kn_lm(
 def ensure_kn_lm(docs: DataFrame, arr_col: str = "t", train_filter=None,
                  v: int = 64, salt: str = "") -> str:
     """Build-once KN artifact (the ensure_lm cache-key discipline,
-    training slice and token column in the key)."""
-    from ae_data_integration_spark.operators.ann_index import _done
+    training slice and token column in the key; concurrent-writer
+    safe via ann_index._build_once tmp+rename)."""
+    from ae_data_integration_spark.operators.ann_index import _build_once
 
     train_key = "" if train_filter is None else str(train_filter)
     path = lm_dir(
@@ -425,15 +454,18 @@ def ensure_kn_lm(docs: DataFrame, arr_col: str = "t", train_filter=None,
         {"v": v, "salt": salt, "kind": "kn5_lm", "arr_col": arr_col,
          "train": train_key},
     )
-    if not _done(path):
-        build_kn_lm(docs, path, arr_col, train_filter, v)
-    return path
+    return _build_once(
+        path, lambda p: build_kn_lm(docs, p, arr_col, train_filter, v)
+    )
 
 
 def kn_serve_scored(
-    docs: DataFrame, path: str, arr_col: str = "t", key: str = "doc_id"
+    docs: DataFrame, path: str, arr_col: str = "t", key: str = "doc_id",
+    bcast_max_bytes: int = 128 * 1024 * 1024,
 ) -> DataFrame:
-    """(key, n_tok, avg_nll) scored against the STORED KN artifact."""
+    """(key, n_tok, avg_nll) scored against the STORED KN artifact.
+    ``bcast_max_bytes`` threads through to kn_score's size-adaptive
+    gram-table attach (0 forces the keyed merge-join plan)."""
     import json
     import os
 
@@ -449,4 +481,4 @@ def kn_serve_scored(
         for name in ("g5", "g4", "g3", "g2", "g1", "t5", "t4", "t3", "t2", "t1")
     }
     grams = kn_ngram_pairs(docs, vocab, arr_col, keep=(key,))
-    return kn_score(grams, model, v, key)
+    return kn_score(grams, model, v, key, bcast_max_bytes=bcast_max_bytes)

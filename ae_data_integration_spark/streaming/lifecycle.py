@@ -29,12 +29,67 @@ the codes increment) is written mode="overwrite" under an epoch-tagged
 name, so a replayed epoch rewrites the same deterministic content
 instead of duplicating — the ann_ingest discipline extended to the
 document sinks.
+
+Replay after checkpoint loss (ADVICE r11 #3): overwrite-idempotence
+only covers epoch ids the replay REACHES. A full-source replay whose
+reader options batch the files differently (e.g. maxFilesPerTrigger
+absent where the original run had =1) re-homes every doc into FEWER
+epochs, leaving the original run's higher-numbered accepted/b<N>,
+drops/b<N> dirs and codes_b<N> index increments stale — duplicated
+docs in the post-drain unions and the served index. The drain
+therefore tracks the epoch ids it actually ran and, on completion,
+SWEEPS per-epoch artifacts above its own max epoch (manifest flip
+before rmtree for index increments, ann_index.remove_increment). A
+stale tag that was already COMPACTED into the index base cannot be
+unmerged — that layout raises loudly and requires an index rebuild
+(compact-then-lose-checkpoint-then-replay-smaller is a rebuild, not
+a sweep). A drain that processes zero batches sweeps nothing: a
+resume with no new files has nothing stale by construction, and an
+empty-source replay has no epoch range to sweep against.
 """
 
 from __future__ import annotations
 
+import glob
+import os
+import re
+import shutil
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_EPOCH_PAT = re.compile(r"^b(\d+)$")
+
+
+def _sweep_stale_epochs(out_dir: str, index_path: str, max_epoch: int) -> None:
+    """Retire per-epoch artifacts with epoch ids ABOVE the finished
+    drain's range — the stale leftovers of a replay that re-homed the
+    source into fewer epochs (see module docstring)."""
+    from ae_data_integration_spark.operators.ann_index import (
+        _merged_tags,
+        remove_increment,
+    )
+
+    for sub in ("accepted", "drops"):
+        for d in glob.glob(os.path.join(out_dir, sub, "b*")):
+            m = _EPOCH_PAT.match(os.path.basename(d))
+            if m and int(m.group(1)) > max_epoch:
+                shutil.rmtree(d, ignore_errors=True)
+    stale_merged = [
+        t for t in _merged_tags(index_path)
+        if (m := _EPOCH_PAT.match(t)) and int(m.group(1)) > max_epoch
+    ]
+    if stale_merged:
+        raise RuntimeError(
+            f"stale epoch tags {stale_merged} were already compacted into "
+            f"the index base at {index_path} and cannot be swept — rebuild "
+            "the index before serving this replayed drain"
+        )
+    for d in glob.glob(os.path.join(index_path, "codes_b*")):
+        name = os.path.basename(d)
+        m = _EPOCH_PAT.match(name[len("codes_"):])
+        if m and int(m.group(1)) > max_epoch:
+            remove_increment(index_path, name)
 
 
 def ingest_stream_to_lifecycle(
@@ -69,7 +124,10 @@ def ingest_stream_to_lifecycle(
     sh_c = doc_shingles(corpus, "doc_id", "text", k=5, spread=True)
     bb = lsh_band_table(sh_c, 16, 2).persist()
 
+    seen_epochs: list[int] = []
+
     def write_batch(bdf: DataFrame, epoch_id: int) -> None:
+        seen_epochs.append(int(epoch_id))
         # deliberately NO empty-batch early return: a replay after
         # checkpoint loss may map files to different epoch ids, and an
         # epoch that becomes empty must OVERWRITE (clear) its possibly
@@ -138,4 +196,6 @@ def ingest_stream_to_lifecycle(
     finally:
         corpus_fp.unpersist()
         bb.unpersist()
+    if seen_epochs:
+        _sweep_stale_epochs(out_dir, index_path, max(seen_epochs))
     return q

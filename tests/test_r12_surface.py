@@ -1,0 +1,369 @@
+"""Round-12 surface: regression pins for the round-11 advisor
+findings (ADVICE.md) and the r12 judge tasks — the compaction
+tags-written/manifest-missing crash window, concurrent-writer
+atomicity for the content-addressed artifact stores, and the
+streaming lifecycle's stale-epoch sweep after a replay that re-homes
+the source into fewer epochs."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+# --- compaction: the tags-written / manifest-missing window -------------------
+
+
+def _pq_index(spark, tmp_path, monkeypatch):
+    from ae_data_integration_spark.catalog import similarity_q as sq
+    from ae_data_integration_spark.operators.ann_index import (
+        append_to_pq_index,
+        build_pq_index,
+        index_dir,
+    )
+    from ae_data_integration_spark.tables import table
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "ann"))
+    e = table(spark, SF_SMOKE, "embeddings")
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    batch = e.filter(F.col("vec_id") % 5 == 0)
+    params = {"kind": "pq", "m": sq._S6_M, "k": sq._S6_K, "salt": "pqi",
+              "train": "mod5"}
+    path = index_dir(base, "pq", params)
+    build_pq_index(base, path, m=sq._S6_M, k=sq._S6_K, salt="pqi")
+    append_to_pq_index(batch, path, tag="b1")
+    return e, base, batch, path
+
+
+def test_compaction_crash_after_tags_before_flip_serves_old_layout(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11 #1: on a PRE-MANIFEST index, a crash in the window
+    after _merged_tags.json lands but before the manifest flip used to
+    send serving back to the glob fallback — which skipped the
+    (merged-tagged) increments while base_v* stayed unreachable,
+    silently dropping the appended vectors forever. The fix seeds the
+    manifest with the CURRENT serve set before any other compaction
+    state change, so the flip is the only behavior switch."""
+    import ae_data_integration_spark.operators.ann_index as ai
+
+    e, _, _, path = _pq_index(spark, tmp_path, monkeypatch)
+    dirs0 = ai._code_dirs(path)
+    assert [os.path.basename(d) for d in dirs0] == ["codes", "codes_b1"]
+
+    real_write = ai._write_serveset
+
+    def crash_on_flip(p, names):
+        if any(n.startswith("base_v") for n in names):
+            raise RuntimeError("simulated crash at the commit point")
+        real_write(p, names)
+
+    monkeypatch.setattr(ai, "_write_serveset", crash_on_flip)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ai.compact_pq_index(spark, path)
+    monkeypatch.setattr(ai, "_write_serveset", real_write)
+
+    # the crash window on disk: seeded manifest + merged base +
+    # merged tags, flip never happened
+    assert os.path.exists(os.path.join(path, "base_v0001"))
+    assert ai._merged_tags(path) == ["b1"]
+    with open(os.path.join(path, "_serveset.json")) as fh:
+        assert json.load(fh) == ["codes", "codes_b1"]
+
+    # serving still sees the FULL old layout — the increment's vectors
+    # are not dropped despite the recorded merged tag
+    assert ai._code_dirs(path) == dirs0
+    union = spark.read.parquet(*ai._code_dirs(path))
+    assert union.select("id").distinct().count() == e.count()
+
+    # a retried compaction completes: increments are still referenced
+    # by the seeded manifest, so it re-merges and flips for real
+    assert ai.compact_pq_index(spark, path) == 1
+    assert [os.path.basename(d) for d in ai._code_dirs(path)] == ["base_v0001"]
+    union = spark.read.parquet(*ai._code_dirs(path))
+    assert union.select("id").distinct().count() == union.count() == e.count()
+
+
+# --- artifact stores: concurrent-writer atomicity ------------------------------
+
+
+def test_build_once_racing_builders_one_artifact(tmp_path):
+    """Two builders racing the same content-addressed path must
+    produce exactly ONE published artifact (bit-identical whichever
+    racer wins) and leave no tmp debris. The barrier forces both
+    builds to fully complete before either attempts the rename — the
+    worst-case interleaving."""
+    from ae_data_integration_spark.operators.ann_index import _build_once
+
+    target = str(tmp_path / "art")
+    barrier = threading.Barrier(2)
+    results, errors = [], []
+
+    def build(p):
+        os.makedirs(p)
+        with open(os.path.join(p, "data.txt"), "w") as fh:
+            fh.write("deterministic-content\n")
+        with open(os.path.join(p, "_DONE"), "w") as fh:
+            fh.write("ok\n")
+        barrier.wait(timeout=30)
+
+    def run():
+        try:
+            results.append(_build_once(target, build))
+        except Exception as exc:  # noqa: BLE001 - assert below
+            errors.append(exc)
+
+    ts = [threading.Thread(target=run) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=60)
+    assert not errors
+    assert results == [target, target]
+    assert os.path.exists(os.path.join(target, "_DONE"))
+    with open(os.path.join(target, "data.txt")) as fh:
+        assert fh.read() == "deterministic-content\n"
+    # the loser's tmp dir was discarded; nothing else remains
+    assert sorted(os.listdir(tmp_path)) == ["art"]
+
+
+def test_build_once_sweeps_torn_legacy_dir(tmp_path):
+    """A leftover partial dir WITHOUT a _DONE marker under the target
+    name (a crashed pre-_build_once build) is swept and replaced by
+    the fresh publish."""
+    from ae_data_integration_spark.operators.ann_index import _build_once
+
+    target = str(tmp_path / "art")
+    os.makedirs(target)
+    with open(os.path.join(target, "partial.txt"), "w") as fh:
+        fh.write("torn\n")
+
+    def build(p):
+        os.makedirs(p)
+        with open(os.path.join(p, "data.txt"), "w") as fh:
+            fh.write("good\n")
+        with open(os.path.join(p, "_DONE"), "w") as fh:
+            fh.write("ok\n")
+
+    assert _build_once(target, build) == target
+    assert os.path.exists(os.path.join(target, "_DONE"))
+    assert not os.path.exists(os.path.join(target, "partial.txt"))
+
+
+def test_build_once_requires_done_marker(tmp_path):
+    """A build that forgets the _DONE marker must fail loudly, never
+    publish — the marker is what every reader checks."""
+    from ae_data_integration_spark.operators.ann_index import _build_once
+
+    target = str(tmp_path / "art")
+
+    def bad_build(p):
+        os.makedirs(p)
+
+    with pytest.raises(RuntimeError, match="_DONE"):
+        _build_once(target, bad_build)
+    assert not os.path.exists(target)
+    assert os.listdir(tmp_path) == []
+
+
+def test_ensure_lm_concurrent_racers_single_artifact(
+    spark, tmp_path, monkeypatch
+):
+    """The real ensure_lm under two concurrent sessions (threads
+    sharing the JVM — the record_parity.py driver-sim/engine overlap
+    shape): both must return the SAME path, the artifact must carry
+    _DONE, and scoring against it must work. Build-to-tmp + atomic
+    rename means partial parquet writes can never interleave under
+    the published directory."""
+    from ae_data_integration_spark.operators.lm import ensure_lm, lm_serve_scored
+    from ae_data_integration_spark.tables import table
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "ann"))
+    toks = table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", F.split(F.lower("text"), r"\s+").alias("t")
+    )
+    paths, errors = [], []
+
+    def run():
+        try:
+            paths.append(
+                ensure_lm(toks, "t", train_filter=(F.col("lang") == "en"),
+                          v=16, salt="race")
+            )
+        except Exception as exc:  # noqa: BLE001 - assert below
+            errors.append(exc)
+
+    ts = [threading.Thread(target=run) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errors
+    assert len(set(paths)) == 1
+    path = paths[0]
+    assert os.path.exists(os.path.join(path, "_DONE"))
+    # no abandoned tmp build dirs beside the artifact
+    assert not glob.glob(f"{path}.build-*")
+    scored = lm_serve_scored(toks, path, "t")
+    assert scored.count() == toks.count()
+
+
+# --- kn: the forced keyed-join gram-table attach -------------------------------
+
+
+def test_t25k_forced_keyed_plan_attaches_grams_without_broadcast(
+    spark, tmp_path, monkeypatch
+):
+    """The written-but-never-run branch r11 flagged: with
+    bcast_max_bytes=0, EVERY gram/context attach must be a merge-
+    hinted keyed join — zero BroadcastHashJoin in the scoring plan
+    (the 1-row t1 scalar still crosses via a broadcast nested loop,
+    which is not a hash-join of a gram table). Value equality with
+    the broadcast plan is proven separately by the shared t25 oracle
+    (t25k parity) — this pins the PHYSICAL strategy."""
+    from ae_data_integration_spark.operators.lm import (
+        ensure_kn_lm,
+        kn_serve_scored,
+    )
+    from ae_data_integration_spark.plans.explain import plan_asserts
+    from ae_data_integration_spark.tables import table
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "ann"))
+    toks = table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", F.split(F.lower("text"), r"\s+").alias("t")
+    )
+    path = ensure_kn_lm(
+        toks, "t", train_filter=(F.col("lang") == "en"), v=16, salt="t25k"
+    )
+    keyed = kn_serve_scored(toks, path, "t", bcast_max_bytes=0)
+    plan = plan_asserts(keyed).plan
+    assert "BroadcastHashJoin" not in plan
+    assert plan.count("SortMergeJoin") >= 9  # 5 gram + 4 context attaches
+    # and the default path on the same artifact still broadcasts
+    bcast = kn_serve_scored(toks, path, "t")
+    assert "SortMergeJoin" not in plan_asserts(bcast).plan
+    # both plans score to identical rows (the oracle proves this at
+    # parity scale; pin it here at smoke scale too)
+    a = sorted(map(tuple, keyed.collect()))
+    b = sorted(map(tuple, bcast.collect()))
+    assert a == b
+
+
+# --- streaming lifecycle: stale-epoch sweep ------------------------------------
+
+
+def _lifecycle_fixture(spark, tmp_path, monkeypatch):
+    from ae_data_integration_spark.catalog.lifecycle_q import _P9_SALT
+    from ae_data_integration_spark.operators.ann_index import (
+        build_pq_index,
+        index_dir,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "ann"))
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    base_e = e.filter(F.col("vec_id") % 5 != 0)
+    p = index_dir(base_e, "pq", {"salt": _P9_SALT, "leg": "sweep"})
+    build_pq_index(base_e, p, m=8, k=32, salt=_P9_SALT)
+    src = str(tmp_path / "doc_src")
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+    return d, e, corpus, batch, base_e, p, src
+
+
+def test_lifecycle_replay_with_fewer_epochs_sweeps_stale_artifacts(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11 #3: a replay after TOTAL checkpoint loss whose
+    reader batches the source into FEWER epochs (maxFilesPerTrigger
+    dropped) re-homes every doc into low epoch ids; the original
+    drain's higher-numbered accepted/drops dirs and codes_b*
+    increments are stale and must be SWEPT, or the post-drain unions
+    and the served index double-count those docs."""
+    from ae_data_integration_spark.operators.ann_index import _code_dirs
+    from ae_data_integration_spark.streaming.lifecycle import (
+        ingest_stream_to_lifecycle,
+    )
+
+    d, e, corpus, batch, base_e, p, src = _lifecycle_fixture(
+        spark, tmp_path, monkeypatch
+    )
+    out = str(tmp_path / "out")
+
+    def drain(ckpt, max_files):
+        r = spark.readStream.schema(d.schema)
+        if max_files:
+            r = r.option("maxFilesPerTrigger", 1)
+        ingest_stream_to_lifecycle(
+            r.parquet(src), corpus, e, out, p,
+            query_name="t_lc_sweep", checkpoint_dir=ckpt,
+        )
+
+    # original run: one epoch per file (4 epochs)
+    drain(str(tmp_path / "ckpt1"), max_files=True)
+    n1 = len(glob.glob(f"{out}/accepted/b*"))
+    assert n1 >= 2
+    acc_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/accepted/b*").collect()
+    )
+
+    # checkpoint lost; replay batches ALL files into epoch 0
+    drain(str(tmp_path / "ckpt2"), max_files=False)
+    # stale epoch dirs above the replay's max epoch are gone
+    assert glob.glob(f"{out}/accepted/b*") == [f"{out}/accepted/b0"]
+    assert glob.glob(f"{out}/drops/b*") == [f"{out}/drops/b0"]
+    assert [os.path.basename(x) for x in _code_dirs(p)] == [
+        "codes", "codes_b0"
+    ]
+    # and the surviving epoch-0 artifacts carry the WHOLE batch:
+    # unions identical to the original drain, index still exact
+    acc_ids2 = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/accepted/b*").collect()
+    )
+    assert acc_ids2 == acc_ids
+    union = spark.read.parquet(*_code_dirs(p))
+    n_expected = base_e.count() + len(acc_ids)
+    assert union.count() == n_expected
+    assert union.select("id").distinct().count() == n_expected
+
+
+def test_lifecycle_sweep_raises_when_stale_tag_was_compacted(
+    spark, tmp_path, monkeypatch
+):
+    """A stale epoch tag already folded into the index base cannot be
+    unmerged — compact-then-lose-checkpoint-then-replay-smaller must
+    raise loudly (rebuild required), never silently serve duplicated
+    vectors."""
+    from ae_data_integration_spark.operators.ann_index import compact_pq_index
+    from ae_data_integration_spark.streaming.lifecycle import (
+        ingest_stream_to_lifecycle,
+    )
+
+    d, e, corpus, batch, base_e, p, src = _lifecycle_fixture(
+        spark, tmp_path, monkeypatch
+    )
+    out = str(tmp_path / "out")
+
+    def drain(ckpt, max_files):
+        r = spark.readStream.schema(d.schema)
+        if max_files:
+            r = r.option("maxFilesPerTrigger", 1)
+        ingest_stream_to_lifecycle(
+            r.parquet(src), corpus, e, out, p,
+            query_name="t_lc_sweep2", checkpoint_dir=ckpt,
+        )
+
+    drain(str(tmp_path / "ckpt1"), max_files=True)
+    assert compact_pq_index(spark, p) >= 2  # folds the epoch increments
+    with pytest.raises(RuntimeError, match="rebuild"):
+        drain(str(tmp_path / "ckpt2"), max_files=False)

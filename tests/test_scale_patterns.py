@@ -124,42 +124,3 @@ def test_salting_bounds_the_straggler_partition(spark):
     salted = with_salt(df, "row_key", n_salts=16 * p)
     share = max_share(salted, "k", "_salt")
     assert share < 2.0 / p, f"salted straggler share {share} >= 2x uniform"
-
-
-def test_salting_bounds_the_straggler_partition(spark):
-    """The distribution fact behind skew.py: a key holding 50% of all
-    rows funnels >= 50% of the shuffle into ONE task; salting the row
-    key 16 ways bounds the largest partition near the uniform share.
-    Deterministic (md5 salts, fixed partition count) — this is the
-    straggler-ratio assertion for the zipf study in
-    scripts/measure_skew.py."""
-    from ae_data_integration_spark.functions.skew import with_salt
-
-    n, p = 20_000, 16
-    df = spark.range(n).select(
-        F.when(F.col("id") < n // 2, F.lit(0))
-        .otherwise(F.col("id"))
-        .alias("k"),
-        F.col("id").alias("row_key"),
-    )
-
-    def max_share(frame, *cols):
-        sizes = (
-            frame.repartition(p, *[F.col(c) for c in cols])
-            .select(F.spark_partition_id().alias("pid"))
-            .groupBy("pid")
-            .count()
-            .collect()
-        )
-        return max(r["count"] for r in sizes) / n
-
-    assert max_share(df, "k") >= 0.5  # the hot key IS one task
-    # n_salts must be MUCH larger than the partition count: with
-    # n_salts == p the hot key becomes p salt-buckets hashed into p
-    # partitions, and balls-into-bins collisions still leave a ~2.5x
-    # straggler (measured 0.154 share here). 16x over-salting smooths
-    # the hot key to near-uniform load — the rule skew.py callers
-    # should size by (n_salts >= 16 * parallelism for hot keys).
-    salted = with_salt(df, "row_key", n_salts=16 * p)
-    share = max_share(salted, "k", "_salt")
-    assert share < 2.0 / p, f"salted straggler share {share} >= 2x uniform"
