@@ -744,3 +744,117 @@ def samp4_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster", "rk")
     )
+
+
+# --- DQ8: selection-bias audit for cluster-balanced sampling ------------------
+# The governance row for samp4 (dq7's log-odds form applied over
+# CLUSTERS instead of languages): equal per-cluster quotas change the
+# embedding-space composition — big topics are down-weighted, small
+# ones up-weighted — and this row records by exactly how much, per
+# cluster: corpus count/share vs selected count/share plus the
+# add-1-smoothed log-odds bias (the per-class composition table the
+# reference reads before trusting a split, AE_results.ipynb). The
+# oracle replays the Lloyd's unroll and the top-Q selection
+# CTE-for-CTE from samp4's proven fragments; the rollup is two
+# cluster-keyed counts + two 1-row broadcasts, k rows out at any
+# corpus size.
+
+_DQ8_SQL = f"""
+WITH pts AS (SELECT vec_id AS id, {_V} AS vec FROM embeddings),
+init AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5('km' || CAST(id AS VARCHAR)), id) - 1 AS cluster,
+         vec AS centroid
+  FROM (SELECT * FROM pts ORDER BY md5('km' || CAST(id AS VARCHAR)), id LIMIT {_K})
+),
+{_assign_cte('pts', 'init', 'a1')},
+{_update_cte('a1', 'c1')},
+{_assign_cte('pts', 'c1', 'a2')},
+{_update_cte('a2', 'c2')},
+{_assign_cte('pts', 'c2', 'a3')},
+sel AS (
+  SELECT id, cluster FROM (
+    SELECT id, cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY cluster
+             ORDER BY CAST(round(sqd * {Q30}) AS BIGINT), id
+           ) AS rk
+    FROM a3
+  ) WHERE rk <= {_SAMP4_Q}
+),
+c AS (SELECT cluster, COUNT(*) AS n_corpus FROM a3 GROUP BY cluster),
+s AS (SELECT cluster, COUNT(*) AS n_sel FROM sel GROUP BY cluster),
+t AS (SELECT SUM(n_corpus) AS totc, COUNT(*) AS k FROM c),
+ts AS (SELECT SUM(n_sel) AS tots FROM s)
+SELECT c.cluster,
+       CAST(c.n_corpus AS BIGINT) AS n_corpus,
+       c.n_corpus / CAST(t.totc AS DOUBLE) AS share_corpus,
+       CAST(COALESCE(s.n_sel, 0) AS BIGINT) AS n_selected,
+       COALESCE(s.n_sel, 0) / CAST(ts.tots AS DOUBLE) AS share_selected,
+       round(ln(((COALESCE(s.n_sel, 0) + 1) / CAST(ts.tots + t.k AS DOUBLE))
+                / ((c.n_corpus + 1) / CAST(t.totc + t.k AS DOUBLE))), 6)
+         AS bias_log_odds
+FROM c LEFT JOIN s USING (cluster) CROSS JOIN t CROSS JOIN ts
+ORDER BY c.cluster
+"""
+
+
+@register("dq8_cluster_bias", oracle=_DQ8_SQL,
+          doc="Selection-bias audit for cluster-balanced sampling: "
+              "per-cluster corpus vs samp4-selected composition with "
+              "add-1-smoothed log-odds bias (the dq7 form over clusters) "
+              "— Lloyd's unroll + top-Q selection replayed from samp4's "
+              "proven CTEs; k rows out, two 1-row broadcasts.",
+          tags=("sampling", "clustering", "quality"))
+def dq8_cluster_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.functions.caching import persist_tracked
+
+    e = table(spark, sf_dir, "embeddings")
+    assigned = persist_tracked(
+        kmeans_relational(e, k=_K, n_iter=_ITER, salt="km")
+    )
+    # samp4's two-level tournament, re-expressed over the shared
+    # assignment (one Lloyd's pass feeds both the counts and the cut)
+    aq = assigned.select(
+        "id", "cluster",
+        F.round(F.col(_SQD_COL) * F.lit(Q30)).cast("long").alias("sqd_q"),
+    )
+    cand = F.struct(F.col("sqd_q"), F.col("id"))
+    local = (
+        aq.withColumn("_pid", F.spark_partition_id())
+        .groupBy("cluster", "_pid")
+        .agg(F.slice(F.array_sort(F.collect_list(cand)), 1, _SAMP4_Q)
+             .alias("cand"))
+    )
+    sel = local.groupBy("cluster").agg(
+        F.size(
+            F.slice(F.array_sort(F.flatten(F.collect_list("cand"))),
+                    1, _SAMP4_Q)
+        ).cast("long").alias("n_sel")
+    )
+    c = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_corpus"))
+    t = c.agg(F.sum("n_corpus").alias("totc"), F.count(F.lit(1)).alias("k"))
+    ts = sel.agg(F.sum("n_sel").alias("tots"))
+    n_sel0 = F.coalesce(F.col("n_sel"), F.lit(0))
+    return (
+        c.join(sel, "cluster", "left")
+        .crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(ts))
+        .select(
+            "cluster",
+            F.col("n_corpus").cast("long").alias("n_corpus"),
+            (F.col("n_corpus") / F.col("totc").cast("double"))
+            .alias("share_corpus"),
+            n_sel0.cast("long").alias("n_selected"),
+            (n_sel0 / F.col("tots").cast("double")).alias("share_selected"),
+            F.round(
+                F.log(
+                    ((n_sel0 + 1) / (F.col("tots") + F.col("k")).cast("double"))
+                    / (
+                        (F.col("n_corpus") + 1)
+                        / (F.col("totc") + F.col("k")).cast("double")
+                    )
+                ), 6,
+            ).alias("bias_log_odds"),
+        )
+        .orderBy("cluster")
+    )

@@ -2376,8 +2376,10 @@ w{i} AS (
 )"""
 
 
-_T26_SQL = f"""
-WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+# WITH-prefix shared with pipe8b_classifier_curation, which scores
+# and cuts the corpus by the trained weights — one CTE text so both
+# oracles replay the identical training (the _T23_CTES discipline).
+_T26_CTES = f"""WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
 cnt AS (
   SELECT DISTINCT doc_id,
          CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) % {_T16_B} AS bucket
@@ -2386,7 +2388,10 @@ cnt AS (
 y AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
 n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
 w0 AS (SELECT unnest(range(0, {_T16_B})) AS bucket, CAST(0 AS BIGINT) AS w_q),
-{','.join(_t26_iter_sql(i) for i in range(1, _T26_ITERS + 1))}
+{','.join(_t26_iter_sql(i) for i in range(1, _T26_ITERS + 1))}"""
+
+_T26_SQL = f"""
+{_T26_CTES}
 SELECT bucket, w_q FROM w{_T26_ITERS} ORDER BY bucket
 """
 
@@ -2459,6 +2464,107 @@ def t26_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize: the model is B rows, re-broadcast next iteration
         w = spark.createDataFrame(w_next.collect(), "bucket long, w_q long")
     return w.orderBy("bucket")
+
+
+# --- PIPE8b: classifier-gated curation (t26 promoted into the chain) ----------
+# pipe8 cuts on LM perplexity alone; this is the OTHER production
+# curation gate — the trained quality classifier scores every doc and
+# the cut keeps docs the model rates >= 0.5 (the sigmoid's calibration
+# point: s_q >= 0 exactly, an integer comparison). Mirrors the
+# reference's own classifier-over-features step (C6,
+# /root/reference/Evaluation_Auxiliary/nb_classification.py:1-38) and
+# the fastText quality gate in CCNet-style pipelines.
+#
+# Scale shape (the t23q serve discipline): training is t26's already-
+# audited loop (corpus terms: ONE distinct (doc,bucket) shuffle,
+# reused across iterations; everything else is B-row broadcasts);
+# scoring adds zero corpus shuffles beyond the same cnt table — the
+# B-row weight vector broadcasts onto it, one doc-keyed agg makes the
+# exact-integer score, and the shipped manifest is a |sources|-row
+# rollup. mean_p divides the exact BIGINT sum of quantized sigmoids —
+# no order-dependent double sum anywhere.
+
+_PIPE8B_SQL = f"""
+{_T26_CTES},
+s8b AS (
+  SELECT c.doc_id, SUM(w.w_q) AS s_q
+  FROM cnt c JOIN w{_T26_ITERS} w USING (bucket) GROUP BY c.doc_id
+),
+p8b AS (
+  SELECT d.doc_id, d.source,
+         CAST(round({Q30} / (1 + exp(-(COALESCE(s.s_q, 0) / {Q30}.0)))) AS BIGINT) AS p_q,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tok
+  FROM documents d LEFT JOIN s8b s ON d.doc_id = s.doc_id
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN 2 * p_q >= {Q30} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       SUM(CASE WHEN 2 * p_q >= {Q30} THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) AS kept_share,
+       CAST(SUM(CASE WHEN 2 * p_q >= {Q30} THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+       round(SUM(p_q) / (COUNT(*) * {Q30}.0), 6) AS mean_p
+FROM p8b
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("pipe8b_classifier_curation", oracle=_PIPE8B_SQL,
+          doc="Classifier-gated curation: the t26-trained logreg weights "
+              "(B-row broadcast) score every doc by exact-integer bucket "
+              "dot product; the cut keeps quantized sigmoid >= 0.5 (an "
+              "integer comparison at the calibration point); per-source "
+              "manifest of doc/token keep rates + mean predicted "
+              "quality. Oracle splices t26's iteration CTEs and replays "
+              "train->score->cut->rollup in one statement.",
+          tags=("text", "quality", "pipeline"))
+def pipe8b_classifier_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.functions.caching import persist_tracked
+
+    d = table(spark, sf_dir, "documents")
+    w = t26_logreg_train(spark, sf_dir)  # B rows, already materialized
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("long")
+        % F.lit(_T16_B)
+    )
+    cnt = tok.select("doc_id", bucket.alias("bucket")).distinct()
+    s = (
+        cnt.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("w_q").alias("s_q"))
+    )
+    p_q = F.round(
+        F.lit(Q30)
+        / (1 + F.exp(-(F.coalesce("s_q", F.lit(0)) / F.lit(float(Q30)))))
+    ).cast("long")
+    scored = (
+        d.select("doc_id", "source",
+                 F.size(tokens("text")).cast("long").alias("n_tok"))
+        .join(s, "doc_id", "left")
+        .select("doc_id", "source", "n_tok", p_q.alias("p_q"))
+    )
+    kept = (F.col("p_q") * 2 >= F.lit(Q30)).cast("long")
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).alias("n_kept"),
+            F.sum(kept * F.col("n_tok")).alias("kept_tokens"),
+            F.sum("p_q").alias("_sp"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            (F.col("n_kept") / F.col("n_docs").cast("double"))
+            .alias("kept_share"),
+            "kept_tokens",
+            F.round(
+                F.col("_sp") / (F.col("n_docs") * F.lit(float(Q30))), 6
+            ).alias("mean_p"),
+        )
+        .orderBy("source")
+    )
 
 
 # --- DQ7: selection-bias audit for importance resampling ----------------------

@@ -86,6 +86,9 @@ QUERIES = [
     "t26_logreg_train",          # full-batch GD logistic training (r11)
     "s10_hard_negatives",        # contrastive hard-negative mining (r11)
     "dq7_selection_bias",        # per-lang DSIR selection audit (r11)
+    "t25k_kn5_keyed",            # forced keyed-join KN serve (r12)
+    "dq8_cluster_bias",          # per-cluster samp4 selection audit (r12)
+    "pipe8b_classifier_curation",  # t26-weights curation cut (r12)
 ]
 
 
