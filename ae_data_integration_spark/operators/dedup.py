@@ -400,7 +400,12 @@ def dup_labels(
     # the still-uncached parent. localCheckpoint (eager) computes each
     # generation once and rebases the plan on the cached blocks, the
     # same lineage-truncation discipline as the DBSCAN solver.
-    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    # checkpoint BEFORE the symmetrizing union: its two branches each
+    # read `e`, and an unmaterialized e runs the upstream verify
+    # pipeline twice (the g6b lesson, SCALE_SPOT_r12 phase isolation)
+    e = pairs.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).localCheckpoint()
     edges = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().localCheckpoint()

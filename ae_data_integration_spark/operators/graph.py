@@ -37,7 +37,12 @@ def pagerank_fixed(
     symmetrized pair graph (nodes = pair members). Contributions are
     quantized to 2^-40 before summation, so the sum is order- and
     partition-independent and any engine reproduces it."""
-    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    # checkpoint BEFORE symmetrizing (the label_propagation_fixed
+    # lesson: the union reads `e` twice and would run the upstream
+    # pair pipeline twice)
+    e = pairs.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).localCheckpoint()
     edges = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
@@ -98,7 +103,14 @@ def label_propagation_fixed(
     each is read by the next join, and unbounded lineage would re-run
     the upstream candidate pipeline per generation.
     """
-    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    # checkpoint BEFORE symmetrizing: the union reads `e` twice, and an
+    # unmaterialized e would evaluate the whole upstream candidate+verify
+    # pipeline twice (measured: ~85 s of g6b's 1000x wall — the r11
+    # "LPA tail" residual was actually this double evaluation; the real
+    # LPA tail is ~7 s/flat, SCALE_SPOT_r12 g6b_phase_isolation)
+    e = pairs.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).localCheckpoint()
     edges = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint()
