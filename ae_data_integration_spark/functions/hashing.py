@@ -46,11 +46,56 @@ def md5_bucket(key: Column | str, n: int, salt: str = "") -> Column:
 
 
 def shingles(text: Column | str, k: int = 5) -> Column:
-    """Distinct character k-shingles of a string (dedup primitive)."""
+    """Distinct character k-shingles of a string (dedup primitive).
+
+    O(len^2) per document: each ``substr(i, k)`` seeks from the
+    string head (UTF8String is variable-width), so this form is only
+    for SHORT strings / compatibility. Corpus-scale callers must use
+    the two-step ``char_array`` + ``shingles_from_chars`` — the zipf
+    doc-length study measured the quadratic term as a 17x signature-
+    pass blow-up at 3x volume (SCALE_SPOT_r12 doc_skew_phase_isolation).
+    """
     t = F.col(text) if isinstance(text, str) else text
     n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
     return F.array_distinct(
         F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k)))
+    )
+
+
+def char_array(text: Column | str) -> Column:
+    """Single-character array of a string — the O(len) materialization
+    step for shingles_from_chars. split('', -1) keeps a trailing empty
+    element (Java regex split semantics), sliced off here; the empty
+    string maps to [''] so downstream keeps the one-shingle-per-doc
+    floor the substr form has."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.slice(F.split(t, ""), 1, F.greatest(F.length(t), F.lit(1)))
+
+
+def shingles_from_chars(chars: Column | str, k: int = 5) -> Column:
+    """Distinct character k-shingles from a MATERIALIZED char-array
+    column (``char_array(text)`` landed in its OWN projection) —
+    bit-identical output to ``shingles`` at O(len) instead of
+    O(len^2): element_at on an array is O(1) where substr on a string
+    seeks from the head.
+
+    Takes a column, not an inline split, for the same reason
+    word_ngrams_from_tokens does: HOF lambdas run interpreted with NO
+    common-subexpression elimination, so an inline char split would
+    re-split the text once per element and hand the quadratic term
+    right back. concat_ws skips the NULLs try_element_at returns past
+    the array end (plain element_at raises under ANSI mode, the Spark
+    4 default), reproducing substr's short-tail semantics for strings
+    shorter than k."""
+    ch = F.col(chars) if isinstance(chars, str) else chars
+    n = F.greatest(F.size(ch) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(
+                "", *[F.try_element_at(ch, i + F.lit(j)) for j in range(k)]
+            ),
+        )
     )
 
 

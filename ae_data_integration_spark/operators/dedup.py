@@ -23,8 +23,10 @@ from ae_data_integration_spark.functions.hashing import (
     MINHASH_A,
     MINHASH_B,
     MINHASH_P,
+    char_array,
     lsh_bands,
     shingles,
+    shingles_from_chars,
 )
 from ae_data_integration_spark.functions.text import fingerprint, tokens
 from ae_data_integration_spark.functions.caching import persist_tracked
@@ -58,7 +60,13 @@ def doc_shingles(
         par = df.sparkSession.sparkContext.defaultParallelism
         if out.rdd.getNumPartitions() < par:
             out = out.repartition(par, "doc")
-    return out.select("doc", shingles("_t", k).alias("shs"))
+    # two-step char-array construction: O(len) per doc where the
+    # direct substr form is O(len^2) — the zipf doc-length straggler
+    # (SCALE_SPOT_r12 doc_skew_phase_isolation). The char array MUST
+    # land in its own projection (HOF lambdas have no CSE).
+    return out.select("doc", char_array("_t").alias("_ch")).select(
+        "doc", shingles_from_chars("_ch", k).alias("shs")
+    )
 
 
 def lsh_band_table(

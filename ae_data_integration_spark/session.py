@@ -40,6 +40,21 @@ def get_spark(app_name: str = "ae_data_integration_spark",
         # The events table stores TIMESTAMP(NANOS) parquet, which Spark
         # has no native type for — read as long and convert (tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate synthesizes `size(arr) > 0` below
+        # every explode; predicate pushdown then substitutes the alias
+        # chain, re-inlining the WHOLE array expression (shingles,
+        # tokens) into a per-scan-row filter — with HOF lambdas that
+        # means e.g. split(text) re-evaluated per element, an O(len^2)
+        # pass over every document BEFORE the real computation. The
+        # filter is semantically vacuous here (explode drops empty
+        # arrays anyway; it exists only to prune rows early), and
+        # excluding the rule cut the sf10 corpus band table from 36 s
+        # to 10 s — and a zipf doc-length corpus from a 13.7x blow-up
+        # to linear (SCALE_SPOT_r12 doc_skew_study).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # local[32] runs every task inside the driver JVM: 32 concurrent
         # tasks each buffering shuffle writes for the wide-matrix melt
         # (38M cells, tests/test_report_full_width.py) OOM an 8g heap

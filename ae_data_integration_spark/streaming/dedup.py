@@ -33,9 +33,10 @@ from pyspark.sql.types import (
 )
 
 from ae_data_integration_spark.functions.hashing import (
+    char_array,
     lsh_bands,
     minhash_signature,
-    shingles,
+    shingles_from_chars,
 )
 
 OUT_SCHEMA = StructType(
@@ -63,9 +64,13 @@ def band_stream(
     """Stateless (doc, band, bucket) stream — identical expressions to
     the batch band table, so buckets match bit-for-bit."""
     rpb = num_perm // num_bands
+    # two-step char-array shingling (the batch doc_shingles fix):
+    # O(len) per doc vs the substr form's O(len^2)
     sig = docs.select(
-        F.col(key_col).alias("doc"),
-        minhash_signature(shingles(text_col, k), num_perm).alias("sig"),
+        F.col(key_col).alias("doc"), char_array(text_col).alias("_ch")
+    ).select(
+        "doc",
+        minhash_signature(shingles_from_chars("_ch", k), num_perm).alias("sig"),
     )
     return sig.select(
         "doc", F.explode(lsh_bands("sig", num_bands, rpb)).alias("b")

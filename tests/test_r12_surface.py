@@ -215,6 +215,40 @@ def test_ensure_lm_concurrent_racers_single_artifact(
     assert scored.count() == toks.count()
 
 
+# --- shingles: linear char-array construction ----------------------------------
+
+
+def test_char_array_shingles_bit_identical_to_substr_form(spark):
+    """The O(len) two-step shingle construction (char_array +
+    shingles_from_chars — the zipf doc-length straggler fix,
+    SCALE_SPOT_r12 doc_skew_phase_isolation) must be BIT-IDENTICAL to
+    the substr form on real docs and on the adversarial short-string
+    edge cases (empty, < k, == k, repeats, internal whitespace) —
+    including element ORDER, which the minhash and verify paths both
+    consume."""
+    from ae_data_integration_spark.functions.hashing import (
+        char_array,
+        shingles,
+        shingles_from_chars,
+    )
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    extra = spark.createDataFrame(
+        [(10**9, ""), (10**9 + 1, "ab"), (10**9 + 2, "abcde"),
+         (10**9 + 3, "abcdef"), (10**9 + 4, "aaaaaaa"),
+         (10**9 + 5, "a b  c\td")],
+        "doc_id long, text string",
+    )
+    d = d.unionByName(extra)
+    old = d.select("doc_id", shingles("text", 5).alias("s"))
+    new = d.select("doc_id", char_array("text").alias("_ch")).select(
+        "doc_id", shingles_from_chars("_ch", 5).alias("s")
+    )
+    assert old.exceptAll(new).count() + new.exceptAll(old).count() == 0
+
+
 # --- kn: the forced keyed-join gram-table attach -------------------------------
 
 

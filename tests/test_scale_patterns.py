@@ -124,3 +124,32 @@ def test_salting_bounds_the_straggler_partition(spark):
     salted = with_salt(df, "row_key", n_salts=16 * p)
     share = max_share(salted, "k", "_salt")
     assert share < 2.0 / p, f"salted straggler share {share} >= 2x uniform"
+
+
+def test_shingle_explode_plan_has_no_reinlined_generate_filter(spark):
+    """The dedup-family skew lesson (SCALE_SPOT_r12 doc_skew study):
+    InferFiltersFromGenerate used to synthesize `size(shs) > 0` under
+    the shingle explode, and predicate pushdown re-inlined the whole
+    char-array expression into a per-scan-row filter — split(text)
+    re-evaluated per lambda element, an O(len^2) pass that blew up
+    13.7x on a zipf doc-length corpus. The rule is excluded in
+    session.py; this pins BOTH halves of the fix in the optimized
+    plan: split() appears exactly once (the char_array projection is
+    a real boundary, not collapsed into the lambdas), and no
+    size(...)>0 filter was inferred below the explode."""
+    from pyspark.sql import functions as F
+
+    from ae_data_integration_spark.operators.dedup import (
+        doc_shingles,
+        lsh_band_table,
+    )
+
+    d = spark.createDataFrame(
+        [(i, "the quick brown fox %d jumps over the lazy dog" % i)
+         for i in range(50)],
+        "doc_id long, text string",
+    )
+    bt = lsh_band_table(doc_shingles(d, "doc_id", "text", k=5), 16, 2)
+    plan = bt._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, plan
+    assert "Filter (size(" not in plan, plan
