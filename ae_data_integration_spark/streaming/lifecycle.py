@@ -119,7 +119,14 @@ def ingest_stream_to_lifecycle(
     # every micro-batch: the fingerprint set and the corpus band
     # table (the minhash pass over the standing corpus is the
     # expensive term — recomputing it per epoch would make ingest
-    # cost ∝ corpus x batches instead of corpus + Σbatch)
+    # cost ∝ corpus x batches instead of corpus + Σbatch).
+    # Measured at 100x (sf10, 20-file batch; SCALE_SPOT_r12
+    # stream_cadence_study): a 20-epoch maxFilesPerTrigger=1 drain
+    # runs 6.0 s/epoch vs 32.9 s single-shot — per-epoch fixed cost
+    # 4.6 s (trigger scheduling + three sink commits + one cheap
+    # corpus (doc_id, text) scan for the candidate-pruned verify
+    # below). Before that prune the fixed cost was 21.6 s/epoch:
+    # the whole-corpus shingle-array rebuild per micro-batch.
     corpus_fp = corpus.select(fingerprint("text").alias("fp")).distinct().persist()
     sh_c = doc_shingles(corpus, "doc_id", "text", k=5, spread=True)
     bb = lsh_band_table(sh_c, 16, 2).persist()
@@ -142,10 +149,29 @@ def ingest_stream_to_lifecycle(
         try:
             sh_b = doc_shingles(b1, "doc_id", "text", k=5, spread=True)
             ba = lsh_band_table(sh_b, 16, 2)
-            cands = lsh_candidate_pairs_from_bands(ba, bb)
+            cands = lsh_candidate_pairs_from_bands(ba, bb).persist()
+            # per-epoch fixed-cost control (the cadence study,
+            # SCALE_SPOT_r12): verify only needs shingle arrays for
+            # docs that appear in a candidate pair, and jaccard_verify's
+            # own prune lands ABOVE the array construction — so without
+            # this, every micro-batch would rebuild shingle arrays for
+            # the WHOLE corpus (ingest cost ∝ corpus x epochs). Pruning
+            # the corpus TEXT to candidate doc_b ids first makes the
+            # per-epoch corpus term one cheap (doc_id, text) scan +
+            # broadcast semi join; the expensive transform runs on
+            # candidate docs only. Value-identical: non-candidate docs
+            # never reach the verify join.
+            cand_c = corpus.join(
+                F.broadcast(
+                    cands.select(F.col("doc_b").alias("doc_id")).distinct()
+                ),
+                "doc_id",
+                "left_semi",
+            )
+            sh_c_cand = doc_shingles(cand_c, "doc_id", "text", k=5, spread=True)
             near = (
                 jaccard_verify(
-                    cands, sh_b.unionByName(sh_c), threshold=_P5_THRESH
+                    cands, sh_b.unionByName(sh_c_cand), threshold=_P5_THRESH
                 )
                 .select(F.col("doc_a").alias("doc_id"))
                 .distinct()
@@ -176,6 +202,7 @@ def ingest_stream_to_lifecycle(
                 append_to_pq_index(acc_e, index_path, tag=f"b{epoch_id}")
             finally:
                 near.unpersist()
+                cands.unpersist()
         finally:
             b1.unpersist()
 
