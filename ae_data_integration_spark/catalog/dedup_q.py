@@ -1620,3 +1620,119 @@ def g6b_lpa_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b"
     )
     return label_propagation_fixed(verified, n_iters=3).orderBy("doc_id")
+
+
+# --- D8 / PIPE10: exact-substring span dedup (Lee et al. 2022) --------------
+# The last rung of the dedup ladder: document-granular dedup (d1-d6)
+# keeps a whole doc or drops it, but web corpora repeat BLOCKS —
+# boilerplate, licenses, quoted passages — inside otherwise-unique
+# documents. ExactSubstr (arXiv:2107.06499) removes every repeated
+# substring of length >= L corpus-wide, keeping one canonical copy.
+# Re-expressed relationally: stride-1 L-char window fingerprints, a
+# corpus-wide (count, canonical-occurrence) election per fingerprint,
+# and an island-merge of the flagged windows into maximal spans —
+# the suffix array never materializes.
+
+_D8_L = 64
+
+# Shared CTE chain: wins -> dup -> flag -> isl -> spans. DuckDB
+# slices text[i : i+L-1] (1-based, inclusive end — same chars the
+# Spark side assembles from the materialized char array).
+_D8_CTES = f"""
+wins AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(text[CAST(i AS INTEGER) : CAST(i + {_D8_L - 1} AS INTEGER)]) AS fp,
+         doc_id * 4294967296 + i AS kk
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) - {_D8_L - 2})) AS i
+        FROM documents)
+),
+dup AS (SELECT fp, MIN(kk) AS canon FROM wins GROUP BY fp HAVING COUNT(*) >= 2),
+flag AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (fp) WHERE w.kk <> dup.canon),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos > prev + {_D8_L} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+  FROM (SELECT doc_id, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM flag)
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {_D8_L - 1} AS span_end,
+         MAX(pos) + {_D8_L - 1} - MIN(pos) + 1 AS span_len,
+         CAST(COUNT(*) AS BIGINT) AS n_wins
+  FROM isl GROUP BY doc_id, island
+)"""
+
+_D8_SQL = f"""
+WITH {_D8_CTES}
+SELECT doc_id, span_start, span_end, span_len, n_wins
+FROM spans ORDER BY doc_id, span_start
+"""
+
+
+@register("d8_substring_spans", oracle=_D8_SQL,
+          doc="Exact-substring duplicate spans (Lee et al. 2022 "
+              "arXiv:2107.06499): maximal repeated blocks of >= 64 chars "
+              "per doc, canonical (globally first) occurrence exempt. One "
+              "fp-keyed map-combinable count+min election, one fp join "
+              "back, island merge under a doc-bounded window.",
+          tags=("dedup", "text"))
+def d8_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.dedup import substring_duplicate_spans
+
+    d = table(spark, sf_dir, "documents")
+    return substring_duplicate_spans(d, min_len=_D8_L).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+_PIPE10_SQL = f"""
+WITH {_D8_CTES},
+meta AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS orig_len
+         FROM documents),
+gaps AS (
+  SELECT doc_id, COALESCE(prev_end, 0) + 1 AS gs, span_start - 1 AS ge
+  FROM (SELECT doc_id, span_start,
+               LAG(span_end) OVER (PARTITION BY doc_id ORDER BY span_start) AS prev_end
+        FROM spans)
+  WHERE span_start - 1 >= COALESCE(prev_end, 0) + 1
+  UNION ALL
+  SELECT s.doc_id, s.mx + 1 AS gs, m.orig_len AS ge
+  FROM (SELECT doc_id, MAX(span_end) AS mx FROM spans GROUP BY doc_id) s
+  JOIN meta m USING (doc_id) WHERE m.orig_len >= s.mx + 1
+),
+segs AS (
+  SELECT g.doc_id, g.gs,
+         m.text[CAST(g.gs AS INTEGER) : CAST(g.ge AS INTEGER)] AS seg
+  FROM gaps g JOIN meta m USING (doc_id)
+),
+cleaned AS (SELECT doc_id, string_agg(seg, '' ORDER BY gs) AS clean
+            FROM segs GROUP BY doc_id),
+per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(span_len) AS BIGINT) AS removed_chars
+        FROM spans GROUP BY doc_id)
+SELECT p.doc_id, m.orig_len, p.n_spans, p.removed_chars,
+       md5(COALESCE(c.clean, '')) AS clean_fp
+FROM per p JOIN meta m USING (doc_id) LEFT JOIN cleaned c USING (doc_id)
+ORDER BY p.doc_id
+"""
+
+
+@register("pipe10_span_scrub", oracle=_PIPE10_SQL,
+          doc="Exact-substring scrub: cut d8's duplicated spans out of "
+              "each affected doc and rebuild it from the complement gaps "
+              "(one canonical copy of every repeated block survives "
+              "corpus-wide, unique surrounding text preserved). Oracle "
+              "replays window election -> island merge -> gap rebuild in "
+              "one spliced statement; clean_fp value-hashes the scrubbed "
+              "text.",
+          tags=("dedup", "text", "pipeline"))
+def pipe10_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.dedup import (
+        scrub_duplicate_spans,
+        substring_duplicate_spans,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    spans = substring_duplicate_spans(d, min_len=_D8_L)
+    return scrub_duplicate_spans(d, spans).orderBy("doc_id")

@@ -1264,3 +1264,38 @@ def s10_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     el = e.join(d, "vec_id")
     q = el.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
     return hard_negative_topk(el, q, k=10).orderBy("q_id", "rk")
+
+
+# --- S11: metadata-filtered ANN ---------------------------------------------
+# Filtered vector search — the serving shape every retrieval stack
+# needs ("nearest neighbors WHERE label is even"): the metadata
+# predicate lands on the CANDIDATE side before any distance math, so
+# Catalyst pushes it into the parquet scan (plan-asserted in
+# tests/test_r12_surface.py) and the broadcast-probe join scans only
+# qualifying vectors — pre-filtering, not post-filtering, which
+# would silently return < k rows whenever the predicate thins the
+# neighborhood. Fixed 20-probe budget (the s1b discipline) so scale
+# legs measure the filtered scan. The IVF/PQ ladder composes the
+# same way: bucket assignment is row-local, so the predicate rides
+# into the coarse-bucket scan unchanged.
+
+_S11_SQL = _S1_SQL.replace(
+    "WHERE vec_id % 100 = 0", "WHERE vec_id % 100 = 0 AND vec_id < 2000"
+).replace(
+    "FROM q JOIN e ON e.vec_id != q.q_id",
+    "FROM q JOIN (SELECT e.*, b.label FROM e JOIN embeddings b USING (vec_id)"
+    " WHERE b.label % 2 = 0) e ON e.vec_id != q.q_id",
+)
+
+
+@register("s11_filtered_ann", oracle=_S11_SQL,
+          doc="Pre-filtered exact ANN: cosine top-10 per probe over only "
+              "label-even candidate vectors — predicate pushed into the "
+              "candidate scan below the broadcast-probe join, never "
+              "post-filtered out of a computed top-k.",
+          tags=("similarity",))
+def s11_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    cand = e.filter(F.col("label") % 2 == 0)
+    q = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
+    return brute_force_topk(cand, q, k=10).orderBy("q_id", "rk")

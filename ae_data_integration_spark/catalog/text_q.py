@@ -2637,3 +2637,115 @@ def dq7_selection_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- SAMP5: temperature-resampled mixture materialization -------------------
+# t12 plans the mixture; samp5 EXECUTES it: per-source quotas from
+# the alpha=0.5 temperature weights (sqrt keeps the power IEEE-exact,
+# t12's trick; the normalizer is the fixed-point fpsum, and the
+# share hits the Q30 grid before the integer quota arithmetic, so
+# quota = (T * share_q30) // 2^30 is EXACT integer math both engines
+# replay) and an md5-ranked without-replacement take per source —
+# the mC4/XLM-R low-resource-upweighting step (Conneau et al. 2020,
+# arXiv:1911.02116) as a deterministic relational materialization.
+# Target volume T = 2/5 of the corpus; quotas cap at the source size.
+#
+# Scale shape: quotas are a |sources|-row broadcast; the per-source
+# take is the samp4 two-level tournament (local sorted-slice top-q
+# per input partition, then per-source merge of <= partitions x q
+# structs) — no corpus-wide PARTITION BY source window.
+
+_SAMP5_SQL = f"""
+WITH per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         sqrt(CAST(COUNT(*) AS DOUBLE)) AS r
+  FROM documents GROUP BY source
+),
+tot AS (SELECT {fpsum_sql('r', Q30)} AS z, CAST(SUM(n_docs) AS BIGINT) AS total
+        FROM per_src),
+quota AS (
+  SELECT source, n_docs,
+         least(((t.total * 2 // 5)
+                * CAST(round(r / t.z * 1073741824) AS BIGINT)) // 1073741824,
+               n_docs) AS quota
+  FROM per_src CROSS JOIN tot t
+),
+ranked AS (
+  SELECT d.source, d.doc_id, q.quota,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY md5('mix' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+         ) AS rk
+  FROM documents d JOIN quota q USING (source)
+)
+SELECT source, doc_id, quota, rk FROM ranked WHERE rk <= quota
+ORDER BY source, rk
+"""
+
+
+@register("samp5_temperature_mixture", oracle=_SAMP5_SQL,
+          doc="Temperature-resampled mixture materialization: per-source "
+              "quota = (2/5 corpus) x Q30-quantized sqrt-temperature share "
+              "(exact integer arithmetic after one IEEE-exact sqrt and the "
+              "fixed-point normalizer), md5-ranked without-replacement "
+              "take per source via the two-level tournament.",
+          tags=("text", "sampling", "pipeline"))
+def samp5_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.functions.hashing import md5_rank
+
+    d = table(spark, sf_dir, "documents")
+    per_src = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("r", F.sqrt(F.col("n_docs").cast("double")))
+    )
+    tot = per_src.agg(
+        fpsum("r", Q30).alias("z"), F.sum("n_docs").alias("total")
+    )
+    quota = (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.least(
+                F.expr(
+                    "((total * 2 div 5)"
+                    " * cast(round(r / z * 1073741824) as bigint))"
+                    " div 1073741824"
+                ),
+                F.col("n_docs"),
+            ).alias("quota"),
+        )
+    )
+    ranked = d.select(
+        "source", "doc_id", md5_rank("doc_id", "mix").alias("rkk")
+    ).join(F.broadcast(quota.select("source", "quota")), "source")
+    cand = F.struct(F.col("rkk"), F.col("doc_id"))
+    local = (
+        ranked.withColumn("_pid", F.spark_partition_id())
+        .groupBy("source", "_pid")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(cand)), F.lit(1), F.max("quota")
+            ).alias("cand"),
+            F.max("quota").alias("quota"),
+        )
+    )
+    sel = local.groupBy("source").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("cand"))),
+            F.lit(1),
+            F.max("quota"),
+        ).alias("sel"),
+        F.max("quota").alias("quota"),
+    )
+    return (
+        sel.select("source", "quota", F.posexplode("sel").alias("rk0", "s"))
+        .select(
+            "source",
+            F.col("s.doc_id").alias("doc_id"),
+            "quota",
+            (F.col("rk0") + 1).cast("long").alias("rk"),
+        )
+        .orderBy("source", "rk")
+    )

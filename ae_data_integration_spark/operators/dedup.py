@@ -580,3 +580,222 @@ def semantic_dedup(
         .join(dropped, "id", "left")
         .select("id", "cluster", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
     )
+
+
+def substring_windows(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 64,
+) -> DataFrame:
+    """Fingerprint every ``min_len``-char window of every document.
+
+    The primitive under exact-substring deduplication (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): the suffix-array ExactSubstr pass is
+    re-expressed, as distributed pipelines do, by stride-1 fixed-
+    length window fingerprints — a substring of length >= min_len is
+    shared iff all its length-min_len windows are shared.
+
+    Returns (key, pos, fp, kk) with ``pos`` 1-based, ``fp`` the md5
+    of the window, and ``kk = key * 2^32 + pos`` the global
+    occurrence order key (used for canonical-occurrence election
+    without a per-fp window).
+
+    Scale design (100 TB): the window strings are built by O(L) array
+    slices over a MATERIALIZED char array (the zipf doc-length lesson
+    — ``substr(text, i, L)`` seeks from the string head and is
+    O(len^2) per doc), inside one transform + explode so only the
+    (pos, fp) struct survives into the generated rows — carrying the
+    char array THROUGH the explode would copy O(len) bytes per
+    window and hand the quadratic term right back. One scan, no
+    shuffle; ~len rows per doc of 44 bytes each.
+    """
+    t = F.col(text_col)
+    ch = docs.select(
+        F.col(key_col).alias("key"), char_array(t).alias("_ch"), F.length(t).alias("_n")
+    )
+    seq = F.when(
+        F.col("_n") >= min_len,
+        F.sequence(F.lit(1), F.col("_n") - F.lit(min_len - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    wins_arr = F.transform(
+        seq,
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.md5(F.array_join(F.slice(F.col("_ch"), i, min_len), "")).alias("fp"),
+        ),
+    )
+    return (
+        ch.select("key", F.explode(wins_arr).alias("w"))
+        .select(
+            "key",
+            F.col("w.pos").alias("pos"),
+            F.col("w.fp").alias("fp"),
+            (F.col("key").cast("long") * F.lit(2 ** 32) + F.col("w.pos")).alias("kk"),
+        )
+    )
+
+
+def substring_duplicate_spans(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 64,
+) -> DataFrame:
+    """Maximal duplicated substrings per document (exact-substring
+    dedup, Lee et al. 2022 arXiv:2107.06499 re-expressed relationally).
+
+    A window occurrence is *duplicated* when its fingerprint occurs
+    >= 2 times corpus-wide and it is not the canonical (globally
+    first, by (doc, pos)) occurrence — so one copy of every repeated
+    block survives, including the intra-document case. Overlapping /
+    adjacent duplicated windows are merged into maximal spans by the
+    island-and-gap rule (new island iff pos > prev_pos + min_len).
+
+    Returns (key, span_start, span_end, span_len, n_wins), spans
+    disjoint and sorted per document.
+
+    Scale design (100 TB): one fp-keyed shuffle for the occurrence
+    count + canonical election (map-side combinable min/count — a
+    boilerplate fp with millions of occurrences folds partial-agg
+    side, never through a per-fp window), one fp-keyed join back, and
+    a per-DOCUMENT window for the island merge whose partition is
+    bounded by document length, not corpus size.
+    """
+    from pyspark.sql import Window
+
+    w = substring_windows(docs, key_col, text_col, min_len).transform(persist_tracked)
+    dup = (
+        w.groupBy("fp")
+        .agg(F.min("kk").alias("canon"), F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+    )
+    flagged = (
+        w.join(dup, "fp")
+        .filter(F.col("kk") != F.col("canon"))
+        .select("key", "pos")
+    )
+    ww = Window.partitionBy("key").orderBy("pos")
+    isl = (
+        flagged.withColumn("prev", F.lag("pos").over(ww))
+        .withColumn(
+            "island",
+            F.sum(
+                F.when(
+                    F.col("prev").isNull() | (F.col("pos") > F.col("prev") + min_len),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).over(ww.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        isl.groupBy("key", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(min_len - 1)).alias("span_end"),
+            (F.max("pos") + F.lit(min_len - 1) - F.min("pos") + 1).alias("span_len"),
+            F.count(F.lit(1)).alias("n_wins"),
+        )
+        .select(
+            F.col("key").alias(key_col),
+            "span_start",
+            "span_end",
+            "span_len",
+            "n_wins",
+        )
+    )
+
+
+def scrub_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut the duplicated spans out of each affected document.
+
+    Given ``substring_duplicate_spans`` output, rebuilds each
+    affected document from the COMPLEMENT intervals (the gaps between
+    its disjoint spans plus head/tail), concatenated in position
+    order — the curation step that keeps exactly one copy of every
+    repeated block corpus-wide while preserving the surrounding
+    unique text, instead of dropping whole documents.
+
+    Returns (key, orig_len, n_spans, removed_chars, clean_fp) for
+    documents with >= 1 span; ``clean_fp`` is the md5 of the
+    scrubbed text (compact enough to value-hash at any scale — the
+    full text is one substring expression away for a sink).
+
+    Scale design (100 TB): only span-bearing documents are touched
+    (the spans frame drives every join); gap extraction is a per-doc
+    lag window over the handful of spans; segment substrings are
+    O(len) each over <= n_spans + 1 gaps. The final concat is a
+    sorted-struct array_join — no order-dependent string agg.
+    """
+    from pyspark.sql import Window
+
+    sp = spans.select(
+        F.col(key_col).alias("key"), "span_start", "span_end", "span_len"
+    ).transform(persist_tracked)
+    meta = docs.join(
+        sp.select("key").distinct().withColumnRenamed("key", key_col), key_col
+    ).select(
+        F.col(key_col).alias("key"),
+        F.col(text_col).alias("_t"),
+        F.length(text_col).cast("long").alias("orig_len"),
+    ).transform(persist_tracked)
+    ww = Window.partitionBy("key").orderBy("span_start")
+    g1 = (
+        sp.withColumn("prev_end", F.lag("span_end").over(ww))
+        .select(
+            "key",
+            (F.coalesce("prev_end", F.lit(0)) + 1).alias("gs"),
+            (F.col("span_start") - 1).alias("ge"),
+        )
+        .filter(F.col("ge") >= F.col("gs"))
+    )
+    g2 = (
+        sp.groupBy("key")
+        .agg(F.max("span_end").alias("mx"))
+        .join(meta.select("key", "orig_len"), "key")
+        .filter(F.col("orig_len") >= F.col("mx") + 1)
+        .select("key", (F.col("mx") + 1).alias("gs"), F.col("orig_len").alias("ge"))
+    )
+    segs = (
+        g1.unionByName(g2)
+        .join(meta.select("key", "_t"), "key")
+        .select(
+            "key",
+            "gs",
+            F.col("_t")
+            .substr(
+                F.col("gs").cast("int"), (F.col("ge") - F.col("gs") + 1).cast("int")
+            )
+            .alias("seg"),
+        )
+    )
+    cleaned = segs.groupBy("key").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("gs", "seg"))),
+                lambda s: s["seg"],
+            ),
+            "",
+        ).alias("clean")
+    )
+    per = sp.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("removed_chars"),
+    )
+    return (
+        per.join(meta.select("key", "orig_len"), "key")
+        .join(cleaned, "key", "left")
+        .select(
+            F.col("key").alias(key_col),
+            "orig_len",
+            "n_spans",
+            "removed_chars",
+            F.md5(F.coalesce("clean", F.lit(""))).alias("clean_fp"),
+        )
+    )

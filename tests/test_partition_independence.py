@@ -89,6 +89,10 @@ QUERIES = [
     "t25k_kn5_keyed",            # forced keyed-join KN serve (r12)
     "dq8_cluster_bias",          # per-cluster samp4 selection audit (r12)
     "pipe8b_classifier_curation",  # t26-weights curation cut (r12)
+    "d8_substring_spans",        # exact-substring duplicate spans (r12)
+    "pipe10_span_scrub",         # complement-gap span scrub (r12)
+    "samp5_temperature_mixture",  # quota-exact mixture materialization (r12)
+    "s11_filtered_ann",          # pre-filtered broadcast-probe ANN (r12)
 ]
 
 

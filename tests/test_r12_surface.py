@@ -401,3 +401,150 @@ def test_lifecycle_sweep_raises_when_stale_tag_was_compacted(
     assert compact_pq_index(spark, p) >= 2  # folds the epoch increments
     with pytest.raises(RuntimeError, match="rebuild"):
         drain(str(tmp_path / "ckpt2"), max_files=False)
+
+
+# --- exact-substring span dedup (d8 / pipe10) -------------------------------
+
+
+def _span_docs(spark):
+    # A/B share one 40-char interior block (with L=32 that is a real
+    # PARTIAL span, not a whole-doc dup); C repeats a 32-char block
+    # twice INSIDE itself; D is unique. Blocks are APERIODIC (a char
+    # run like 'x'*40 repeats within itself, so every window shares
+    # one fp and the canonical doc gets flagged too — correct
+    # ExactSubstr semantics, but not the case under test).
+    # Fillers are md5-chain strings so no two docs share ANY >=32-char
+    # filler substring (digit-run fillers like f"a{i:07d}" leak shared
+    # "0000009" tails into the windows abutting the block).
+    import hashlib
+
+    def fill(seed, n):
+        s = ""
+        j = 0
+        while len(s) < n:
+            s += hashlib.md5(f"{seed}:{j}".encode()).hexdigest()
+            j += 1
+        return s[:n]
+
+    block = "".join(f"X{i:03d}" for i in range(10))
+    rep = "".join(f"Y{i:03d}" for i in range(8))
+    a = fill("a", 80) + block + fill("b", 80)
+    b = fill("c", 80) + block + fill("d", 80)
+    c = rep + fill("e", 48) + rep
+    d = fill("f", 96)
+    return spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, d)], ["doc_id", "text"]
+    )
+
+
+def test_substring_spans_partial_and_intra_doc(spark):
+    from ae_data_integration_spark.operators.dedup import (
+        substring_duplicate_spans,
+    )
+
+    docs = _span_docs(spark)
+    rows = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in substring_duplicate_spans(docs, min_len=32).collect()
+    }
+    # Doc 1 owns the canonical occurrence of the shared block -> no
+    # span; doc 2's flagged windows are exactly the 9 positions of
+    # the 40-char block (pos 81..89 -> chars 81..120). Doc 3's second
+    # rep occurrence is the single window at pos 81 (chars 81..112).
+    assert rows == {(2, 81, 120), (3, 81, 112)}
+
+
+def test_substring_spans_island_merge_and_short_docs(spark):
+    from ae_data_integration_spark.operators.dedup import (
+        substring_duplicate_spans,
+    )
+
+    # Two shared blocks separated by a 5-char unique gap in the copy:
+    # flagged windows are adjacent-ish but the gap < L keeps every
+    # intermediate window unshared -> two islands MERGE only if the
+    # flagged positions are within L of each other. Here pos runs are
+    # 1..9 and 54..62 (gap 45 < 64... use L=32: gap 45 > 32 -> two
+    # distinct spans). Shorter-than-L docs produce no windows at all.
+    blk1 = "".join(f"P{i:03d}" for i in range(10))
+    blk2 = "".join(f"Q{i:03d}" for i in range(10))
+    orig = blk1 + "".join(f"g{i:03d}" for i in range(10)) + blk2
+    copy = blk1 + "=" * 5 + blk2
+    docs = spark.createDataFrame(
+        [(1, orig), (2, copy), (3, "tiny")], ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in substring_duplicate_spans(docs, min_len=32).collect()
+    }
+    # copy: blk1 windows at pos 1..9 -> span 1..40; blk2 windows at
+    # pos 46..54 -> span 46..85. 46 - 9 = 37 > 32 -> NOT merged.
+    assert got == {(2, 1, 40, 40), (2, 46, 85, 40)}
+
+
+def test_scrub_rebuilds_complement_exactly(spark):
+    from pyspark.sql import functions as F
+    from ae_data_integration_spark.operators.dedup import (
+        scrub_duplicate_spans,
+        substring_duplicate_spans,
+    )
+
+    docs = _span_docs(spark)
+    spans = substring_duplicate_spans(docs, min_len=32)
+    out = {r.doc_id: r for r in scrub_duplicate_spans(docs, spans).collect()}
+    # Only span-bearing docs appear; removed + |clean| == orig_len.
+    assert set(out) == {2, 3}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    import hashlib
+
+    b_clean = texts[2][:80] + texts[2][120:]
+    c_clean = texts[3][:80] + texts[3][112:]
+    for did, clean in ((2, b_clean), (3, c_clean)):
+        r = out[did]
+        assert r.orig_len == len(texts[did])
+        assert r.removed_chars == len(texts[did]) - len(clean)
+        assert r.clean_fp == hashlib.md5(clean.encode()).hexdigest()
+
+
+# --- s11 / samp5 plan + quota properties ------------------------------------
+
+
+def test_s11_filter_pushed_below_broadcast_probe(spark):
+    """The label predicate must reach the candidate parquet scan
+    (pre-filtering), not run above the distance computation."""
+    from ae_data_integration_spark.catalog import load_all, resolve
+    from ae_data_integration_spark.plans.explain import plan_asserts
+    from tests.conftest import SF_CORRECT
+
+    reg = load_all()
+    df = reg[resolve("s11_filtered_ann")].fn(spark, SF_CORRECT)
+    (
+        plan_asserts(df)
+        .has_pushed_filter("label")
+        .has_broadcast_exchange(1)
+        .no_python_row_udf()
+    )
+
+
+def test_samp5_quotas_exact_and_capped(spark):
+    """Quota arithmetic is exact integer math after the Q30 grid:
+    replay it in plain Python from the per-source counts and compare;
+    every per-source take is exactly min(quota, n_docs)."""
+    import math
+    from collections import Counter
+
+    from ae_data_integration_spark.catalog import load_all, resolve
+    from ae_data_integration_spark.tables import table as _table
+    from tests.conftest import SF_CORRECT
+
+    reg = load_all()
+    sel = reg[resolve("samp5_temperature_mixture")].fn(spark, SF_CORRECT)
+    got = Counter(r.source for r in sel.collect())
+    docs = _table(spark, SF_CORRECT, "documents").groupBy("source").count()
+    n = {r.source: r["count"] for r in docs.collect()}
+    total = sum(n.values())
+    # fpsum normalizer: fixed-point Q30 sum of sqrt counts
+    z = sum(round(math.sqrt(v) * (1 << 30)) for v in n.values()) / (1 << 30)
+    t = total * 2 // 5
+    for s, v in n.items():
+        share = round(math.sqrt(v) / z * (1 << 30))
+        assert got[s] == min((t * share) >> 30, v)
