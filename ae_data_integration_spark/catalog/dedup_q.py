@@ -1726,7 +1726,7 @@ ORDER BY p.doc_id
               "replays window election -> island merge -> gap rebuild in "
               "one spliced statement; clean_fp value-hashes the scrubbed "
               "text.",
-          tags=("dedup", "text", "pipeline"))
+          tags=("dedup", "text", "pipeline", "bench"))
 def pipe10_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ae_data_integration_spark.operators.dedup import (
         scrub_duplicate_spans,

@@ -1293,7 +1293,7 @@ _S11_SQL = _S1_SQL.replace(
               "label-even candidate vectors — predicate pushed into the "
               "candidate scan below the broadcast-probe join, never "
               "post-filtered out of a computed top-k.",
-          tags=("similarity",))
+          tags=("similarity", "bench"))
 def s11_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     cand = e.filter(F.col("label") % 2 == 0)

@@ -2640,7 +2640,9 @@ def dq7_selection_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- SAMP5: temperature-resampled mixture materialization -------------------
-# t12 plans the mixture; samp5 EXECUTES it: per-source quotas from
+# t12 plans the mixture; pipe7 fills a TOKEN budget with a source-
+# keyed cumsum window; samp5 is the WINDOW-FREE scale twin (the
+# d2/d2b relationship): per-source DOC quotas computed up front from
 # the alpha=0.5 temperature weights (sqrt keeps the power IEEE-exact,
 # t12's trick; the normalizer is the fixed-point fpsum, and the
 # share hits the Q30 grid before the integer quota arithmetic, so
@@ -2653,7 +2655,8 @@ def dq7_selection_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale shape: quotas are a |sources|-row broadcast; the per-source
 # take is the samp4 two-level tournament (local sorted-slice top-q
 # per input partition, then per-source merge of <= partitions x q
-# structs) — no corpus-wide PARTITION BY source window.
+# structs) — no corpus-wide PARTITION BY source window, where pipe7's
+# cumsum funnels each source through one task.
 
 _SAMP5_SQL = f"""
 WITH per_src AS (
@@ -2689,7 +2692,7 @@ ORDER BY source, rk
               "(exact integer arithmetic after one IEEE-exact sqrt and the "
               "fixed-point normalizer), md5-ranked without-replacement "
               "take per source via the two-level tournament.",
-          tags=("text", "sampling", "pipeline"))
+          tags=("text", "sampling", "pipeline", "bench"))
 def samp5_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ae_data_integration_spark.functions.hashing import md5_rank
 

@@ -602,32 +602,70 @@ def substring_windows(
     occurrence order key (used for canonical-occurrence election
     without a per-fp window).
 
-    Scale design (100 TB): the window strings are built by O(L) array
-    slices over a MATERIALIZED char array (the zipf doc-length lesson
-    — ``substr(text, i, L)`` seeks from the string head and is
-    O(len^2) per doc), inside one transform + explode so only the
-    (pos, fp) struct survives into the generated rows — carrying the
-    char array THROUGH the explode would copy O(len) bytes per
-    window and hand the quadratic term right back. One scan, no
-    shuffle; ~len rows per doc of 44 bytes each.
+    Scale design (100 TB): two-level segmentation keeps the pass
+    LINEAR in corpus bytes with a small constant. Naive
+    ``substr(text, i, L)`` per window seeks from the string head —
+    O(len^2) per doc, the zipf doc-length killer; the all-array form
+    (slice + array_join over a char array) is linear but measured 4x
+    slower at fixture doc lengths (per-element array allocation in
+    the interpreted HOF). Instead: bounded SEGMENTS of 512+L-1 chars
+    are cut ONCE each from a materialized char array (O(seg) per
+    segment, O(len) per doc, few per doc), exploded, and windows are
+    substr'd WITHIN the <= 575-char segment — seek cost bounded by
+    the segment, independent of document length. Only the (pos, fp)
+    struct survives the window explode; the segment explode carries
+    ~1.1 bytes per corpus byte. One scan, no shuffle; ~len rows per
+    doc of 44 bytes each.
     """
+    seg_w = 512
     t = F.col(text_col)
-    ch = docs.select(
-        F.col(key_col).alias("key"), char_array(t).alias("_ch"), F.length(t).alias("_n")
+    src = docs.select(F.col(key_col).alias("key"), t.alias("_t"))
+    # narrow-scan rebalance (the doc_shingles spread rule): the window
+    # pass is ~200x row fan-out, so input splits < cores leaves most
+    # of the box idle exactly where the work is; at corpus scale the
+    # scan already has >> cores splits and this self-disables.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par, "key")
+    ch = src.select(
+        "key", char_array("_t").alias("_ch"), F.length("_t").alias("_n")
     )
-    seq = F.when(
+    # segment starts 1, 513, 1025, ... <= n-L+1; docs shorter than L
+    # produce no segments (and so no windows).
+    seg_seq = F.when(
         F.col("_n") >= min_len,
-        F.sequence(F.lit(1), F.col("_n") - F.lit(min_len - 1)),
+        F.sequence(
+            F.lit(1), F.col("_n") - F.lit(min_len - 1), F.lit(seg_w)
+        ),
     ).otherwise(F.array().cast("array<int>"))
+    segs_arr = F.transform(
+        seg_seq,
+        lambda s: F.struct(
+            s.cast("long").alias("seg_start"),
+            F.array_join(
+                F.slice(F.col("_ch"), s, seg_w + min_len - 1), ""
+            ).alias("seg"),
+        ),
+    )
+    segd = ch.select("key", F.explode(segs_arr).alias("s")).select(
+        "key", F.col("s.seg_start").alias("seg_start"), F.col("s.seg").alias("seg")
+    )
+    # local window positions 1 .. min(seg_w, seglen-L+1): the overlap
+    # region only SERVES windows that start in [1, seg_w], so every
+    # global position is generated exactly once.
+    win_seq = F.sequence(
+        F.lit(1),
+        F.least(F.lit(seg_w), F.length("seg") - F.lit(min_len - 1)),
+    )
     wins_arr = F.transform(
-        seq,
+        win_seq,
         lambda i: F.struct(
-            i.cast("long").alias("pos"),
-            F.md5(F.array_join(F.slice(F.col("_ch"), i, min_len), "")).alias("fp"),
+            (F.col("seg_start") + i.cast("long") - 1).alias("pos"),
+            F.md5(F.col("seg").substr(i, F.lit(min_len))).alias("fp"),
         ),
     )
     return (
-        ch.select("key", F.explode(wins_arr).alias("w"))
+        segd.select("key", F.explode(wins_arr).alias("w"))
         .select(
             "key",
             F.col("w.pos").alias("pos"),
@@ -671,8 +709,15 @@ def substring_duplicate_spans(
         .agg(F.min("kk").alias("canon"), F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= 2)
     )
+    # dup is corpus-derived (~1 row per DISTINCT repeated window) and
+    # must NEVER broadcast: the optimizer's post-filter size estimate
+    # undershoots wildly on replicated corpora (measured: AQE flipped
+    # this join to broadcast at 100x and the ~1 GiB build blew
+    # spark.driver.maxResultSize). Both sides are already fp-keyed
+    # from the election shuffle, so the hint pins the co-located plan
+    # that is right at every scale.
     flagged = (
-        w.join(dup, "fp")
+        w.join(dup.hint("shuffle_hash"), "fp")
         .filter(F.col("kk") != F.col("canon"))
         .select("key", "pos")
     )

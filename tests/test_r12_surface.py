@@ -548,3 +548,32 @@ def test_samp5_quotas_exact_and_capped(spark):
     for s, v in n.items():
         share = round(math.sqrt(v) / z * (1 << 30))
         assert got[s] == min((t * share) >> 30, v)
+
+
+def test_substring_windows_segmented_matches_bruteforce(spark):
+    """The two-level segment construction must emit exactly the
+    stride-1 window set of the naive definition — positions spanning
+    segment boundaries (512, 1024, ...) included, each exactly once.
+    Doc lengths straddle the boundary arithmetic: 63 (none), 64 (one
+    window), 575/576/577 (one vs two segments), 2000 (four)."""
+    import hashlib
+
+    from ae_data_integration_spark.operators.dedup import substring_windows
+
+    def fill(seed, n):
+        s = ""
+        j = 0
+        while len(s) < n:
+            s += hashlib.md5(f"{seed}:{j}".encode()).hexdigest()
+            j += 1
+        return s[:n]
+
+    docs = [(i, fill(f"doc{i}", n)) for i, n in
+            enumerate((63, 64, 575, 576, 577, 2000))]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {(r.key, r.pos): r.fp for r in substring_windows(df).collect()}
+    want = {
+        (i, p + 1): hashlib.md5(t[p:p + 64].encode()).hexdigest()
+        for i, t in docs for p in range(max(len(t) - 63, 0))
+    }
+    assert got == want
