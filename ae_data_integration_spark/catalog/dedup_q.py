@@ -1736,3 +1736,175 @@ def pipe10_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     spans = substring_duplicate_spans(d, min_len=_D8_L)
     return scrub_duplicate_spans(d, spans).orderBy("doc_id")
+
+
+# --- DQ9: span-scrub governance audit ---------------------------------------
+# The governance row for pipe10 (the dq4/dq6 discipline applied to
+# block-granular dedup): per source, how many documents carry
+# duplicated spans and what fraction of the source's bytes the scrub
+# removes — the "which sources are boilerplate-heavy" table a
+# curation review reads before trusting the scrubbed corpus (shared
+# templates concentrate in specific crawls/sites, so removal is
+# never mixture-neutral). Spliced from d8's proven CTE chain; one
+# source-keyed aggregate over the span table joined back to the doc
+# scan, |sources| rows out at any corpus size.
+
+_DQ9_SQL = f"""
+WITH {_D8_CTES},
+per_doc AS (
+  SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS removed
+  FROM spans GROUP BY doc_id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(p.removed) AS BIGINT) AS n_docs_affected,
+       CAST(COALESCE(SUM(p.removed), 0) AS BIGINT) AS removed_chars,
+       CAST(SUM(length(d.text)) AS BIGINT) AS src_chars,
+       round(CAST(COALESCE(SUM(p.removed), 0) AS DOUBLE)
+             / CAST(SUM(length(d.text)) AS DOUBLE), 6) AS removed_share
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+@register("dq9_span_audit", oracle=_DQ9_SQL,
+          doc="Span-scrub governance: per-source affected-doc count and "
+              "removed-byte share under d8's exact-substring spans — the "
+              "boilerplate-concentration table read before trusting the "
+              "scrubbed mixture. Spliced from d8's CTEs; one source-keyed "
+              "aggregate, |sources| rows out.",
+          tags=("dedup", "governance"))
+def dq9_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.dedup import (
+        substring_duplicate_spans,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    per_doc = (
+        substring_duplicate_spans(d, min_len=_D8_L)
+        .groupBy("doc_id")
+        .agg(F.sum("span_len").alias("removed"))
+    )
+    j = d.select(
+        "doc_id", "source", F.length("text").cast("long").alias("n")
+    ).join(per_doc, "doc_id", "left")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("removed").alias("n_docs_affected"),
+            F.coalesce(F.sum("removed"), F.lit(0)).alias("removed_chars"),
+            F.sum("n").alias("src_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_docs_affected",
+            "removed_chars",
+            F.col("src_chars"),
+            F.round(
+                F.col("removed_chars").cast("double")
+                / F.col("src_chars").cast("double"),
+                6,
+            ).alias("removed_share"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- PIPE10i: incremental span scrub (batch vs corpus) ----------------------
+# The ingestion form of pipe10 (pipe5's discipline applied to block-
+# granular dedup): the incoming batch (doc_id % 5 == 0) is scrubbed
+# against the existing corpus's window-fingerprint artifact — the
+# corpus is ALWAYS canonical (ingestion order outranks doc_id; the
+# deliberate divergence from d8's global (doc, pos) election), and
+# batch-internal repeats keep their batch-canonical copy. Work per
+# drain is batch windows + one fp-keyed semi join against the stored
+# DISTINCT-fp table, never a corpus re-election.
+
+_PIPE10I_SQL = f"""
+WITH wins AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(text[CAST(i AS INTEGER) : CAST(i + {_D8_L - 1} AS INTEGER)]) AS fp,
+         doc_id * 4294967296 + i AS kk
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) - {_D8_L - 2})) AS i
+        FROM documents)
+),
+bw AS (SELECT * FROM wins WHERE doc_id % 5 = 0),
+cfp AS (SELECT DISTINCT fp FROM wins WHERE doc_id % 5 != 0),
+bdup AS (SELECT fp, MIN(kk) AS canon FROM bw GROUP BY fp HAVING COUNT(*) >= 2),
+flag AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT b.doc_id, b.pos FROM bw b JOIN cfp USING (fp)
+    UNION ALL
+    SELECT b.doc_id, b.pos FROM bw b JOIN bdup USING (fp)
+    WHERE b.kk <> bdup.canon
+  )
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos > prev + {_D8_L} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+  FROM (SELECT doc_id, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM flag)
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {_D8_L - 1} AS span_end,
+         MAX(pos) + {_D8_L - 1} - MIN(pos) + 1 AS span_len
+  FROM isl GROUP BY doc_id, island
+),
+meta AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS orig_len
+         FROM documents WHERE doc_id % 5 = 0),
+gaps AS (
+  SELECT doc_id, COALESCE(prev_end, 0) + 1 AS gs, span_start - 1 AS ge
+  FROM (SELECT doc_id, span_start,
+               LAG(span_end) OVER (PARTITION BY doc_id ORDER BY span_start) AS prev_end
+        FROM spans)
+  WHERE span_start - 1 >= COALESCE(prev_end, 0) + 1
+  UNION ALL
+  SELECT s.doc_id, s.mx + 1 AS gs, m.orig_len AS ge
+  FROM (SELECT doc_id, MAX(span_end) AS mx FROM spans GROUP BY doc_id) s
+  JOIN meta m USING (doc_id) WHERE m.orig_len >= s.mx + 1
+),
+segs AS (
+  SELECT g.doc_id, g.gs,
+         m.text[CAST(g.gs AS INTEGER) : CAST(g.ge AS INTEGER)] AS seg
+  FROM gaps g JOIN meta m USING (doc_id)
+),
+cleaned AS (SELECT doc_id, string_agg(seg, '' ORDER BY gs) AS clean
+            FROM segs GROUP BY doc_id),
+per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(span_len) AS BIGINT) AS removed_chars
+        FROM spans GROUP BY doc_id)
+SELECT p.doc_id, m.orig_len, p.n_spans, p.removed_chars,
+       md5(COALESCE(c.clean, '')) AS clean_fp
+FROM per p JOIN meta m USING (doc_id) LEFT JOIN cleaned c USING (doc_id)
+ORDER BY p.doc_id
+"""
+
+
+@register("pipe10i_incremental_span_scrub", oracle=_PIPE10I_SQL,
+          doc="Incremental exact-substring scrub: the incoming batch's "
+              "windows flagged against the corpus DISTINCT-fp artifact "
+              "(corpus always canonical — ingestion order outranks "
+              "doc_id) plus batch-internal election, island-merged and "
+              "gap-rebuilt; work per drain is batch windows + one "
+              "fp-keyed semi join, never a corpus re-election.",
+          tags=("dedup", "text", "pipeline"))
+def pipe10i_incremental_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ae_data_integration_spark.operators.dedup import (
+        incremental_span_flags,
+        merge_window_islands,
+        scrub_duplicate_spans,
+        substring_windows,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    cfp = substring_windows(corpus, min_len=_D8_L).select("fp").distinct()
+    flagged = incremental_span_flags(batch, cfp, min_len=_D8_L)
+    spans = merge_window_islands(flagged, min_len=_D8_L)
+    return scrub_duplicate_spans(batch, spans).orderBy("doc_id")

@@ -721,6 +721,20 @@ def substring_duplicate_spans(
         .filter(F.col("kk") != F.col("canon"))
         .select("key", "pos")
     )
+    return merge_window_islands(flagged, key_col, min_len)
+
+
+def merge_window_islands(
+    flagged: DataFrame, key_col: str = "doc_id", min_len: int = 64
+) -> DataFrame:
+    """Merge flagged window positions (key, pos) into maximal disjoint
+    spans by the island-and-gap rule (new island iff the gap between
+    consecutive flagged starts exceeds ``min_len`` — overlap OR
+    adjacency merges). The per-key window is bounded by document
+    length. Shared by the batch (substring_duplicate_spans) and
+    incremental (incremental_span_flags) flag producers."""
+    from pyspark.sql import Window
+
     ww = Window.partitionBy("key").orderBy("pos")
     isl = (
         flagged.withColumn("prev", F.lag("pos").over(ww))
@@ -750,6 +764,50 @@ def substring_duplicate_spans(
             "n_wins",
         )
     )
+
+
+def incremental_span_flags(
+    batch: DataFrame,
+    corpus_fps: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 64,
+) -> DataFrame:
+    """Flagged window positions of an incoming BATCH against an
+    existing corpus — the ingestion form of exact-substring dedup.
+
+    A batch window occurrence is duplicated when (a) its fingerprint
+    exists in ``corpus_fps`` (the corpus is always canonical:
+    ingestion order outranks doc_id — this is where the incremental
+    semantics deliberately differ from the batch election, which
+    elects the globally smallest (doc, pos)), or (b) its fingerprint
+    repeats WITHIN the batch and this occurrence is not the
+    batch-canonical one.
+
+    ``corpus_fps`` is the stored artifact of the lifecycle: one row
+    per DISTINCT corpus window fingerprint (strictly smaller than
+    the occurrence table). At 100 TB it lives as parquet and each
+    batch pays one fp-keyed semi join against it — work per drain is
+    batch windows + matched fps, and a batch-fp Bloom gate (the
+    pipe5c discipline) prunes the corpus-side scan the same way.
+    """
+    bw = substring_windows(batch, key_col, text_col, min_len).transform(
+        persist_tracked
+    )
+    bdup = (
+        bw.groupBy("fp")
+        .agg(F.min("kk").alias("canon"), F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+    )
+    flag_c = bw.join(
+        corpus_fps.select("fp").hint("shuffle_hash"), "fp", "leftsemi"
+    ).select("key", "pos")
+    flag_b = (
+        bw.join(bdup.hint("shuffle_hash"), "fp")
+        .filter(F.col("kk") != F.col("canon"))
+        .select("key", "pos")
+    )
+    return flag_c.unionByName(flag_b).distinct()
 
 
 def scrub_duplicate_spans(

@@ -93,6 +93,8 @@ QUERIES = [
     "pipe10_span_scrub",         # complement-gap span scrub (r12)
     "samp5_temperature_mixture",  # quota-exact mixture materialization (r12)
     "s11_filtered_ann",          # pre-filtered broadcast-probe ANN (r12)
+    "dq9_span_audit",            # per-source span-scrub governance (r12)
+    "pipe10i_incremental_span_scrub",  # batch-vs-corpus span scrub (r12)
 ]
 
 

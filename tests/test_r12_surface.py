@@ -577,3 +577,50 @@ def test_substring_windows_segmented_matches_bruteforce(spark):
         for i, t in docs for p in range(max(len(t) - 63, 0))
     }
     assert got == want
+
+
+def test_incremental_span_flags_corpus_always_canonical(spark):
+    """The ingestion rule: a batch doc sharing a block with the
+    corpus is scrubbed EVEN IF its doc_id is smaller than the corpus
+    owner's — ingestion order outranks doc_id (deliberate divergence
+    from d8's global election, where the smallest (doc, pos) wins).
+    Batch-internal repeats still keep their batch-canonical copy."""
+    import hashlib
+
+    from ae_data_integration_spark.operators.dedup import (
+        incremental_span_flags,
+        merge_window_islands,
+        substring_windows,
+    )
+
+    def fill(seed, n):
+        s = ""
+        j = 0
+        while len(s) < n:
+            s += hashlib.md5(f"{seed}:{j}".encode()).hexdigest()
+            j += 1
+        return s[:n]
+
+    block = "".join(f"Z{i:03d}" for i in range(10))  # 40 chars aperiodic
+    # corpus doc 100 owns the block; batch doc 1 (SMALLER id) repeats
+    # it; batch docs 2 and 3 share a batch-only block (doc 2 is
+    # batch-canonical, doc 3 scrubbed).
+    bblock = "".join(f"W{i:03d}" for i in range(10))
+    corpus = spark.createDataFrame(
+        [(100, fill("c", 40) + block + fill("c2", 40))], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, fill("a", 40) + block + fill("a2", 40)),
+            (2, fill("b", 40) + bblock + fill("b2", 40)),
+            (3, fill("d", 40) + bblock + fill("d2", 40)),
+        ],
+        ["doc_id", "text"],
+    )
+    cfp = substring_windows(corpus, min_len=32).select("fp").distinct()
+    flagged = incremental_span_flags(batch, cfp, min_len=32)
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in merge_window_islands(flagged, min_len=32).collect()
+    }
+    assert spans == {(1, 41, 80), (3, 41, 80)}
