@@ -18,7 +18,7 @@ as centroid-join aggregates (ref test_metrics.py:15-17).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ae_data_integration_spark.functions.arrays import to_double
@@ -37,17 +37,59 @@ def _sq_dist(a, b):
     )
 
 
+def _assign_expr(vec_col, cent_rows: list) -> F.Column:
+    """struct(sqdist, cluster) of the nearest centroid, as ONE
+    expression over a model-sized centroid list embedded as literals.
+
+    Bit-identical to the former crossJoin+rank-window argmin: the
+    per-centroid distance is the same zip_with/aggregate sequential
+    fold (identical IEEE op sequence — zip_with against a literal
+    array evaluates exactly as against a joined column), and
+    array_min over struct(sqdist, cluster) is the same lexicographic
+    (distance, cluster) tie-break the window's orderBy applied. What
+    changes is only the plan: a single projection instead of a k-way
+    row explosion + shuffle + sort — the per-assignment exchange was
+    the dominant fixed cost of every Lloyd iteration at bench scale
+    and shuffles k·N rows at any scale (guide §2.4: remove shuffles
+    outright; the centroid side is model-sized by construction)."""
+    # Built as ONE SQL-text expression (F.expr): constructing the same
+    # tree node-by-node through the Python Column API costs ~0.8 s of
+    # py4j round-trips per plan build (measured), the JVM-side parse
+    # of the text form is ~free. CAST('<repr>' AS DOUBLE) round-trips
+    # every centroid component exactly (shortest-repr parse is
+    # correctly rounded on both sides).
+    parts = []
+    for r in sorted(cent_rows, key=lambda r: r["cluster"]):
+        arr = ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in r["centroid"])
+        sq = (
+            f"aggregate(zip_with({vec_col}, array({arr}), "
+            "(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), "
+            "(acc, v) -> acc + v)"
+        )
+        parts.append(
+            f"named_struct('{_SQDIST}', {sq}, "
+            f"'cluster', CAST({int(r['cluster'])} AS BIGINT))"
+        )
+    return F.expr(f"array_min(array({','.join(parts)}))")
+
+
 def _assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast k centroids, argmin by
-    (distance, cluster) — deterministic under ties."""
-    joined = points.crossJoin(F.broadcast(centroids)).withColumn(
-        _SQDIST, _sq_dist("vec", "centroid")
-    )
-    w = Window.partitionBy("id").orderBy(_SQDIST, "cluster")
-    return (
-        joined.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select("id", "vec", "cluster", _SQDIST)
+    """Nearest-centroid assignment: argmin by (distance, cluster) —
+    deterministic under ties. The centroid table is model-sized
+    (k×d) by contract everywhere, so it is collected and inlined as
+    literals (see _assign_expr); callers may pass either a literal
+    DataFrame (kmeans_fit's per-iteration tables) or a parquet-backed
+    one (ann_index's stored coarse quantizer)."""
+    rows = centroids.select("cluster", "centroid").collect()
+    best = _assign_expr("vec", rows)
+    # two-step select: the argmin struct is materialized once per row
+    # and the field extraction lives in its own projection (Catalyst's
+    # CollapseProject keeps non-cheap expressions single-evaluation)
+    return points.select("id", "vec", best.alias("_mn")).select(
+        "id",
+        "vec",
+        F.col("_mn.cluster").alias("cluster"),
+        F.col(f"_mn.{_SQDIST}").alias(_SQDIST),
     )
 
 

@@ -346,6 +346,27 @@ def _sqdist_unrolled(a, b, n: int):
     return out
 
 
+def _pq_sub_scored(pts: DataFrame, cb: DataFrame, m: int, ds: int) -> DataFrame:
+    """(id, ss, sv, cluster, sqd) — every (vector, subspace) row
+    scored against its subspace's codebook rows (broadcast join; the
+    codebook is model-sized). Shared by the Lloyd pass and the
+    encode; argmin is taken by the caller with a map-side-combined
+    aggregate, NOT a rank window — min(struct(sqd, cluster)) is the
+    same (distance, cluster) tie-break the window's orderBy applied,
+    without the N·m·k-row exchange + sort (guide §2.3-2.4: aggregate
+    before you shuffle; the partial agg ships one row per (id, ss)
+    instead of k)."""
+    sub = pts.select(
+        "id",
+        F.posexplode(
+            F.array(*[F.slice("v", ss * ds + 1, ds) for ss in range(m)])
+        ).alias("ss", "sv"),
+    )
+    return sub.join(F.broadcast(cb), "ss").withColumn(
+        "sqd", _sqdist_unrolled("sv", "centroid", ds)
+    )
+
+
 def _pq_train_encode(
     pts: DataFrame, m: int, k: int, ds: int, salt: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -382,26 +403,20 @@ def _pq_train_encode(
         "ss int, cluster long, centroid array<double>",
     )
 
-    sub = pts.select(
-        "id",
-        F.posexplode(
-            F.array(*[F.slice("v", ss * ds + 1, ds) for ss in range(m)])
-        ).alias("ss", "sv"),
+    # Seed-codebook assignment: min_by argmin (ObjectHashAggregate —
+    # map-side combined, no rank window / sort; see _pq_sub_scored).
+    # The ordering struct (sqd, cluster) is unique within a group, so
+    # min_by is deterministic and equals the former window's
+    # orderBy(sqd, cluster) first-row.
+    assigned0 = (
+        _pq_sub_scored(pts, cb0, m, ds)
+        .groupBy("id", "ss")
+        .agg(F.min_by(F.struct("sv", "cluster"), F.struct("sqd", "cluster")).alias("_b"))
+        .select("id", "ss", F.col("_b.sv").alias("sv"), F.col("_b.cluster").alias("cluster"))
     )
 
-    def _assign(cb: DataFrame) -> DataFrame:
-        j = sub.join(F.broadcast(cb), "ss").withColumn(
-            "sqd", _sqdist_unrolled("sv", "centroid", ds)
-        )
-        w = Window.partitionBy("id", "ss").orderBy("sqd", "cluster")
-        return (
-            j.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .select("id", "ss", "sv", "cluster")
-        )
-
     upd = (
-        _assign(cb0)
+        assigned0
         .select("ss", "cluster", F.posexplode("sv").alias("dim", "x"))
         .groupBy("ss", "cluster", "dim")
         .agg((fpsum("x", Q30) / F.count(F.lit(1)).cast("double")).alias("mn"))
@@ -409,7 +424,9 @@ def _pq_train_encode(
         .agg(F.array_sort(F.collect_list(F.struct("dim", "mn"))).alias("_dm"))
         .select("ss", "cluster", F.transform("_dm", lambda s: s["mn"]).alias("centroid"))
     )
-    cb1 = spark.createDataFrame(upd.collect(), cb0.schema)  # model-sized
+    cb1 = spark.createDataFrame(
+        upd.collect(), "ss int, cluster long, centroid array<double>"
+    )  # model-sized
 
     return cb1, _pq_encode(pts, cb1, m, ds)
 
@@ -421,23 +438,24 @@ def _pq_encode(pts: DataFrame, cb1: DataFrame, m: int, ds: int) -> DataFrame:
     broadcast of the model-sized codebook, one per-(id, subspace)
     nearest-centroid window), no retraining and no touch of the codes
     already stored. Shared by _pq_train_encode (the build) and
-    ann_index.append_to_pq_index (the increment)."""
-    sub = pts.select(
-        "id",
-        F.posexplode(
-            F.array(*[F.slice("v", ss * ds + 1, ds) for ss in range(m)])
-        ).alias("ss", "sv"),
+    ann_index.append_to_pq_index (the increment).
+
+    Argmin per subspace is a PIVOTED min(when(ss=…)) aggregate —
+    ONE map-side-combined exchange keyed by id replaces the former
+    per-(id, ss) rank window (exchange of N·m·k rows + sort) AND the
+    second groupBy(id) collect_list exchange. min over struct(sqd,
+    cluster) is the same lexicographic (distance, cluster) tie-break;
+    the array is assembled in subspace order exactly as the former
+    array_sort(collect_list(struct(ss, cluster))) did."""
+    j = _pq_sub_scored(pts, cb1, m, ds)
+    mins = j.groupBy("id").agg(
+        *[
+            F.min(F.when(F.col("ss") == ss, F.struct("sqd", "cluster"))).alias(f"_m{ss}")
+            for ss in range(m)
+        ]
     )
-    j = sub.join(F.broadcast(cb1), "ss").withColumn(
-        "sqd", _sqdist_unrolled("sv", "centroid", ds)
-    )
-    w = Window.partitionBy("id", "ss").orderBy("sqd", "cluster")
-    return (
-        j.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("ss", "cluster"))).alias("_sc"))
-        .select("id", F.transform("_sc", lambda s: s["cluster"]).alias("codes"))
+    return mins.select(
+        "id", F.array(*[F.col(f"_m{ss}.cluster") for ss in range(m)]).alias("codes")
     )
 
 
@@ -471,8 +489,6 @@ def _pq_serve(
     """
     from ae_data_integration_spark.functions.portable import Q30
 
-    spark = pts.sparkSession
-
     # --- per-query ADC lookup tables: Q*m*k quantized partial dots
     q_sub = (
         pts.join(F.broadcast(q_ids), pts["id"] == q_ids["q_id"])
@@ -492,20 +508,29 @@ def _pq_serve(
     # densify over the full (ss, cluster) spine: a cluster left empty
     # by the Lloyd pass is absent from cb1, and a gapped array would
     # silently break the ss*k+code index arithmetic. Padding value 0
-    # is never read (codes only reference surviving clusters).
-    spine = spark.range(m * k).select(
-        (F.col("id") / k).cast("int").alias("ss"),
-        (F.col("id") % k).cast("long").alias("cluster"),
-    )
+    # is never read (codes only reference surviving clusters). The
+    # spine is realized as a sequence/map projection in the SAME agg
+    # that gathers the entries — the former spine crossJoin + left
+    # join pair added two join stages per query for the same array.
     lut = (
-        q_ids.crossJoin(F.broadcast(spine))
-        .join(lut_r, ["q_id", "ss", "cluster"], "left")
-        .select(
-            "q_id", "ss", "cluster", F.coalesce("p", F.lit(0)).alias("p")
+        lut_r.groupBy("q_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (F.col("ss") * k + F.col("cluster")).cast("int").alias("k"),
+                        F.col("p").alias("v"),
+                    )
+                )
+            ).alias("_mp")
         )
-        .groupBy("q_id")
-        .agg(F.array_sort(F.collect_list(F.struct("ss", "cluster", "p"))).alias("_t"))
-        .select("q_id", F.transform("_t", lambda s: s["p"]).alias("lut"))
+        .select(
+            "q_id",
+            F.expr(
+                f"transform(sequence(0, {m * k - 1}), "
+                "i -> coalesce(element_at(_mp, i), CAST(0 AS BIGINT)))"
+            ).alias("lut"),
+        )
     )
 
     # --- ADC scan: m integer lookups per (doc, query), no float math
@@ -633,8 +658,6 @@ def _ivfpq_serve(
     """
     from ae_data_integration_spark.functions.portable import Q30
 
-    spark = pts.sparkSession
-
     # --- probes: nprobe nearest cells per query (Q x k_coarse rows)
     q = pts.select(F.col("id").alias("q_id"), F.col("vec").alias("q_vec")).join(
         F.broadcast(q_ids), "q_id"
@@ -674,17 +697,26 @@ def _ivfpq_serve(
             -_sqdist_unrolled("qsv", "centroid", ds) * F.lit(float(Q30))
         ).cast("long").alias("p"),
     )
-    spine = spark.range(m * k).select(
-        (F.col("id") / k).cast("int").alias("ss"),
-        (F.col("id") % k).cast("long").alias("cluster"),
-    )
+    # same spine-free densify as _pq_serve (see the comment there)
     lut = (
-        probes.select("q_id", "cell").crossJoin(F.broadcast(spine))
-        .join(lut_r, ["q_id", "cell", "ss", "cluster"], "left")
-        .select("q_id", "cell", "ss", "cluster", F.coalesce("p", F.lit(0)).alias("p"))
-        .groupBy("q_id", "cell")
-        .agg(F.array_sort(F.collect_list(F.struct("ss", "cluster", "p"))).alias("_t"))
-        .select("q_id", "cell", F.transform("_t", lambda s: s["p"]).alias("lut"))
+        lut_r.groupBy("q_id", "cell")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (F.col("ss") * k + F.col("cluster")).cast("int").alias("k"),
+                        F.col("p").alias("v"),
+                    )
+                )
+            ).alias("_mp")
+        )
+        .select(
+            "q_id", "cell",
+            F.expr(
+                f"transform(sequence(0, {m * k - 1}), "
+                "i -> coalesce(element_at(_mp, i), CAST(0 AS BIGINT)))"
+            ).alias("lut"),
+        )
     )
 
     # --- ADC over probed cells only
