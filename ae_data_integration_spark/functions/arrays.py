@@ -71,7 +71,22 @@ def dot_unrolled(a: Column | str, b: Column | str, d: int) -> Column:
     unrolled form compiles into whole-stage codegen (~20x on wide
     candidate joins) and is bit-identical (identical association
     order). Use whenever the vector width is known at plan time —
-    which in this engine is always (schema-fixed embedding columns)."""
+    which in this engine is always (schema-fixed embedding columns).
+
+    For string refs the tree is built as ONE SQL-text expr: a d-term
+    Column chain costs ~7ms/term of py4j round-trips at plan-build
+    time (measured 429 ms at d=64 — it dominated _pq_serve's 0.8 s
+    plan construction), while the parser builds the IDENTICAL tree
+    from text in <1 ms. SQL `+`/`*` are left-associative, `0.0D` is
+    the double literal, so the fold order — hence every bit of the
+    result — is unchanged."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            "0.0D" + "".join(
+                f" + element_at({a}, {i})*element_at({b}, {i})"
+                for i in range(1, d + 1)
+            )
+        )
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     return _unrolled_fold(
@@ -80,6 +95,8 @@ def dot_unrolled(a: Column | str, b: Column | str, d: int) -> Column:
 
 
 def sq_l2_unrolled(arr: Column | str, d: int) -> Column:
+    if isinstance(arr, str):
+        return dot_unrolled(arr, arr, d)
     arr = F.col(arr) if isinstance(arr, str) else arr
     return _unrolled_fold(
         [F.element_at(arr, i + 1) * F.element_at(arr, i + 1) for i in range(d)]

@@ -210,14 +210,39 @@ def hyperplane_signature(vec_col, bits: int = 8, salt: str = "hp", dim: int = 64
     null-pads a shorter side, zeroing affected sign bits. The
     projection is a sequential left fold over dimensions: bit-exact.
     """
-    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-
     # Deliberately the compact HOF fold, NOT an unrolled expression:
     # the signature is O(N) row work (bits x dim interpreted ops per
     # ROW, never per pair) — negligible next to the pair-level joins —
     # while an unrolled bits*dim-term tree costs Catalyst/codegen
     # seconds of PLAN time per query. Unrolling pays only in per-PAIR
     # expressions (see _cos_with_norms).
+    #
+    # Built as ONE SQL-text expr: the former per-literal Column form
+    # issued bits*dim F.lit py4j calls (~3.0 s of plan construction at
+    # 8x64, measured); the parser builds the IDENTICAL tree — same HOF
+    # lambdas, same fold order, repr() round-trips each plane double
+    # exactly — in ~2 ms. String-ref inputs only (every call site
+    # passes a column name); Column inputs fall back below.
+    if isinstance(vec_col, str):
+        def proj_sql(j: int) -> str:
+            lits = ", ".join(
+                f"{_plane_component(j, d, salt)!r}D" for d in range(dim)
+            )
+            return (
+                f"aggregate(zip_with({vec_col}, array({lits}), "
+                "(x, p) -> x * p), 0.0D, (acc, x) -> acc + x)"
+            )
+
+        return F.expr(
+            "CAST(0 AS BIGINT)" + "".join(
+                f" + CASE WHEN {proj_sql(j)} > 0 THEN CAST({1 << j} AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END"
+                for j in range(bits)
+            )
+        )
+
+    vec = vec_col
+
     def proj(j: int):
         plane = F.array(*[F.lit(_plane_component(j, d, salt)) for d in range(dim)])
         return F.aggregate(
@@ -336,7 +361,17 @@ def ivf_topk(
 def _sqdist_unrolled(a, b, n: int):
     """Statically unrolled Σ(a[i]-b[i])² — same sequential fold order
     as list_reduce, compiled by whole-stage codegen (the per-candidate
-    expression rule, see _cos_with_norms)."""
+    expression rule, see _cos_with_norms). String refs build the tree
+    as ONE SQL-text expr (same parser-built tree, ~100x cheaper plan
+    construction than per-term py4j Column ops — see dot_unrolled)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            "0.0D" + "".join(
+                f" + (element_at({a}, {i}) - element_at({b}, {i}))"
+                f"*(element_at({a}, {i}) - element_at({b}, {i}))"
+                for i in range(1, n + 1)
+            )
+        )
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     out = F.lit(0.0)
@@ -534,14 +569,14 @@ def _pq_serve(
     )
 
     # --- ADC scan: m integer lookups per (doc, query), no float math
-    score = F.lit(0).cast("long")
-    for ss in range(m):
-        idx = (
-            F.lit(ss * k)
-            + F.element_at("codes", ss + 1).cast("int")
-            + F.lit(1)
-        ).cast("int")
-        score = score + F.element_at("lut", idx)
+    # one SQL-text expr instead of ~6m py4j Column ops (see dot_unrolled)
+    score = F.expr(
+        "CAST(0 AS BIGINT)" + "".join(
+            f" + element_at(lut, CAST({ss * k}"
+            f" + CAST(element_at(codes, {ss + 1}) AS INT) + 1 AS INT))"
+            for ss in range(m)
+        )
+    )
     appr = (
         codes.crossJoin(F.broadcast(lut))
         .filter(F.col("id") != F.col("q_id"))
@@ -720,12 +755,14 @@ def _ivfpq_serve(
     )
 
     # --- ADC over probed cells only
-    score = F.lit(0).cast("long")
-    for ss in range(m):
-        idx = (
-            F.lit(ss * k) + F.element_at("codes", ss + 1).cast("int") + F.lit(1)
-        ).cast("int")
-        score = score + F.element_at("lut", idx)
+    # one SQL-text expr instead of ~6m py4j Column ops (see dot_unrolled)
+    score = F.expr(
+        "CAST(0 AS BIGINT)" + "".join(
+            f" + element_at(lut, CAST({ss * k}"
+            f" + CAST(element_at(codes, {ss + 1}) AS INT) + 1 AS INT))"
+            for ss in range(m)
+        )
+    )
     appr = (
         coded.join(F.broadcast(lut), "cell")
         .filter(F.col("id") != F.col("q_id"))
