@@ -51,6 +51,32 @@ def persist_tracked_if_small(
     return persist_tracked(df) if est <= max_bytes else df
 
 
+def coalesce_for_size(
+    df: DataFrame, target_bytes: int = 64 * 1024 * 1024
+) -> DataFrame:
+    """Coalesce to ~``target_bytes`` partitions (capped at the default
+    parallelism, floored at 1) using Catalyst's sizeInBytes estimate —
+    driver-side plan stats, no job. For frames that are about to be
+    materialized (persist/localCheckpoint) and then RE-SCANNED many
+    times by a driver loop (the BPE vocab: 10-20+ rounds): a cached
+    shuffle output keeps its pre-AQE partition count
+    (canChangeCachedPlanOutputPartitioning is off by default), so a
+    model-sized table cached at shuffle.partitions granularity pays
+    tasks-per-round × rounds of pure scheduling overhead. The size
+    estimate keeps this scale-adaptive: a 100-TB-derived vocab keeps
+    its parallelism (guide §2.2 — size partitions to ~100 MB-1 GB,
+    not to the fixture). Unknown stats pass through unchanged."""
+    try:
+        est = int(str(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        ))
+    except Exception:  # noqa: BLE001 - stats are an optimization only
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    n = max(1, min(par, (est + target_bytes - 1) // target_bytes))
+    return df.coalesce(int(n))
+
+
 def track(df: DataFrame) -> DataFrame:
     """Register an ALREADY-persisted frame for release_tracked() —
     for loop-style operators (dbscan label propagation) whose final

@@ -81,6 +81,10 @@ from ae_data_integration_spark.operators.bpe import (
     wrapped,
 )
 
+# Re-base the vocab lineage on materialized blocks every N rounds —
+# see the cadence comment in train_bpe_batched.
+_CKPT_EVERY = 4
+
 
 def _select_batch(rows: list, want: int, window: int, exact: bool) -> list:
     """Pick this round's merge batch from the sorted pair-count rows.
@@ -138,14 +142,27 @@ def train_bpe_batched(
     `stats`, when passed, receives {"n_jobs", "n_merges",
     "batch_sizes"} so the bench records the merges-per-job ratio.
     """
+    from ae_data_integration_spark.functions.caching import coalesce_for_size
+
     vocab = (
         word_vocab(docs, text_col)
         .select(wrapped("tok").alias("rep"), "n")
+        .transform(coalesce_for_size)
         .localCheckpoint()
     )
     merges: list[tuple] = []
     n_jobs = 0
     batch_sizes: list[int] = []
+    # Checkpoint CADENCE: the eager localCheckpoint is a full extra
+    # job per round; re-basing every round bought nothing over
+    # re-basing every few rounds (lineage between checkpoints is just
+    # ≤ _CKPT_EVERY × max_batch literal replaces — nowhere near the
+    # unbounded-lineage AQE plan-render OOM the docstring describes).
+    # Folding 3 of every 4 materializations into the next round's
+    # collect measured 9.95 s -> 5.8 s at R=40 exact, identical table.
+    # (An eager=False checkpoint EVERY round was tried and REJECTED:
+    # it serializes each materialization into the single collect.)
+    rounds_since_ckpt = 0
     while len(merges) < rounds:
         # do NOT shrink the batch near the target — learn a full batch
         # and trim the table afterwards (a prefix of a valid merge
@@ -174,7 +191,11 @@ def train_bpe_batched(
                  int(r["n_occurrences"]))
             )
             rep = apply_merge(rep, left, right)
-        vocab = vocab.select(rep.alias("rep"), "n").localCheckpoint()
+        vocab = vocab.select(rep.alias("rep"), "n")
+        rounds_since_ckpt += 1
+        if rounds_since_ckpt >= _CKPT_EVERY:
+            vocab = vocab.localCheckpoint()
+            rounds_since_ckpt = 0
     if len(merges) > rounds:  # trim the final over-full batch
         trimmed = len(merges) - rounds
         merges = merges[:rounds]
