@@ -342,41 +342,41 @@ def lifecycle_report(
     hits = _p9_serve_hits(spark, sf_dir, accepted, index_path)
 
     zero = F.lit(0).cast("long")
-    arrived = (
-        accepted.select("doc_id", "source")
-        .unionByName(drops.select("doc_id", "source"))
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_arrived"))
+    # ONE per-source aggregate over the labeled batch instead of four
+    # (arrived / exact drops / near drops / quality composition) + a
+    # 4-way join: every former column is a conditional count over the
+    # same (doc_id, source, signal) rows, so a status-labeled union
+    # left-joined with the quality buckets computes all of them in a
+    # single |sources|-keyed exchange (guide §2.4 — two operations
+    # keyed the same way share one exchange; here seven do). Counts,
+    # tie semantics and output types are unchanged: n_accepted counted
+    # bucketed⋈accepted inner-join rows, which is exactly the
+    # bucket-not-null rows of the left join (accepted ∩ drops = ∅ and
+    # bucketed ⊆ accepted), and SUM skips the nulls n_tok carries on
+    # non-scored rows.
+    status = (
+        accepted.select("doc_id", "source", F.lit("acc").alias("signal"))
+        .unionByName(drops.select("doc_id", "source", "signal"))
+        .join(bucketed.select("doc_id", "n_tok", "bucket"), "doc_id", "left")
     )
-    exd = (
-        drops.filter(F.col("signal") == "exact")
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_exact_dup"))
-    )
-    nrd = (
-        drops.filter(F.col("signal") == "near")
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_near_dup"))
-    )
-    accs = (
-        bucketed.join(accepted.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_accepted"),
-            F.sum(F.when(F.col("bucket") == "head", 1).otherwise(0))
-            .cast("long").alias("n_head"),
-            F.sum(F.when(F.col("bucket") == "middle", 1).otherwise(0))
-            .cast("long").alias("n_middle"),
-            F.sum(F.when(F.col("bucket") == "tail", 1).otherwise(0))
-            .cast("long").alias("n_tail"),
-            F.sum("n_tok").alias("tok_accepted"),
-        )
+    base = status.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_arrived"),
+        F.sum(F.when(F.col("signal") == "exact", 1).otherwise(0))
+        .cast("long").alias("n_exact_dup"),
+        F.sum(F.when(F.col("signal") == "near", 1).otherwise(0))
+        .cast("long").alias("n_near_dup"),
+        F.sum(F.when(F.col("bucket").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_accepted"),
+        F.sum(F.when(F.col("bucket") == "head", 1).otherwise(0))
+        .cast("long").alias("n_head"),
+        F.sum(F.when(F.col("bucket") == "middle", 1).otherwise(0))
+        .cast("long").alias("n_middle"),
+        F.sum(F.when(F.col("bucket") == "tail", 1).otherwise(0))
+        .cast("long").alias("n_tail"),
+        F.sum("n_tok").alias("tok_accepted"),
     )
     return (
-        arrived.join(exd, "source", "left")
-        .join(nrd, "source", "left")
-        .join(accs, "source", "left")
-        .join(hits.withColumnRenamed("n", "n_new_in_topk"), "source", "left")
+        base.join(hits.withColumnRenamed("n", "n_new_in_topk"), "source", "left")
         .select(
             "source",
             "n_arrived",

@@ -1773,13 +1773,17 @@ def _t23_bucketize(scored: DataFrame) -> DataFrame:
     from ae_data_integration_spark.functions.ranks import order_statistics
 
     scored = scored.localCheckpoint()
-    if scored.rdd.isEmpty():  # empty corpus: no boundaries to fetch
-        return scored.withColumn("bucket", F.lit("head")).limit(0)
-    (b1, b2), _n = order_statistics(
+    # The empty-corpus case rides the order-statistics partition
+    # aggregate (n == 0 -> no ranks requested) instead of paying a
+    # separate rdd.isEmpty() job per bucketize call.
+    bounds, _n = order_statistics(
         scored,
         ["avg_nll", "doc_id"],
-        lambda n: [math.ceil(n / 3), math.ceil(2 * n / 3)],
+        lambda n: [] if n == 0 else [math.ceil(n / 3), math.ceil(2 * n / 3)],
     )
+    if _n == 0:  # empty corpus: no boundaries to fetch
+        return scored.withColumn("bucket", F.lit("head")).limit(0)
+    b1, b2 = bounds
 
     def le(bound) -> F.Column:  # (avg_nll, doc_id) <= bound, tuple order
         return (F.col("avg_nll") < F.lit(bound["avg_nll"])) | (

@@ -90,6 +90,8 @@ def order_statistics(
             )
         n_total = sum(r["_n"] for r in parts)
         want = list(ranks(n_total)) if callable(ranks) else list(ranks)
+        if not want:  # nothing requested: skip the fetch job outright
+            return [], n_total
         targets: dict[int, int] = {}
         for rk in want:
             if not 1 <= rk <= n_total:
