@@ -281,7 +281,7 @@ def _p9_quality(spark: SparkSession, sf_dir: str, accepted: DataFrame) -> DataFr
         v=_T23_V, salt="pipe9",
     )
     acc_toks = accepted.select("doc_id", tokens("text").alias("t"))
-    return _t23_bucketize(lm_serve_scored(acc_toks, path, "t"))
+    return _t23_bucketize(lm_serve_scored(acc_toks, path, "t"), eager=False)
 
 
 def ensure_corpus_index(spark: SparkSession, sf_dir: str) -> str:

@@ -1764,15 +1764,37 @@ def _t23_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_pairs(pairs, bg, ctx, _T23_EMIT)
 
 
-def _t23_bucketize(scored: DataFrame) -> DataFrame:
+def _t23_bucketize(scored: DataFrame, eager: bool = True) -> DataFrame:
     """Exact head/middle/tail terciles of a (doc_id, n_tok, avg_nll)
     frame via distributed order statistics — the twin of _T23_CTES'
-    `bucketed` (ntile(3)) without a single-partition window."""
+    `bucketed` (ntile(3)) without a single-partition window.
+
+    ``eager`` picks how ``scored`` is materialized for the 3 reads
+    that follow (range-sample, sort shuffle, bucket projection) —
+    either way the upstream computes ONCE and the bucket values are
+    identical:
+
+    * ``True`` (default) — eager ``localCheckpoint``: one dedicated
+      materialization job, but every follow-up job plans against a
+      flat checkpoint scan. Right for the all-in-one oracle-replay
+      forms (t23/t25) whose inline-LM lineage is expensive to
+      RE-ANALYZE — with a lazy cache each of the ~5 follow-up jobs
+      pays Catalyst analysis of the full training tree again
+      (measured: t23 2.11 -> 2.83 s under the lazy form).
+    * ``False`` — lazy ``persist``: the range-sampling job fills the
+      cache, saving the dedicated materialization job. Right for the
+      artifact-backed serve paths (t23q/t25q/t25k, pipe9) whose
+      lineage is a flat parquet-scan + map + agg (measured: pipe9
+      9.06 -> 7.83 s). scored is the per-doc aggregate — orders of
+      magnitude below the token stream — so the r10 corpus-cache
+      memory lesson does not apply.
+    """
     import math
 
+    from ae_data_integration_spark.functions.caching import persist_tracked
     from ae_data_integration_spark.functions.ranks import order_statistics
 
-    scored = scored.localCheckpoint()
+    scored = scored.localCheckpoint() if eager else persist_tracked(scored)
     # The empty-corpus case rides the order-statistics partition
     # aggregate (n == 0 -> no ranks requested) instead of paying a
     # separate rdd.isEmpty() job per bucketize call.
@@ -1833,7 +1855,7 @@ def t23q_lm_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ensure_lm(
         toks, "t", train_filter=(F.col("lang") == "en"), v=_T23_V, salt="t23"
     )
-    return _t23_bucketize(lm_serve_scored(toks, path, "t"))
+    return _t23_bucketize(lm_serve_scored(toks, path, "t"), eager=False)
 
 
 # --- T24: tokenizer fertility / compression per source -----------------------
@@ -2202,7 +2224,7 @@ def t25q_kn5_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ensure_kn_lm(
         toks, "t", train_filter=(F.col("lang") == "en"), v=_T23_V, salt="t25"
     )
-    return _t23_bucketize(kn_serve_scored(toks, path, "t"))
+    return _t23_bucketize(kn_serve_scored(toks, path, "t"), eager=False)
 
 
 @register("t25k_kn5_keyed", oracle=_T25_SQL,
@@ -2226,7 +2248,7 @@ def t25k_kn5_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks, "t", train_filter=(F.col("lang") == "en"), v=_T23_V, salt="t25"
     )
     return _t23_bucketize(
-        kn_serve_scored(toks, path, "t", bcast_max_bytes=0)
+        kn_serve_scored(toks, path, "t", bcast_max_bytes=0), eager=False
     )
 
 
